@@ -1,0 +1,19 @@
+"""maus_tpu — TPU-native rebuild of Kier73/Adaptive-Matrix-Solver (MAUS).
+
+A population-based meta-heuristic engine solving linear systems Ax=b, eigenvalue
+problems Ax=λx, and SVD, re-architected for TPU: the candidate population is one
+batched SoA pytree, Ψ-regularized shifted solves run as batched device kernels, and
+the whole evolution loop is jitted ``lax`` control flow. See SURVEY.md at the repo
+root for the reference analysis this build follows.
+"""
+from .core.types import (CandidateStatus, ProblemKnowledge, ProblemType,
+                         SolverConfig, SolverPreference, StabilityState)
+from .solver.api import MausSolver, SolutionReport, eig, solve, svd
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CandidateStatus", "MausSolver", "ProblemKnowledge", "ProblemType",
+    "SolutionReport", "SolverConfig", "SolverPreference", "StabilityState",
+    "eig", "solve", "svd", "__version__",
+]

@@ -1,0 +1,146 @@
+"""Batched Ψ-regularized direct solves — the TPU equivalent of the reference's
+``InverseIterateSolver`` direct path (AMS:30-104; LAPACK ``sla.solve`` at AMS:59,
+SuperLU ``spla.spsolve`` at AMS:57).
+
+Two entry points, matching how the problem classes actually use the solver:
+
+* :func:`shared_factor_solve` — linear systems. Every candidate solves the *same*
+  ``(A + ΨD) x = b`` (the reference re-factorizes per candidate per iteration,
+  AMS:224-225 + AMS:59 — K·iters O(N³) LAPACK calls; here ONE factorization is
+  computed per Ψ level and *reused across iterations* via the scan carry).
+
+* :func:`batched_shifted_solve` — eigenproblems. Each candidate solves its own
+  Rayleigh-shifted system ``(A − λ_k I + Ψ_k D) w = v_k`` (AMS:270-271): genuinely K
+  distinct factorizations, vmapped into one batched kernel launch.
+
+Both wrap the Ψ escalation retry ladder (AMS:43-104) as a ``lax.while_loop`` whose
+body only re-solves candidates whose previous attempt produced non-finite output —
+the batched analogue of the reference's per-candidate ``num_psi_attempts`` loop.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsla
+
+from .regularize import apply_shift, psi_magnitude
+
+
+class LUFactors(NamedTuple):
+    """An LU factorization bundle (``jax.scipy.linalg.lu_factor`` layout)."""
+
+    lu: jax.Array
+    piv: jax.Array
+
+
+def factor(H: jax.Array) -> LUFactors:
+    """LU-factorize a (possibly batched) square matrix.
+
+    On TPU this lowers to XLA's blocked LU; the Pallas kernel in
+    :mod:`maus_tpu.ops.pallas.lu` can be swapped in here once it wins.
+    """
+    if H.ndim == 2:
+        lu, piv = jsla.lu_factor(H)
+    else:
+        lu, piv = jax.vmap(jsla.lu_factor)(H)
+    return LUFactors(lu, piv)
+
+
+def solve_factored(fac: LUFactors, b: jax.Array) -> jax.Array:
+    """Triangular solve(s) against an existing factorization."""
+    if fac.lu.ndim == 2:
+        return jsla.lu_solve((fac.lu, fac.piv), b)
+    return jax.vmap(lambda lu, piv, bb: jsla.lu_solve((lu, piv), bb))(fac.lu, fac.piv, b)
+
+
+def shared_factor(A: jax.Array, psi) -> LUFactors:
+    """Factor ``H = A + Ψ·(I + jitter)`` once (linear-system path)."""
+    return factor(apply_shift(A, psi))
+
+
+def shared_factor_solve(A: jax.Array, psi_base, aggression, b: jax.Array,
+                        max_attempts: int = 4) -> tuple[jax.Array, jax.Array]:
+    """Solve ``(A + ΨD) x = b`` with the Ψ escalation ladder (AMS:43-104).
+
+    Returns ``(x, attempts_used)``. Escalation triggers on non-finite output —
+    the reference's failure signal (AMS:94-95).
+    """
+    def attempt_solve(attempt):
+        psi = psi_magnitude(psi_base, aggression, attempt, 0.0)
+        return solve_factored(shared_factor(A, psi), b)
+
+    def cond(carry):
+        attempt, x = carry
+        return (attempt < max_attempts) & ~jnp.all(jnp.isfinite(
+            jnp.concatenate([x.real.ravel(), x.imag.ravel()])
+            if jnp.iscomplexobj(x) else x.ravel()))
+
+    def body(carry):
+        attempt, _ = carry
+        return attempt + 1, attempt_solve(attempt + 1)
+
+    x0 = attempt_solve(0)
+    attempts, x = jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), x0))
+    return x, attempts
+
+
+def _finite_rows(x: jax.Array) -> jax.Array:
+    """Per-row finiteness mask for a (K, N) batch."""
+    if jnp.iscomplexobj(x):
+        ok = jnp.isfinite(x.real) & jnp.isfinite(x.imag)
+    else:
+        ok = jnp.isfinite(x)
+    return jnp.all(ok, axis=-1)
+
+
+def batched_shifted_solve(A: jax.Array, lams: jax.Array, stuck: jax.Array,
+                          psi_base, aggression, B: jax.Array,
+                          max_attempts: int = 4) -> tuple[jax.Array, jax.Array]:
+    """Solve ``(A − λ_k I + Ψ_k D) w_k = B_k`` for a batch of K candidates.
+
+    ``Ψ_k`` follows the reference schedule — it grows with the candidate's stuck
+    counter and with the retry attempt (AMS:44). Candidates whose solve produced a
+    finite vector are frozen; the while_loop only continues while some candidate is
+    non-finite and attempts remain.
+
+    Returns ``(W, attempts)`` with ``W: (K, N)`` and ``attempts: (K,) int32`` — the
+    per-candidate Ψ-attempt count (a diagnostics signal the strategy layer consumes,
+    mirroring ``num_psi_attempts``, AMS:39-104).
+    """
+    K, N = B.shape
+
+    def solve_at(attempt_k):
+        """attempt_k: (K,) attempt level per candidate."""
+        psi = psi_magnitude(psi_base, aggression, attempt_k, stuck)
+
+        def one(lam_k, psi_k, b_k):
+            shift = -lam_k * jnp.ones((N,), A.dtype)
+            H = apply_shift(A, psi_k, extra_diag=shift)
+            lu, piv = jsla.lu_factor(H)
+            return jsla.lu_solve((lu, piv), b_k)
+
+        return jax.vmap(one)(lams, psi, B)
+
+    W0 = solve_at(jnp.zeros((K,), jnp.int32))
+    ok0 = _finite_rows(W0)
+    attempts0 = jnp.zeros((K,), jnp.int32)
+
+    def cond(carry):
+        attempts, W, ok = carry
+        return jnp.any(~ok & (attempts < max_attempts))
+
+    def body(carry):
+        attempts, W, ok = carry
+        attempts_new = jnp.where(ok, attempts, attempts + 1)
+        W_try = solve_at(attempts_new)
+        ok_try = _finite_rows(W_try)
+        W_out = jnp.where(ok[:, None], W, W_try)
+        return attempts_new, W_out, ok | ok_try
+
+    attempts, W, ok = jax.lax.while_loop(cond, body, (attempts0, W0, ok0))
+    # Candidates still non-finite after the ladder: zero them; the candidate layer
+    # treats a zero update as a solve failure (stuck++/weight collapse, AMS:287-293).
+    W = jnp.where(ok[:, None], W, jnp.zeros_like(W))
+    return W, attempts

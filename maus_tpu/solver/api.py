@@ -1,0 +1,219 @@
+"""User-facing API — the TPU-native equivalent of the reference's ``MAUS_Solver``
+class (AMS:340-608) plus functional one-shots (:func:`solve`, :func:`eig`,
+:func:`svd`).
+
+Construction mirrors the reference signature
+``MAUS_Solver(M, problem_type, b_vector=None, initial_num_candidates=None,
+global_convergence_tol=1e-8)`` (AMS:341); ``.evolve(max_iterations)`` runs the
+jitted loop and returns a :class:`SolutionReport` of distinct converged solutions
+with their residuals (the reference prints a final report, AMS:587-608 — here it's
+data).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import (CandidateStatus, ProblemKnowledge, ProblemType,
+                          SolverConfig, default_target_solutions)
+from ..ops.batched_solve import shared_factor
+from ..ops.refine import refine as refine_ir
+from ..ops.refine import true_residual_norm
+from . import evolve as evolve_mod
+from . import strategy as strat_mod
+from .diagnose import _to_dense_numpy, diagnose
+
+
+@dataclasses.dataclass
+class SolutionReport:
+    """Distinct converged solutions + run diagnostics.
+
+    ``solutions`` entries follow the reference tuple layout
+    (``get_current_solution_params``, AMS:333-337): eig → (λ, v); linear → (x,);
+    SVD → (σ, u, v).
+    """
+
+    problem_type: ProblemType
+    solutions: list
+    residuals: list
+    iterations: int
+    num_distinct: int
+    target_solutions: int
+    landscape_energy: float
+    knowledge: ProblemKnowledge
+    metrics: Optional[dict] = None
+
+    @property
+    def converged(self) -> bool:
+        return self.num_distinct >= self.target_solutions
+
+    def best(self):
+        if not self.solutions:
+            return None
+        return self.solutions[int(np.argmin(self.residuals))]
+
+
+class MausSolver:
+    """Population-based meta-heuristic matrix solver (TPU-native MAUS)."""
+
+    def __init__(self, matrix, problem_type: ProblemType, b_vector=None,
+                 initial_num_candidates: Optional[int] = None,
+                 global_convergence_tol: float = 1e-8,
+                 config: Optional[SolverConfig] = None, seed: int = 0):
+        problem_type = ProblemType(problem_type)
+        A_host = _to_dense_numpy(matrix).astype(np.complex128)
+        if problem_type != ProblemType.SVD and A_host.ndim == 2 and \
+                A_host.shape[0] != A_host.shape[1]:
+            raise ValueError(
+                f"{problem_type.name} requires a square matrix, got {A_host.shape}")
+        self.knowledge = diagnose(A_host, problem_type)
+        m, n = self.knowledge.shape
+
+        if config is None:
+            # reference default population: 3N, SVD ≥ 3·min(M,N) (AMS:365-367),
+            # clamped to a TPU-friendly cap
+            if initial_num_candidates is None:
+                initial_num_candidates = min(3 * max(m, n), 64)
+            # dtype-aware convergence floor: c64 relative residuals bottom out
+            # around sqrt(N)·eps_f32; the refinement pass recovers the rest
+            import jax.numpy as _jnp
+            floor = 0.0
+            dt = _jnp.complex64
+            if not jax.config.jax_enable_x64:
+                floor = float(50 * np.finfo(np.float32).eps)
+            else:
+                dt = _jnp.complex128
+            config = SolverConfig(problem_type=problem_type,
+                                  num_candidates=int(initial_num_candidates),
+                                  tol=float(global_convergence_tol),
+                                  dtype=dt, convergence_floor=floor)
+        else:
+            config = dataclasses.replace(
+                config, problem_type=problem_type,
+                tol=float(global_convergence_tol) if global_convergence_tol != 1e-8
+                else config.tol)
+            if initial_num_candidates is not None:
+                config = dataclasses.replace(
+                    config, num_candidates=int(initial_num_candidates))
+        self.config = config
+        self.target_solutions = min(
+            default_target_solutions(config, self.knowledge), config.num_candidates)
+
+        self.A_host = A_host
+        self.A = jnp.asarray(A_host, config.dtype)
+        self.b = None
+        if problem_type == ProblemType.SOLVE_LINEAR_SYSTEM:
+            if b_vector is None:
+                raise ValueError("SOLVE_LINEAR_SYSTEM requires b_vector")
+            self.b_host = np.asarray(b_vector).astype(np.complex128)
+            self.b = jnp.asarray(self.b_host, config.dtype)
+        self.key = jax.random.key_data(jax.random.PRNGKey(seed)) \
+            if hasattr(jax.random, "key_data") else jax.random.PRNGKey(seed)
+        self._key = jax.random.PRNGKey(seed)
+
+    # -- reference parity: allow swapping the operand mid-run (scenario 1 does
+    # this, AMS:645-652) ---------------------------------------------------------
+    def update_problem(self, matrix=None, b_vector=None):
+        if matrix is not None:
+            self.A_host = _to_dense_numpy(matrix).astype(np.complex128)
+            self.knowledge = diagnose(self.A_host, self.config.problem_type)
+            self.A = jnp.asarray(self.A_host, self.config.dtype)
+            self.target_solutions = min(
+                default_target_solutions(self.config, self.knowledge),
+                self.config.num_candidates)
+        if b_vector is not None:
+            self.b_host = np.asarray(b_vector).astype(np.complex128)
+            self.b = jnp.asarray(self.b_host, self.config.dtype)
+
+    def evolve(self, max_iterations: int = 100,
+               collect_metrics: bool = False) -> SolutionReport:
+        cfg, kn = self.config, self.knowledge
+        if collect_metrics:
+            carry, metrics = evolve_mod.evolve_scan(
+                cfg, kn, self.A, self.b, self._key, max_iterations,
+                self.target_solutions)
+        else:
+            carry, metrics = evolve_mod.evolve_while(
+                cfg, kn, self.A, self.b, self._key, max_iterations,
+                self.target_solutions)
+            metrics = None   # while-path metrics are last-iteration only
+
+        pop, strat = carry.pop, carry.strat
+        diag = strat_mod.compute_diagnostics(cfg, pop, strat, self.target_solutions)
+        leader = np.asarray(diag.distinct_leader)
+        residual = np.array(pop.residual)   # writable copy (refinement updates it)
+        v = np.asarray(pop.v)
+        lam = np.asarray(pop.lam)
+        u = None if pop.u is None else np.asarray(pop.u)
+
+        solutions, residuals = [], []
+        order = np.argsort(np.where(np.isfinite(residual), residual, np.inf))
+        for k in order:
+            if not leader[k]:
+                continue
+            if cfg.problem_type == ProblemType.EIGENVALUE:
+                solutions.append((complex(lam[k]), v[k]))
+            elif cfg.problem_type == ProblemType.SVD:
+                solutions.append((float(lam[k].real), u[k], v[k]))
+            else:
+                xk = v[k]
+                if cfg.refine:
+                    xk, rel = self._refine_linear(xk)
+                    residual[k] = float(rel)
+                solutions.append((xk,))
+            residuals.append(float(residual[k]))
+
+        mdict = None
+        if metrics is not None:
+            mdict = {f: np.asarray(getattr(metrics, f)) for f in metrics._fields}
+        return SolutionReport(
+            problem_type=cfg.problem_type, solutions=solutions, residuals=residuals,
+            iterations=int(carry.iteration), num_distinct=int(diag.num_distinct),
+            target_solutions=self.target_solutions,
+            landscape_energy=float(strat.landscape_energy), knowledge=kn,
+            metrics=mdict)
+
+    def _refine_linear(self, x: np.ndarray):
+        """Mixed-precision iterative refinement of a linear solution (O(N²) f64
+        residual work against the cached c64 factorization)."""
+        cfg = self.config
+        fac = shared_factor(self.A, cfg.psi_base)
+        x_j = jnp.asarray(x, cfg.dtype)
+        x_ref, rel = refine_ir(self.A, fac, self.b, x_j,
+                               steps=cfg.max_refine_steps)
+        return np.asarray(x_ref), float(rel)
+
+
+# ---------------------------------------------------------------------------
+# Functional one-shots
+# ---------------------------------------------------------------------------
+
+def solve(A, b, tol: float = 1e-8, max_iterations: int = 100,
+          num_candidates: Optional[int] = None, seed: int = 0,
+          config: Optional[SolverConfig] = None) -> SolutionReport:
+    s = MausSolver(A, ProblemType.SOLVE_LINEAR_SYSTEM, b_vector=b,
+                   initial_num_candidates=num_candidates,
+                   global_convergence_tol=tol, config=config, seed=seed)
+    return s.evolve(max_iterations)
+
+
+def eig(A, tol: float = 1e-8, max_iterations: int = 200,
+        num_candidates: Optional[int] = None, seed: int = 0,
+        config: Optional[SolverConfig] = None) -> SolutionReport:
+    s = MausSolver(A, ProblemType.EIGENVALUE,
+                   initial_num_candidates=num_candidates,
+                   global_convergence_tol=tol, config=config, seed=seed)
+    return s.evolve(max_iterations)
+
+
+def svd(A, tol: float = 1e-6, max_iterations: int = 300,
+        num_candidates: Optional[int] = None, seed: int = 0,
+        config: Optional[SolverConfig] = None) -> SolutionReport:
+    s = MausSolver(A, ProblemType.SVD,
+                   initial_num_candidates=num_candidates,
+                   global_convergence_tol=tol, config=config, seed=seed)
+    return s.evolve(max_iterations)

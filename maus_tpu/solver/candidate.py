@@ -1,0 +1,329 @@
+"""Batched candidate update steps — the vmapped rebuild of the reference's
+``SolutionCandidate.update_solution_step`` (AMS:145-331).
+
+One call here advances *all* K candidates: the reference's per-candidate Python loop
+(AMS:574-576) becomes one batched device program per iteration. All branching
+(solve success/failure, stuck/retire, convergence) is masked arithmetic on the
+:class:`~maus_tpu.core.types.Population` SoA.
+
+Key deliberate deviations from the reference, per SURVEY.md §0.1:
+
+* zero-mean Gaussian init (reference's U[0,1] init collapses diversity, AMS:130);
+* step-size gains that can actually reach tolerance (reference α₀=0.01 with ×1.1
+  growth provably stalls, AMS:17/307-316);
+* SVD/Hermitian respawns deflate against already-converged solutions so the
+  population finds *distinct* triplets/eigenpairs instead of piling onto σ₁.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rng
+from ..core.types import (CandidateStatus, Population, ProblemType, SolverConfig,
+                          SolverPreference, StrategyState)
+from ..ops.batched_solve import LUFactors, batched_shifted_solve, solve_factored
+from ..ops.gmres import gmres_batched, jacobi_from_diag
+
+
+class StepStats(NamedTuple):
+    """Per-iteration step diagnostics consumed by the strategy layer."""
+
+    solve_fail_frac: jax.Array    # fraction of active candidates whose solve failed
+    psi_attempts_mean: jax.Array  # mean Ψ-ladder depth used this step
+
+
+# ---------------------------------------------------------------------------
+# Initialization (reference M4a, AMS:129-143 — zero-mean here)
+# ---------------------------------------------------------------------------
+
+def init_population(cfg: SolverConfig, key: jax.Array, shape: tuple) -> Population:
+    m, n = (int(shape[0]), int(shape[1]) if len(shape) > 1 else int(shape[0]))
+    K = cfg.num_candidates
+    keys = rng.make_candidate_keys(key, K)
+    keys, use = rng.split_batch(keys)
+    v = rng.normal_like_batch(use, (n,), cfg.dtype)
+    v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    u = None
+    lam = jnp.zeros((K,), cfg.dtype)
+    keys, use = rng.split_batch(keys)
+    if cfg.problem_type == ProblemType.EIGENVALUE:
+        # reference: λ ∈ [−2.5, 2.5]² complex (AMS:134-135)
+        lam = (rng.normal_like_batch(use, (), cfg.dtype) * 1.5).reshape(K)
+    elif cfg.problem_type == ProblemType.SVD:
+        keys, use2 = rng.split_batch(keys)
+        u = rng.normal_like_batch(use2, (m,), cfg.dtype)
+        u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
+        lam = jnp.ones((K,), cfg.dtype)       # σ init = 1 (AMS:141)
+    rdt = cfg.real_dtype
+    return Population(
+        v=v, u=u, lam=lam,
+        weight=jnp.ones((K,), rdt),
+        alpha=jnp.full((K,), cfg.alpha_initial, rdt),
+        stuck=jnp.zeros((K,), jnp.int32),
+        status=jnp.full((K,), int(CandidateStatus.EXPLORING), jnp.int8),
+        residual=jnp.full((K,), jnp.inf, rdt),
+        prev_residual=jnp.full((K,), jnp.inf, rdt),
+        psi_level=jnp.zeros((K,), jnp.int32),
+        keys=keys,
+        retire_count=jnp.zeros((K,), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared post-step bookkeeping: α adaptation + state machine (M4f/M4h/M4i)
+# ---------------------------------------------------------------------------
+
+def _adapt_and_classify(cfg: SolverConfig, pop: Population, new_residual: jax.Array,
+                        solve_ok: jax.Array, strat: StrategyState,
+                        params_finite: jax.Array) -> Population:
+    """Apply the α adaptation rule (AMS:306-316), failure handling (AMS:287-293) and
+    convergence test (AMS:318-331) as masked updates. Frozen for CONVERGED/RETIRED."""
+    frozen = (pop.status == CandidateStatus.CONVERGED) | \
+             (pop.status == CandidateStatus.RETIRED)
+    active = ~frozen
+
+    prev = pop.residual
+    improved = new_residual < cfg.improve_ratio * prev
+    regressed = (new_residual > cfg.regress_ratio * prev) & (prev > 1e-5)
+
+    alpha = jnp.where(
+        improved, jnp.minimum(pop.alpha * cfg.alpha_grow, 1.0),
+        jnp.where(regressed, jnp.maximum(pop.alpha * cfg.alpha_shrink, cfg.alpha_min),
+                  jnp.maximum(pop.alpha * cfg.alpha_decay, cfg.alpha_min)))
+    status = jnp.where(
+        improved, jnp.int8(CandidateStatus.REFINING),
+        jnp.where(regressed, jnp.int8(CandidateStatus.STUCK),
+                  jnp.int8(CandidateStatus.EXPLORING)))
+    stuck = jnp.where(regressed, pop.stuck + 1,
+                      jnp.where(improved, jnp.maximum(pop.stuck - 1, 0), pop.stuck))
+    weight = pop.weight
+
+    # solve failure: weight ×0.001, α halved, stuck++ (AMS:287-293)
+    fail = active & ~solve_ok
+    weight = jnp.where(fail, weight * 1e-3, weight)
+    alpha = jnp.where(fail, jnp.maximum(pop.alpha * 0.5, cfg.alpha_min), alpha)
+    stuck = jnp.where(fail, pop.stuck + 1, stuck)
+    status = jnp.where(fail, jnp.int8(CandidateStatus.STUCK), status)
+
+    # retirement at stuck ≥ cap (AMS:19, 290-291)
+    retire = active & (stuck >= cfg.max_stuck_for_retirement)
+    status = jnp.where(retire, jnp.int8(CandidateStatus.RETIRED), status)
+
+    # convergence: residual under current threshold AND all params finite
+    # (AMS:318-331). The threshold is floored at the compute dtype's reachable
+    # precision (cfg.convergence_floor); refinement closes the rest (ops/refine.py).
+    thresh_eff = jnp.maximum(strat.threshold, cfg.convergence_floor)
+    conv = active & (new_residual < thresh_eff) & params_finite & solve_ok
+    status = jnp.where(conv, jnp.int8(CandidateStatus.CONVERGED), status)
+    weight = jnp.where(conv, jnp.ones_like(weight), weight)
+    stuck = jnp.where(conv, 0, stuck)
+
+    return Population(
+        v=pop.v, u=pop.u, lam=pop.lam,
+        weight=jnp.where(frozen, pop.weight, weight),
+        alpha=jnp.where(frozen, pop.alpha, alpha),
+        stuck=jnp.where(frozen, pop.stuck, stuck),
+        status=jnp.where(frozen, pop.status, status),
+        residual=jnp.where(frozen, pop.residual, new_residual),
+        prev_residual=jnp.where(frozen, pop.prev_residual, prev),
+        psi_level=pop.psi_level, keys=pop.keys, retire_count=pop.retire_count)
+
+
+def _finite_rows(x: jax.Array) -> jax.Array:
+    if jnp.iscomplexobj(x):
+        return jnp.all(jnp.isfinite(x.real) & jnp.isfinite(x.imag), axis=-1)
+    return jnp.all(jnp.isfinite(x), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Linear systems (M4e, AMS:273-286)
+# ---------------------------------------------------------------------------
+
+def step_linear(cfg: SolverConfig, A: jax.Array, b: jax.Array, fac: LUFactors,
+                pop: Population, strat: StrategyState
+                ) -> tuple[Population, StepStats]:
+    """One population step for Ax=b.
+
+    TPU-native restructure: every candidate solves the *same* regularized system, so
+    the proposal x̂ is computed once (reusing the carried factorization — the
+    reference refactorizes per candidate per iteration, AMS:224-225/59) and only the
+    damped per-candidate mixing ``x_k ← (1−α_k)x_k + α_k x̂`` (AMS:284-285) plus the
+    residual/α/state bookkeeping is per-candidate work.
+    """
+    bnorm = jnp.maximum(jnp.linalg.norm(b), jnp.finfo(cfg.real_dtype).tiny)
+
+    def direct(_):
+        return solve_factored(fac, b)
+
+    def iterative(_):
+        diag = jnp.diagonal(A)
+        res = gmres_batched(lambda X: X @ A.T, b[None, :],
+                            precond_diag=jacobi_from_diag(diag)[None, :],
+                            tol=cfg.tol, restart=min(32, A.shape[0]),
+                            max_restarts=8)
+        return res.x[0]
+
+    x_hat = jax.lax.cond(strat.solver_pref == SolverPreference.DIRECT,
+                         direct, iterative, operand=None)
+    ok = jnp.all(jnp.isfinite(x_hat.real) & jnp.isfinite(x_hat.imag)) \
+        if jnp.iscomplexobj(x_hat) else jnp.all(jnp.isfinite(x_hat))
+    solve_ok = jnp.broadcast_to(ok, (pop.capacity,))
+
+    alpha_c = pop.alpha.astype(cfg.dtype)[:, None]
+    v_new = (1.0 - alpha_c) * pop.v + alpha_c * x_hat[None, :]
+    v_new = jnp.where(solve_ok[:, None], v_new, pop.v)
+
+    resid = jnp.linalg.norm(v_new @ A.T - b[None, :], axis=-1) / bnorm
+    frozen = (pop.status == CandidateStatus.CONVERGED) | \
+             (pop.status == CandidateStatus.RETIRED)
+    pop = dataclasses.replace(pop, v=jnp.where(frozen[:, None], pop.v, v_new))
+    pop = _adapt_and_classify(cfg, pop, resid.astype(cfg.real_dtype), solve_ok, strat,
+                              _finite_rows(v_new))
+    active_f = (~frozen).astype(jnp.float32)
+    nact = jnp.maximum(active_f.sum(), 1.0)
+    return pop, StepStats(
+        solve_fail_frac=((~solve_ok).astype(jnp.float32) * active_f).sum() / nact,
+        psi_attempts_mean=jnp.asarray(0.0, jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Eigenproblems (M4d, AMS:258-283) — shifted inverse iteration, batched
+# ---------------------------------------------------------------------------
+
+def step_eigen(cfg: SolverConfig, A: jax.Array, pop: Population,
+               strat: StrategyState) -> tuple[Population, StepStats]:
+    """One population step for Ax = λx: Rayleigh-quotient shift per candidate, then
+    a *batched* regularized shifted solve ``(A − λ_k I + Ψ_k D) w_k = v_k``."""
+    N = A.shape[0]
+    Av = pop.v @ A.T                                             # (K, N)
+    vv = jnp.sum(jnp.conj(pop.v) * pop.v, axis=-1)
+    lam = jnp.where(jnp.abs(vv) > 1e-12,
+                    jnp.sum(jnp.conj(pop.v) * Av, axis=-1) / vv, pop.lam)
+
+    def direct(_):
+        W, attempts = batched_shifted_solve(
+            A, lam, pop.stuck, cfg.psi_base, strat.psi_aggression, pop.v,
+            max_attempts=cfg.max_psi_attempts)
+        return W, attempts
+
+    def iterative(_):
+        diag = jnp.diagonal(A)[None, :] - lam[:, None]
+        from ..ops.regularize import psi_magnitude, shift_diagonal
+        psi = psi_magnitude(cfg.psi_base, strat.psi_aggression,
+                            jnp.zeros_like(pop.stuck), pop.stuck)
+        d = jax.vmap(lambda p: shift_diagonal(N, p, cfg.dtype))(psi)
+
+        def matvec(X):
+            return X @ A.T - lam[:, None] * X + d * X
+
+        res = gmres_batched(matvec, pop.v, precond_diag=jacobi_from_diag(diag + d),
+                            tol=max(cfg.tol, 1e-10), restart=min(32, N),
+                            max_restarts=4)
+        return res.x, jnp.zeros((pop.capacity,), jnp.int32)
+
+    W, attempts = jax.lax.cond(strat.solver_pref == SolverPreference.DIRECT,
+                               direct, iterative, operand=None)
+    solve_ok = _finite_rows(W) & (jnp.linalg.norm(W, axis=-1) > 0)
+
+    # damped update + renormalize (AMS:280-283). The solve returns w ∝ (A−λI)⁻¹v —
+    # normalize before mixing so α mixes directions, not magnitudes.
+    Wn = W / jnp.maximum(jnp.linalg.norm(W, axis=-1, keepdims=True),
+                         jnp.finfo(cfg.real_dtype).tiny)
+    # align phase with current v so the damped mix doesn't cancel
+    phase = jnp.sum(jnp.conj(Wn) * pop.v, axis=-1)
+    phase = jnp.where(jnp.abs(phase) > 1e-12, phase / jnp.abs(phase),
+                      jnp.ones_like(phase))
+    Wn = Wn * phase[:, None]
+    alpha_c = pop.alpha.astype(cfg.dtype)[:, None]
+    v_new = (1.0 - alpha_c) * pop.v + alpha_c * Wn
+    v_new = v_new / jnp.maximum(jnp.linalg.norm(v_new, axis=-1, keepdims=True),
+                                jnp.finfo(cfg.real_dtype).tiny)
+    v_new = jnp.where(solve_ok[:, None], v_new, pop.v)
+
+    # refresh Rayleigh quotient and residual vs ORIGINAL matrix (M4g, AMS:297)
+    Av_new = v_new @ A.T
+    lam_new = jnp.sum(jnp.conj(v_new) * Av_new, axis=-1)
+    resid = jnp.linalg.norm(Av_new - lam_new[:, None] * v_new, axis=-1)
+
+    frozen = (pop.status == CandidateStatus.CONVERGED) | \
+             (pop.status == CandidateStatus.RETIRED)
+    pop = dataclasses.replace(pop,
+                              v=jnp.where(frozen[:, None], pop.v, v_new),
+                              lam=jnp.where(frozen, pop.lam, lam_new))
+    pop = _adapt_and_classify(cfg, pop, resid.astype(cfg.real_dtype), solve_ok, strat,
+                              _finite_rows(v_new) & _finite_rows(lam_new[:, None]))
+    active_f = (~frozen).astype(jnp.float32)
+    nact = jnp.maximum(active_f.sum(), 1.0)
+    return pop, StepStats(
+        solve_fail_frac=((~solve_ok).astype(jnp.float32) * active_f).sum() / nact,
+        psi_attempts_mean=(attempts.astype(jnp.float32) * active_f).sum() / nact)
+
+
+# ---------------------------------------------------------------------------
+# SVD (M4c, AMS:227-255) — alternating power iteration with deflation
+# ---------------------------------------------------------------------------
+
+def step_svd(cfg: SolverConfig, A: jax.Array, pop: Population,
+             strat: StrategyState) -> tuple[Population, StepStats]:
+    """One alternating power-iteration round per candidate (u = Av/σ, v = Aᴴu/σ,
+    AMS:233-242), batched as two GEMMs, plus **deflation**: non-converged candidates
+    project out the subspace spanned by already-converged singular vectors so the
+    population converges to *distinct* triplets (the reference's candidates all crowd
+    σ₁ — SURVEY.md §0.1)."""
+    conv = pop.status == CandidateStatus.CONVERGED
+    convf = conv.astype(cfg.dtype)
+
+    v = pop.v
+    if cfg.orthogonalize:
+        # Deflation: v_k ← v_k − Σ_c ⟨v_c, v_k⟩ v_c over converged candidates c.
+        # Converged right-singular vectors are unit-norm and mutually orthogonal, so
+        # a single projection pass removes the converged subspace exactly.
+        Vc = pop.v * convf[:, None]                              # (K, N), zeros if ~conv
+        coeff = jnp.conj(Vc) @ v.T                               # (K, K): ⟨v_c, v_k⟩
+        v = v - coeff.T @ Vc
+        v = jnp.where(conv[:, None], pop.v, v)
+        # fully-deflated candidates get a fresh random direction (collapse reseed,
+        # AMS:229-232/236-239)
+        vnorm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        collapsed = vnorm[:, 0] < 1e-6
+        keys, use = rng.split_batch(pop.keys)
+        fresh = rng.normal_like_batch(use, (v.shape[1],), cfg.dtype)
+        v = jnp.where(collapsed[:, None], fresh, v)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True),
+                            jnp.finfo(cfg.real_dtype).tiny)
+        pop = dataclasses.replace(pop, keys=keys)
+
+    # Aᴴu as a GEMM: (Aᴴu)[n] = Σ_m conj(A[m,n]) u[m]  ⇒  U @ conj(A)
+    Av = v @ A.T                                                 # (K, M)
+    s_u = jnp.linalg.norm(Av, axis=-1)
+    u_new = Av / jnp.maximum(s_u[:, None], jnp.finfo(cfg.real_dtype).tiny)
+    AHu = u_new @ jnp.conj(A)                                    # (K, N)
+    s_v = jnp.linalg.norm(AHu, axis=-1)
+    v_new = AHu / jnp.maximum(s_v[:, None], jnp.finfo(cfg.real_dtype).tiny)
+    sigma = jnp.maximum(s_u, s_v).astype(cfg.real_dtype)
+
+    solve_ok = _finite_rows(u_new) & _finite_rows(v_new) & (s_u > 1e-30)
+
+    # two-sided residual (M4g, AMS:301)
+    sig_c = sigma[:, None].astype(cfg.dtype)
+    r1 = jnp.linalg.norm(v_new @ A.T - sig_c * u_new, axis=-1)
+    r2 = jnp.linalg.norm(u_new @ jnp.conj(A) - sig_c * v_new, axis=-1)
+    resid = (r1 + r2).astype(cfg.real_dtype)
+
+    frozen = conv | (pop.status == CandidateStatus.RETIRED)
+    keep = frozen | ~solve_ok
+    pop = dataclasses.replace(pop,
+                      v=jnp.where(keep[:, None], pop.v, v_new),
+                      u=jnp.where(keep[:, None], pop.u, u_new),
+                      lam=jnp.where(keep, pop.lam, sigma.astype(cfg.dtype)))
+    pop = _adapt_and_classify(cfg, pop, resid, solve_ok, strat,
+                              _finite_rows(v_new) & _finite_rows(u_new))
+    active_f = (~frozen).astype(jnp.float32)
+    nact = jnp.maximum(active_f.sum(), 1.0)
+    return pop, StepStats(
+        solve_fail_frac=((~solve_ok).astype(jnp.float32) * active_f).sum() / nact,
+        psi_attempts_mean=jnp.asarray(0.0, jnp.float32))

@@ -1,0 +1,196 @@
+"""The jitted evolution loop — reference ``MAUS_Solver.evolve`` (AMS:551-608)
+rebuilt as ``lax.while_loop`` / ``lax.scan`` over a pure iteration function.
+
+Per-iteration order matches the reference (AMS:572-577):
+diagnostics → strategy adjustment → candidate step → population management.
+
+Two drivers share the same iteration body:
+
+* :func:`evolve_while` — early-exits the moment the target number of distinct
+  converged solutions exists (the reference's intent at AMS:583-584, minus its
+  NameError); this is the production/bench path.
+* :func:`evolve_scan` — fixed iteration count, returns the full per-iteration
+  metrics trace (landscape energy, residual quantiles, distinct count) as stacked
+  arrays: the device-side ring buffer called for in SURVEY.md §5.1.
+
+Linear systems additionally carry the shared LU factorization across iterations and
+only re-factorize when the strategy's Ψ level actually changes — the reference
+refactorizes K times per iteration (AMS:224-225, AMS:59).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import (CandidateStatus, Population, ProblemKnowledge, ProblemType,
+                          SolverConfig, StrategyState, default_target_solutions,
+                          initial_strategy)
+from ..ops.batched_solve import LUFactors, shared_factor
+from ..ops.regularize import psi_magnitude
+from . import candidate as cand
+from . import hermitian as herm
+from . import population as popmgmt
+from . import strategy as strat_mod
+
+
+class EvolveCarry(NamedTuple):
+    pop: Population
+    strat: StrategyState
+    fac: Optional[LUFactors]        # linear path only
+    psi_cached: jax.Array           # Ψ the carried factorization was built with
+    iteration: jax.Array
+
+
+class Metrics(NamedTuple):
+    """Per-iteration population statistics (SURVEY.md §5.5 — same metric names as
+    the reference where they exist)."""
+
+    landscape_energy: jax.Array
+    avg_residual: jax.Array
+    avg_stuckness: jax.Array
+    num_distinct: jax.Array
+    min_residual: jax.Array
+    psi_aggression: jax.Array
+    threshold: jax.Array
+    solve_fail_frac: jax.Array
+
+
+def _effective_psi(cfg: SolverConfig, strat: StrategyState) -> jax.Array:
+    """Iteration-level Ψ for the shared linear factorization: base × aggression ×
+    10^frustration. ``frustration`` plays the role of the reference's per-candidate
+    retry ``attempt`` (AMS:44) at the population level: it ratchets up when solves
+    keep failing, giving the same escalation ladder without refactorizing mid-step."""
+    return psi_magnitude(cfg.psi_base, strat.psi_aggression, strat.frustration, 0.0)
+
+
+def make_iteration(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
+                   b: Optional[jax.Array], eigh_cache: Optional[herm.EighCache],
+                   target_solutions: int):
+    """Build the single-iteration pure function ``carry → (carry, Metrics)``."""
+
+    def iteration(carry: EvolveCarry) -> tuple[EvolveCarry, Metrics]:
+        pop, strat = carry.pop, carry.strat
+
+        diag = strat_mod.compute_diagnostics(cfg, pop, strat, target_solutions)
+        strat = strat_mod.adjust_strategy(cfg, strat, diag)
+
+        fac, psi_cached = carry.fac, carry.psi_cached
+        if cfg.problem_type == ProblemType.SOLVE_LINEAR_SYSTEM:
+            psi_eff = _effective_psi(cfg, strat).astype(psi_cached.dtype)
+            need = psi_eff != psi_cached
+
+            def refactor(_):
+                return shared_factor(A, psi_eff)
+
+            fac = jax.lax.cond(need, refactor, lambda _: fac, operand=None)
+            psi_cached = psi_eff
+            pop, stats = cand.step_linear(cfg, A, b, fac, pop, strat)
+        elif cfg.problem_type == ProblemType.EIGENVALUE and knowledge.is_hermitian:
+            pop, stats = herm.step_hermitian(cfg, A, eigh_cache, pop, strat)
+        elif cfg.problem_type == ProblemType.EIGENVALUE:
+            pop, stats = cand.step_eigen(cfg, A, pop, strat)
+        else:
+            pop, stats = cand.step_svd(cfg, A, pop, strat)
+
+        pop = popmgmt.manage(cfg, pop, strat, diag, target_solutions)
+
+        # population-level escalation pressure (see _effective_psi)
+        frustration = jnp.where(
+            stats.solve_fail_frac > 0.5, strat.frustration + 1.0,
+            jnp.where(stats.solve_fail_frac == 0.0,
+                      jnp.maximum(strat.frustration - 0.25, 0.0),
+                      strat.frustration))
+        strat = dataclasses.replace(strat, frustration=frustration)
+
+        metrics = Metrics(
+            landscape_energy=strat.landscape_energy,
+            avg_residual=strat.avg_residual,
+            avg_stuckness=strat.avg_stuckness,
+            num_distinct=strat.num_distinct,
+            min_residual=jnp.min(jnp.where(jnp.isfinite(pop.residual), pop.residual,
+                                           jnp.inf)),
+            psi_aggression=strat.psi_aggression,
+            threshold=strat.threshold,
+            solve_fail_frac=stats.solve_fail_frac)
+        return EvolveCarry(pop=pop, strat=strat, fac=fac, psi_cached=psi_cached,
+                           iteration=carry.iteration + 1), metrics
+
+    return iteration
+
+
+def init_carry(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
+               key: jax.Array) -> EvolveCarry:
+    pop = cand.init_population(cfg, key, knowledge.shape)
+    strat = initial_strategy(cfg, knowledge)
+    if cfg.problem_type == ProblemType.SOLVE_LINEAR_SYSTEM:
+        psi0 = _effective_psi(cfg, strat)
+        fac = shared_factor(A, psi0)
+    else:
+        fac, psi0 = None, jnp.asarray(0.0, jnp.float32)
+    return EvolveCarry(pop=pop, strat=strat, fac=fac,
+                       psi_cached=jnp.asarray(psi0, jnp.float32),
+                       iteration=jnp.asarray(0, jnp.int32))
+
+
+def _stop_condition(cfg: SolverConfig, target_solutions: int, carry: EvolveCarry
+                    ) -> jax.Array:
+    """Done ⇔ the target number of distinct converged solutions exists (reference
+    intent at AMS:583-584)."""
+    return carry.strat.num_distinct >= target_solutions
+
+
+@partial(jax.jit, static_argnames=("cfg", "knowledge", "max_iterations",
+                                   "target_solutions"))
+def evolve_while(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
+                 b: Optional[jax.Array], key: jax.Array, max_iterations: int,
+                 target_solutions: int) -> tuple[EvolveCarry, Metrics]:
+    """Run until the distinct-solution target is met or ``max_iterations``."""
+    eigh_cache = herm.eigh_setup(A) \
+        if (cfg.problem_type == ProblemType.EIGENVALUE and knowledge.is_hermitian) \
+        else None
+    step = make_iteration(cfg, knowledge, A, b, eigh_cache, target_solutions)
+    carry0 = init_carry(cfg, knowledge, A, key)
+    _, m0 = jax.eval_shape(step, carry0)
+    zero_metrics = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), m0)
+
+    def cond(state):
+        carry, _ = state
+        return (carry.iteration < max_iterations) & \
+            ~_stop_condition(cfg, target_solutions, carry)
+
+    def body(state):
+        carry, _ = state
+        return step(carry)
+
+    return jax.lax.while_loop(cond, body, (carry0, zero_metrics))
+
+
+@partial(jax.jit, static_argnames=("cfg", "knowledge", "num_iterations",
+                                   "target_solutions"))
+def evolve_scan(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
+                b: Optional[jax.Array], key: jax.Array, num_iterations: int,
+                target_solutions: int) -> tuple[EvolveCarry, Metrics]:
+    """Fixed-length run returning stacked per-iteration metrics (frozen once the
+    stop condition hits, so trailing iterations are cheap no-ops)."""
+    eigh_cache = herm.eigh_setup(A) \
+        if (cfg.problem_type == ProblemType.EIGENVALUE and knowledge.is_hermitian) \
+        else None
+    step = make_iteration(cfg, knowledge, A, b, eigh_cache, target_solutions)
+    carry0 = init_carry(cfg, knowledge, A, key)
+    _, m0 = jax.eval_shape(step, carry0)
+    zero_metrics = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), m0)
+
+    def body(carry, _):
+        done = _stop_condition(cfg, target_solutions, carry)
+
+        def frozen(c):
+            return c, zero_metrics
+
+        carry_new, metrics = jax.lax.cond(done, frozen, step, carry)
+        return carry_new, metrics
+
+    return jax.lax.scan(body, carry0, None, length=num_iterations)

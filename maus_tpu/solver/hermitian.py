@@ -1,0 +1,84 @@
+"""Hermitian eigenproblem fast path.
+
+Reference behavior (AMS:154-221): when the matrix is Hermitian, *every candidate,
+every iteration* runs a full ``sla.eigh(A)`` (O(N³) × K × iters!) and snaps to the
+eigenpair most similar to its own vector. Because its init vectors are non-zero-mean
+the whole population snaps onto 1-2 low-frequency eigenpairs (SURVEY.md §0.1 —
+measured 2/8 coverage forever).
+
+TPU-native rebuild:
+
+* ONE shared ``jnp.linalg.eigh`` at setup (XLA batched QR/eigh on device);
+* per-candidate snap = one (K, N) × (N, N) similarity GEMM + masked argmax;
+* **coverage guarantee**: eigenpairs already claimed by a converged leader are
+  masked out of the snap, so respawned candidates land on *unclaimed* eigenpairs —
+  the population covers all N eigenpairs in ⌈N/K⌉ rounds instead of stalling at 2.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import (CandidateStatus, Population, SolverConfig, StrategyState)
+from .candidate import StepStats
+
+
+class EighCache(NamedTuple):
+    """Shared spectral decomposition of the Hermitian operand."""
+
+    w: jax.Array    # (N,) real eigenvalues, ascending
+    V: jax.Array    # (N, N) eigenvectors in columns
+
+
+def eigh_setup(A: jax.Array) -> EighCache:
+    w, V = jnp.linalg.eigh(A)
+    return EighCache(w=w, V=V)
+
+
+def step_hermitian(cfg: SolverConfig, A: jax.Array, cache: EighCache,
+                   pop: Population, strat: StrategyState
+                   ) -> tuple[Population, StepStats]:
+    """Snap every active candidate to its best *unclaimed* eigenpair."""
+    N = cache.w.shape[0]
+    conv = pop.status == CandidateStatus.CONVERGED
+    retired = pop.status == CandidateStatus.RETIRED
+    active = ~conv & ~retired
+
+    # which eigenpair each converged candidate owns: nearest eigenvalue index
+    dist = jnp.abs(pop.lam.real[:, None] - cache.w[None, :])      # (K, N)
+    owned_idx = jnp.argmin(dist, axis=-1)                         # (K,)
+    claimed = jnp.zeros((N,), bool).at[owned_idx].max(conv)       # (N,) any conv owner
+
+    # similarity of each candidate vector to each eigenvector (AMS:165-173)
+    overlap = jnp.abs(pop.v @ jnp.conj(cache.V))                  # (K, N)
+    overlap = jnp.where(claimed[None, :], -jnp.inf, overlap)
+    snap = jnp.argmax(overlap, axis=-1)                           # (K,)
+    any_unclaimed = jnp.any(~claimed)
+
+    v_new = cache.V.T[snap]                                       # (K, N) row k = e_snap
+    lam_new = cache.w[snap].astype(cfg.dtype)
+
+    # residual of the snapped pair vs the original matrix (≈ machine eps)
+    Av = v_new @ A.T
+    resid = jnp.linalg.norm(Av - lam_new[:, None] * v_new, axis=-1) \
+        .astype(cfg.real_dtype)
+
+    take = active & any_unclaimed
+    pop = dataclasses.replace(
+        pop,
+        v=jnp.where(take[:, None], v_new, pop.v),
+        lam=jnp.where(take, lam_new, pop.lam),
+        residual=jnp.where(take, resid, pop.residual),
+        prev_residual=jnp.where(take, pop.residual, pop.prev_residual),
+        weight=jnp.where(take, 1.0, pop.weight),
+        stuck=jnp.where(take, 0, pop.stuck),
+        status=jnp.where(take & (resid < jnp.maximum(strat.threshold,
+                                                     cfg.convergence_floor)),
+                         jnp.int8(CandidateStatus.CONVERGED),
+                         jnp.where(take, jnp.int8(CandidateStatus.REFINING),
+                                   pop.status)))
+    return pop, StepStats(solve_fail_frac=jnp.asarray(0.0, jnp.float32),
+                          psi_attempts_mean=jnp.asarray(0.0, jnp.float32))

@@ -1,0 +1,147 @@
+"""Global diagnostics + strategy adaptation — the reference's
+``_update_global_diagnostics`` (AMS:424-475) and ``_adjust_global_strategy``
+(AMS:477-501) rebuilt as pure batched functions.
+
+The O(pop²) distinct-solution registry (Python loops over ``converged_solutions`` in
+the reference) becomes one K×K masked Gram matrix: a single batched inner-product
+contraction + boolean reductions, `psum`-able when the population axis is sharded.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import (CandidateStatus, Population, ProblemType, SolverConfig,
+                          SolverPreference, StabilityState, StrategyState)
+
+
+class Diagnostics(NamedTuple):
+    distinct_leader: jax.Array    # (K,) bool — converged AND first of its duplicate class
+    duplicate: jax.Array          # (K,) bool — converged but redundant (to retire, M5f)
+    num_distinct: jax.Array       # scalar i32
+    avg_residual: jax.Array       # scalar f32 (over non-converged active, AMS:454-458)
+    avg_stuckness: jax.Array      # scalar f32
+    landscape_energy: jax.Array   # scalar f32 (AMS:459-472)
+    stability: jax.Array          # scalar i32 (AMS:473-475)
+
+
+def _pairwise_same(cfg: SolverConfig, pop: Population) -> jax.Array:
+    """K×K boolean 'same solution' matrix per the reference similarity rules:
+
+    * eig: |Δλ| < λ_tol + |λ|·1e-6 AND |⟨v,v'⟩| > 0.999      (AMS:435-437)
+    * linear: ‖Δx‖ < 100·tol (all converged x are 'the' solution, AMS:438-440)
+    * SVD: |Δσ| < max(abs_tol, σ·rel_tol) AND u,v similar      (AMS:441-452)
+    """
+    gram_v = jnp.abs(jnp.conj(pop.v) @ pop.v.T)                  # (K, K) |⟨v_i,v_j⟩|
+    if cfg.problem_type == ProblemType.EIGENVALUE:
+        dlam = jnp.abs(pop.lam[:, None] - pop.lam[None, :])
+        tol = cfg.lambda_similarity_tol + jnp.abs(pop.lam)[None, :] * 1e-6
+        return (dlam < tol) & (gram_v > cfg.vector_similarity_tol)
+    if cfg.problem_type == ProblemType.SOLVE_LINEAR_SYSTEM:
+        dist = jnp.linalg.norm(pop.v[:, None, :] - pop.v[None, :, :], axis=-1)
+        return dist < cfg.tol * 100
+    # SVD
+    sig = pop.lam.real
+    dsig = jnp.abs(sig[:, None] - sig[None, :])
+    tol = jnp.maximum(cfg.sigma_similarity_abs, sig[None, :] * cfg.sigma_similarity_rel)
+    gram_u = jnp.abs(jnp.conj(pop.u) @ pop.u.T)
+    return (dsig < tol) & (gram_u > cfg.vector_similarity_tol) & \
+           (gram_v > cfg.vector_similarity_tol)
+
+
+def compute_diagnostics(cfg: SolverConfig, pop: Population, strat: StrategyState,
+                        target_solutions: int) -> Diagnostics:
+    K = pop.capacity
+    conv = pop.status == CandidateStatus.CONVERGED
+    retired = pop.status == CandidateStatus.RETIRED
+    nonconv_active = ~conv & ~retired
+
+    same = _pairwise_same(cfg, pop)
+
+    # Leader election among converged duplicates: the best (lowest residual, ties by
+    # slot index) of each duplicate class survives; the rest are duplicates.
+    # 'j beats i' ⇔ both converged, same class, and j has strictly better priority.
+    prio = jnp.where(jnp.isfinite(pop.residual), pop.residual, jnp.inf)
+    idx = jnp.arange(K)
+    better = (prio[None, :] < prio[:, None]) | \
+             ((prio[None, :] == prio[:, None]) & (idx[None, :] < idx[:, None]))
+    beaten = jnp.any(same & better & conv[None, :] & conv[:, None], axis=1)
+    leader = conv & ~beaten
+    duplicate = conv & beaten
+    num_distinct = jnp.sum(leader).astype(jnp.int32)
+
+    # population averages over non-converged, non-retired (AMS:454-458); non-finite
+    # residuals count as 100× the current threshold, as in the reference.
+    res_eff = jnp.where(jnp.isfinite(pop.residual), pop.residual,
+                        strat.threshold * 100.0)
+    denom = jnp.maximum(jnp.sum(nonconv_active), 1)
+    avg_res = jnp.sum(jnp.where(nonconv_active, res_eff, 0.0)) / denom
+    avg_stuck = jnp.sum(jnp.where(nonconv_active, pop.stuck, 0)).astype(jnp.float32) \
+        / denom
+
+    # landscape energy (AMS:459-472)
+    norm_res = avg_res / (strat.threshold * 10.0)
+    norm_stuck = avg_stuck / (cfg.max_stuck_for_retirement * 2.0)
+    norm_missing = (target_solutions - num_distinct).astype(jnp.float32) \
+        / max(1, target_solutions)
+    energy = jnp.clip(0.4 * norm_res + 0.3 * norm_stuck + 0.3 * norm_missing, 0.0, 1.0)
+
+    # stability reclassification from stuckness (AMS:473-475)
+    stability = jnp.where(
+        avg_stuck > cfg.max_stuck_for_retirement * 0.5,
+        jnp.int32(StabilityState.CRITICAL),
+        jnp.where(avg_stuck > cfg.max_stuck_for_pruning * 0.5,
+                  jnp.int32(StabilityState.FRAGILE),
+                  jnp.int32(StabilityState.STABLE)))
+
+    return Diagnostics(distinct_leader=leader, duplicate=duplicate,
+                       num_distinct=num_distinct,
+                       avg_residual=avg_res.astype(jnp.float32),
+                       avg_stuckness=avg_stuck.astype(jnp.float32),
+                       landscape_energy=energy.astype(jnp.float32),
+                       stability=stability)
+
+
+def adjust_strategy(cfg: SolverConfig, strat: StrategyState,
+                    diag: Diagnostics) -> StrategyState:
+    """The three-regime controller (AMS:477-501), as traced ``where`` selects.
+
+    Regimes: high energy + Critical → escalate (GMRES, Ψ×1.1≤200, spawn×1.2≤10,
+    threshold×1.05 ≥50·tol); mid energy + Fragile → mild escalation; low energy +
+    Stable → relax back toward direct solves and the base tolerance.
+    """
+    energy, stab = diag.landscape_energy, diag.stability
+    hot = (energy > 0.6) & (stab == StabilityState.CRITICAL)
+    warm = (energy > 0.4) & (stab == StabilityState.FRAGILE) & ~hot
+    cool = (energy < 0.2) & (stab == StabilityState.STABLE)
+
+    psi = strat.psi_aggression
+    spawn = strat.spawn_rate
+    thr = strat.threshold
+    tol = jnp.asarray(cfg.tol, jnp.float32)
+
+    psi = jnp.where(hot, jnp.minimum(200.0, psi * 1.1),
+          jnp.where(warm, jnp.minimum(50.0, psi * 1.05),
+          jnp.where(cool, jnp.maximum(1.0, psi * 0.9), psi)))
+    spawn = jnp.where(hot, jnp.minimum(10.0, spawn * 1.2),
+            jnp.where(warm, jnp.minimum(5.0, spawn * 1.1),
+            jnp.where(cool, jnp.maximum(0.01, spawn * 0.9), spawn)))
+    thr = jnp.where(hot, jnp.maximum(tol * 50.0, thr * 1.05),
+          jnp.where(warm, jnp.maximum(tol * 5.0, thr * 1.02),
+          jnp.where(cool, jnp.maximum(tol, thr * 0.9), thr)))
+    pref = jnp.where(hot | warm, jnp.int32(SolverPreference.GMRES),
+           jnp.where(cool, jnp.int32(SolverPreference.DIRECT), strat.solver_pref))
+
+    # final clamps (AMS:498-501)
+    psi = jnp.clip(psi, 1.0, 200.0)
+    spawn = jnp.clip(spawn, 0.01, 10.0)
+    thr = jnp.clip(thr, tol, 1.0)
+
+    return dataclasses.replace(
+        strat, psi_aggression=psi, spawn_rate=spawn, threshold=thr,
+        solver_pref=pref, stability=diag.stability,
+        landscape_energy=diag.landscape_energy, avg_residual=diag.avg_residual,
+        avg_stuckness=diag.avg_stuckness, num_distinct=diag.num_distinct)
