@@ -84,7 +84,11 @@ class SolverConfig:
     # Global convergence tolerance (AMS:25, constructor default AMS:341).
     tol: float = 1e-8
     # --- Ψ regularization ladder (M3a, AMS:44) ---
-    psi_base: float = 1e-12          # reference 1e-20 (AMS:16) underflows f32 usefully
+    # Ψ is RELATIVE to the matrix scale ‖A‖_F/√N (the reference's absolute 1e-20,
+    # AMS:16, silently breaks for badly scaled operands). The base rung must be far
+    # below eps²·κ so regularization never becomes the residual floor; escalation
+    # reaches O(eps·‖A‖) only under repeated failure.
+    psi_base: float = 1e-18
     max_psi_attempts: int = 4        # batched ladder depth per step (reference 25, AMS:18)
     # --- step-size adaptation (M4h, AMS:306-316; gains re-derived, see SURVEY §0.1) ---
     alpha_initial: float = 0.7       # reference 0.01 (AMS:17) provably cannot converge
@@ -203,7 +207,10 @@ class StrategyState:
     avg_residual: jax.Array          # scalar f32
     avg_stuckness: jax.Array         # scalar f32
     num_distinct: jax.Array          # scalar i32 — distinct converged solutions (M5d)
-    frustration: jax.Array           # scalar f32 — EWMA of solve-failure fraction
+    frustration: jax.Array           # scalar f32 — population-level Ψ escalation rung
+    pref_failures: jax.Array         # scalar f32 — consecutive bad steps of the
+                                     # preferred method; drives direct↔GMRES
+                                     # failover (reference M3e, AMS:98-102)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -268,10 +275,15 @@ def initial_strategy(cfg: SolverConfig, knowledge: ProblemKnowledge) -> Strategy
     """
     f32 = jnp.float32
     stab = knowledge.stability
+    # Deviation from the reference's regime table (AMS:407-416), which preferred
+    # GMRES for Fragile/Critical: on TPU a dense LU is backward-stable at any κ and
+    # batches perfectly, while restarted GMRES stalls on dense ill-conditioned
+    # operators. DIRECT is therefore the default everywhere; the iterative path is
+    # reached via singularity or runtime failover (reference M3e, AMS:98-102).
     if stab == StabilityState.CRITICAL:
-        aggression, pref, thresh = 50.0, SolverPreference.GMRES, max(cfg.tol, 1e-2)
+        aggression, pref, thresh = 50.0, SolverPreference.DIRECT, max(cfg.tol, 1e-2)
     elif stab == StabilityState.FRAGILE:
-        aggression, pref, thresh = 10.0, SolverPreference.GMRES, max(cfg.tol, 1e-4)
+        aggression, pref, thresh = 10.0, SolverPreference.DIRECT, max(cfg.tol, 1e-4)
     else:
         aggression, pref, thresh = 1.0, SolverPreference.DIRECT, cfg.tol
     if knowledge.is_singular and cfg.problem_type == ProblemType.SOLVE_LINEAR_SYSTEM:
@@ -290,4 +302,5 @@ def initial_strategy(cfg: SolverConfig, knowledge: ProblemKnowledge) -> Strategy
         avg_stuckness=jnp.asarray(0.0, f32),
         num_distinct=jnp.asarray(0, jnp.int32),
         frustration=jnp.asarray(0.0, f32),
+        pref_failures=jnp.asarray(0.0, f32),
     )

@@ -66,20 +66,26 @@ def refine(A: jax.Array, fac: LUFactors, b: jax.Array, x0: jax.Array,
     """Iteratively refine ``x0`` (solution of the Ψ-shifted proxy system) toward the
     true system ``A x = b`` using f64 residuals and the existing c64 factorization.
 
-    Returns ``(x_split_as_c64, rel_residual_f64)`` where the second element is the
-    achieved ‖Ax−b‖/‖b‖ measured in float64. The refined solution is returned in
-    the compute dtype (its f64 content beyond f32 precision lives only in the
-    residual history — callers needing the full f64 iterate use :func:`refine_split`).
+    Returns ``(x_in_compute_dtype, rel_residual_f64)``. NOTE: casting back to the
+    compute dtype rounds away the refined digits — ``rel`` describes the f64
+    iterate, not the returned array. Callers that need the refined precision must
+    use :func:`refine_split` and keep the split-f64 representation (the user API
+    does; this wrapper exists for in-loop residual steering only).
     """
     xs, rel = refine_split(A, fac, b, x0, steps)
     return xs.to_complex(x0.dtype), rel
 
 
-def refine_split(A: jax.Array, fac: LUFactors, b: jax.Array, x0: jax.Array,
+def refine_split(A, fac: LUFactors, b, x0: jax.Array,
                  steps: int = 3) -> tuple[SplitComplex, jax.Array]:
-    """As :func:`refine` but returns the split-f64 iterate."""
-    A64 = SplitComplex.from_complex(A)
-    b64 = SplitComplex.from_complex(b)
+    """As :func:`refine` but returns the split-f64 iterate.
+
+    ``A`` / ``b`` may be passed as :class:`SplitComplex` built from the *original*
+    full-precision host operands — then refinement targets the user's true system
+    (the c64 factorization is only the preconditioner), not its c64 rounding.
+    """
+    A64 = A if isinstance(A, SplitComplex) else SplitComplex.from_complex(A)
+    b64 = b if isinstance(b, SplitComplex) else SplitComplex.from_complex(b)
     bnorm = jnp.maximum(b64.norm(), jnp.asarray(1e-300, jnp.float64))
 
     def body(_, carry):

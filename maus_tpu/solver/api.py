@@ -21,7 +21,8 @@ import numpy as np
 from ..core.types import (CandidateStatus, ProblemKnowledge, ProblemType,
                           SolverConfig, default_target_solutions)
 from ..ops.batched_solve import shared_factor
-from ..ops.refine import refine as refine_ir
+from ..ops.refine import SplitComplex
+from ..ops.refine import refine_split as refine_split_ir
 from ..ops.refine import true_residual_norm
 from . import evolve as evolve_mod
 from . import strategy as strat_mod
@@ -111,9 +112,8 @@ class MausSolver:
                 raise ValueError("SOLVE_LINEAR_SYSTEM requires b_vector")
             self.b_host = np.asarray(b_vector).astype(np.complex128)
             self.b = jnp.asarray(self.b_host, config.dtype)
-        self.key = jax.random.key_data(jax.random.PRNGKey(seed)) \
-            if hasattr(jax.random, "key_data") else jax.random.PRNGKey(seed)
         self._key = jax.random.PRNGKey(seed)
+        self._fac_cache = None
 
     # -- reference parity: allow swapping the operand mid-run (scenario 1 does
     # this, AMS:645-652) ---------------------------------------------------------
@@ -128,6 +128,7 @@ class MausSolver:
         if b_vector is not None:
             self.b_host = np.asarray(b_vector).astype(np.complex128)
             self.b = jnp.asarray(self.b_host, self.config.dtype)
+        self._fac_cache = None
 
     def evolve(self, max_iterations: int = 100,
                collect_metrics: bool = False) -> SolutionReport:
@@ -179,13 +180,27 @@ class MausSolver:
 
     def _refine_linear(self, x: np.ndarray):
         """Mixed-precision iterative refinement of a linear solution (O(N²) f64
-        residual work against the cached c64 factorization)."""
+        residual work against the cached c64 factorization).
+
+        Returns the refined iterate as host complex128 — materializing it in the
+        device compute dtype would throw away exactly the digits refinement earned.
+        """
         cfg = self.config
-        fac = shared_factor(self.A, cfg.psi_base)
+        if self._fac_cache is None:
+            self._fac_cache = shared_factor(self.A, cfg.psi_base)
         x_j = jnp.asarray(x, cfg.dtype)
-        x_ref, rel = refine_ir(self.A, fac, self.b, x_j,
-                               steps=cfg.max_refine_steps)
-        return np.asarray(x_ref), float(rel)
+        # refine against the ORIGINAL full-precision operands (split f64 — the only
+        # f64 complex representation TPUs can hold), so the result solves the user's
+        # system, not its c64 rounding
+        rdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        A_split = SplitComplex(jnp.asarray(self.A_host.real, rdt),
+                               jnp.asarray(self.A_host.imag, rdt))
+        b_split = SplitComplex(jnp.asarray(self.b_host.real, rdt),
+                               jnp.asarray(self.b_host.imag, rdt))
+        xs, rel = refine_split_ir(A_split, self._fac_cache, b_split, x_j,
+                                  steps=cfg.max_refine_steps)
+        x128 = np.asarray(xs.re, np.float64) + 1j * np.asarray(xs.im, np.float64)
+        return x128, float(rel)
 
 
 # ---------------------------------------------------------------------------

@@ -34,6 +34,18 @@ class StepStats(NamedTuple):
 
     solve_fail_frac: jax.Array    # fraction of active candidates whose solve failed
     psi_attempts_mean: jax.Array  # mean Ψ-ladder depth used this step
+    regress_frac: jax.Array       # fraction of active candidates whose residual
+                                  # regressed (> regress_ratio × previous)
+
+
+def _regress_frac(cfg: SolverConfig, pop_before: Population,
+                  new_residual: jax.Array, frozen: jax.Array) -> jax.Array:
+    prev = pop_before.residual
+    regressed = (new_residual > cfg.regress_ratio * prev) & (prev > 1e-5) & \
+        jnp.isfinite(prev)
+    active_f = (~frozen).astype(jnp.float32)
+    nact = jnp.maximum(active_f.sum(), 1.0)
+    return (regressed.astype(jnp.float32) * active_f).sum() / nact
 
 
 # ---------------------------------------------------------------------------
@@ -181,13 +193,15 @@ def step_linear(cfg: SolverConfig, A: jax.Array, b: jax.Array, fac: LUFactors,
     frozen = (pop.status == CandidateStatus.CONVERGED) | \
              (pop.status == CandidateStatus.RETIRED)
     pop = dataclasses.replace(pop, v=jnp.where(frozen[:, None], pop.v, v_new))
+    regress = _regress_frac(cfg, pop, resid.astype(cfg.real_dtype), frozen)
     pop = _adapt_and_classify(cfg, pop, resid.astype(cfg.real_dtype), solve_ok, strat,
                               _finite_rows(v_new))
     active_f = (~frozen).astype(jnp.float32)
     nact = jnp.maximum(active_f.sum(), 1.0)
     return pop, StepStats(
         solve_fail_frac=((~solve_ok).astype(jnp.float32) * active_f).sum() / nact,
-        psi_attempts_mean=jnp.asarray(0.0, jnp.float32))
+        psi_attempts_mean=jnp.asarray(0.0, jnp.float32),
+        regress_frac=regress)
 
 
 # ---------------------------------------------------------------------------
@@ -197,8 +211,15 @@ def step_linear(cfg: SolverConfig, A: jax.Array, b: jax.Array, fac: LUFactors,
 def step_eigen(cfg: SolverConfig, A: jax.Array, pop: Population,
                strat: StrategyState) -> tuple[Population, StepStats]:
     """One population step for Ax = λx: Rayleigh-quotient shift per candidate, then
-    a *batched* regularized shifted solve ``(A − λ_k I + Ψ_k D) w_k = v_k``."""
+    a *batched* regularized shifted solve ``(A − λ_k I + Ψ_k D) w_k = v_k``.
+
+    The Ψ rung here is intentionally larger than the linear path's: the Rayleigh
+    shift drives (A − λI) toward exact singularity by design, and the Ψ jitter is
+    what keeps the inverse-iteration solve bounded (the classic trick)."""
     N = A.shape[0]
+    anorm = (jnp.linalg.norm(A) / jnp.sqrt(jnp.asarray(float(N)))).real \
+        .astype(jnp.float32)
+    psi_scaled = cfg.psi_base * anorm * 1e6   # ≈ eps²·‖A‖ scale for c64
     Av = pop.v @ A.T                                             # (K, N)
     vv = jnp.sum(jnp.conj(pop.v) * pop.v, axis=-1)
     lam = jnp.where(jnp.abs(vv) > 1e-12,
@@ -206,14 +227,14 @@ def step_eigen(cfg: SolverConfig, A: jax.Array, pop: Population,
 
     def direct(_):
         W, attempts = batched_shifted_solve(
-            A, lam, pop.stuck, cfg.psi_base, strat.psi_aggression, pop.v,
+            A, lam, pop.stuck, psi_scaled, strat.psi_aggression, pop.v,
             max_attempts=cfg.max_psi_attempts)
         return W, attempts
 
     def iterative(_):
         diag = jnp.diagonal(A)[None, :] - lam[:, None]
         from ..ops.regularize import psi_magnitude, shift_diagonal
-        psi = psi_magnitude(cfg.psi_base, strat.psi_aggression,
+        psi = psi_magnitude(psi_scaled, strat.psi_aggression,
                             jnp.zeros_like(pop.stuck), pop.stuck)
         d = jax.vmap(lambda p: shift_diagonal(N, p, cfg.dtype))(psi)
 
@@ -254,13 +275,15 @@ def step_eigen(cfg: SolverConfig, A: jax.Array, pop: Population,
     pop = dataclasses.replace(pop,
                               v=jnp.where(frozen[:, None], pop.v, v_new),
                               lam=jnp.where(frozen, pop.lam, lam_new))
+    regress = _regress_frac(cfg, pop, resid.astype(cfg.real_dtype), frozen)
     pop = _adapt_and_classify(cfg, pop, resid.astype(cfg.real_dtype), solve_ok, strat,
                               _finite_rows(v_new) & _finite_rows(lam_new[:, None]))
     active_f = (~frozen).astype(jnp.float32)
     nact = jnp.maximum(active_f.sum(), 1.0)
     return pop, StepStats(
         solve_fail_frac=((~solve_ok).astype(jnp.float32) * active_f).sum() / nact,
-        psi_attempts_mean=(attempts.astype(jnp.float32) * active_f).sum() / nact)
+        psi_attempts_mean=(attempts.astype(jnp.float32) * active_f).sum() / nact,
+        regress_frac=regress)
 
 
 # ---------------------------------------------------------------------------
@@ -279,13 +302,20 @@ def step_svd(cfg: SolverConfig, A: jax.Array, pop: Population,
 
     v = pop.v
     if cfg.orthogonalize:
-        # Deflation: v_k ← v_k − Σ_c ⟨v_c, v_k⟩ v_c over converged candidates c.
-        # Converged right-singular vectors are unit-norm and mutually orthogonal, so
-        # a single projection pass removes the converged subspace exactly.
+        # Deflation: v_k ← v_k − Σ_c M[k,c] ⟨v_c, v_k⟩ v_c over converged candidates.
+        # Non-converged candidates deflate against ALL converged ones; converged
+        # candidates keep being power-polished (they are NOT frozen — freezing at
+        # threshold accuracy poisons everyone else's deflation floor) and therefore
+        # deflate only against converged candidates with strictly larger σ, so each
+        # stays pinned to its own triplet instead of drifting back to σ₁.
+        sig_now = pop.lam.real
         Vc = pop.v * convf[:, None]                              # (K, N), zeros if ~conv
         coeff = jnp.conj(Vc) @ v.T                               # (K, K): ⟨v_c, v_k⟩
-        v = v - coeff.T @ Vc
-        v = jnp.where(conv[:, None], pop.v, v)
+        bigger = sig_now[:, None] < sig_now[None, :] * (1.0 - 1e-6)   # [k,c]: σ_c > σ_k
+        not_self = ~jnp.eye(pop.capacity, dtype=bool)
+        proj_mask = jnp.where(conv[:, None], bigger & conv[None, :],
+                              conv[None, :]) & not_self          # (K, C)
+        v = v - (proj_mask.astype(cfg.dtype) * coeff.T) @ Vc
         # fully-deflated candidates get a fresh random direction (collapse reseed,
         # AMS:229-232/236-239)
         vnorm = jnp.linalg.norm(v, axis=-1, keepdims=True)
@@ -314,16 +344,25 @@ def step_svd(cfg: SolverConfig, A: jax.Array, pop: Population,
     r2 = jnp.linalg.norm(u_new @ jnp.conj(A) - sig_c * v_new, axis=-1)
     resid = (r1 + r2).astype(cfg.real_dtype)
 
-    frozen = conv | (pop.status == CandidateStatus.RETIRED)
-    keep = frozen | ~solve_ok
+    # Converged candidates are polished, not frozen: their triplet data keeps
+    # updating toward machine precision (status stays CONVERGED via the state
+    # machine's frozen mask) so deflation against them has no accuracy floor.
+    retired = pop.status == CandidateStatus.RETIRED
+    frozen = conv | retired
+    keep = retired | ~solve_ok
     pop = dataclasses.replace(pop,
                       v=jnp.where(keep[:, None], pop.v, v_new),
                       u=jnp.where(keep[:, None], pop.u, u_new),
                       lam=jnp.where(keep, pop.lam, sigma.astype(cfg.dtype)))
+    regress = _regress_frac(cfg, pop, resid, frozen)
+    # refresh the residual of polished converged candidates in place
+    pop = dataclasses.replace(
+        pop, residual=jnp.where(conv & solve_ok, resid, pop.residual))
     pop = _adapt_and_classify(cfg, pop, resid, solve_ok, strat,
                               _finite_rows(v_new) & _finite_rows(u_new))
     active_f = (~frozen).astype(jnp.float32)
     nact = jnp.maximum(active_f.sum(), 1.0)
     return pop, StepStats(
         solve_fail_frac=((~solve_ok).astype(jnp.float32) * active_f).sum() / nact,
-        psi_attempts_mean=jnp.asarray(0.0, jnp.float32))
+        psi_attempts_mean=jnp.asarray(0.0, jnp.float32),
+        regress_frac=regress)

@@ -59,18 +59,25 @@ class Metrics(NamedTuple):
     solve_fail_frac: jax.Array
 
 
-def _effective_psi(cfg: SolverConfig, strat: StrategyState) -> jax.Array:
-    """Iteration-level Ψ for the shared linear factorization: base × aggression ×
-    10^frustration. ``frustration`` plays the role of the reference's per-candidate
-    retry ``attempt`` (AMS:44) at the population level: it ratchets up when solves
-    keep failing, giving the same escalation ladder without refactorizing mid-step."""
-    return psi_magnitude(cfg.psi_base, strat.psi_aggression, strat.frustration, 0.0)
+def _effective_psi(cfg: SolverConfig, strat: StrategyState,
+                   anorm) -> jax.Array:
+    """Iteration-level Ψ for the shared linear factorization: base × matrix scale ×
+    aggression × 10^frustration. ``frustration`` plays the role of the reference's
+    per-candidate retry ``attempt`` (AMS:44) at the population level: it ratchets up
+    when solves keep failing, giving the same escalation ladder without
+    refactorizing mid-step."""
+    return psi_magnitude(cfg.psi_base * anorm, strat.psi_aggression,
+                         strat.frustration, 0.0)
 
 
 def make_iteration(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
                    b: Optional[jax.Array], eigh_cache: Optional[herm.EighCache],
                    target_solutions: int):
     """Build the single-iteration pure function ``carry → (carry, Metrics)``."""
+
+    n = knowledge.shape[-1]
+    anorm = jnp.linalg.norm(A) / jnp.sqrt(jnp.asarray(float(n)))
+    anorm = anorm.real.astype(jnp.float32)
 
     def iteration(carry: EvolveCarry) -> tuple[EvolveCarry, Metrics]:
         pop, strat = carry.pop, carry.strat
@@ -80,7 +87,7 @@ def make_iteration(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
 
         fac, psi_cached = carry.fac, carry.psi_cached
         if cfg.problem_type == ProblemType.SOLVE_LINEAR_SYSTEM:
-            psi_eff = _effective_psi(cfg, strat).astype(psi_cached.dtype)
+            psi_eff = _effective_psi(cfg, strat, anorm).astype(psi_cached.dtype)
             need = psi_eff != psi_cached
 
             def refactor(_):
@@ -99,12 +106,23 @@ def make_iteration(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
         pop = popmgmt.manage(cfg, pop, strat, diag, target_solutions)
 
         # population-level escalation pressure (see _effective_psi)
+        bad_step = (stats.solve_fail_frac > 0.5) | (stats.regress_frac > 0.5)
         frustration = jnp.where(
-            stats.solve_fail_frac > 0.5, strat.frustration + 1.0,
+            stats.solve_fail_frac > 0.5,
+            jnp.minimum(strat.frustration + 1.0, 24.0),
             jnp.where(stats.solve_fail_frac == 0.0,
                       jnp.maximum(strat.frustration - 0.25, 0.0),
                       strat.frustration))
-        strat = dataclasses.replace(strat, frustration=frustration)
+        # direct↔GMRES failover (reference M3e, AMS:98-102, at population level):
+        # after a few consecutive bad steps of the preferred method, switch method.
+        pref_failures = jnp.where(bad_step, strat.pref_failures + 1.0,
+                                  jnp.maximum(strat.pref_failures - 1.0, 0.0))
+        flip = pref_failures >= 3.0
+        solver_pref = jnp.where(flip, 1 - strat.solver_pref, strat.solver_pref)
+        pref_failures = jnp.where(flip, 0.0, pref_failures)
+        strat = dataclasses.replace(strat, frustration=frustration,
+                                    pref_failures=pref_failures,
+                                    solver_pref=solver_pref)
 
         metrics = Metrics(
             landscape_energy=strat.landscape_energy,
@@ -127,7 +145,10 @@ def init_carry(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
     pop = cand.init_population(cfg, key, knowledge.shape)
     strat = initial_strategy(cfg, knowledge)
     if cfg.problem_type == ProblemType.SOLVE_LINEAR_SYSTEM:
-        psi0 = _effective_psi(cfg, strat)
+        n = knowledge.shape[-1]
+        anorm = (jnp.linalg.norm(A) / jnp.sqrt(jnp.asarray(float(n)))).real \
+            .astype(jnp.float32)
+        psi0 = _effective_psi(cfg, strat, anorm)
         fac = shared_factor(A, psi0)
     else:
         fac, psi0 = None, jnp.asarray(0.0, jnp.float32)

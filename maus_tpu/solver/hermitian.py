@@ -81,4 +81,5 @@ def step_hermitian(cfg: SolverConfig, A: jax.Array, cache: EighCache,
                          jnp.where(take, jnp.int8(CandidateStatus.REFINING),
                                    pop.status)))
     return pop, StepStats(solve_fail_frac=jnp.asarray(0.0, jnp.float32),
-                          psi_attempts_mean=jnp.asarray(0.0, jnp.float32))
+                          psi_attempts_mean=jnp.asarray(0.0, jnp.float32),
+                          regress_frac=jnp.asarray(0.0, jnp.float32))

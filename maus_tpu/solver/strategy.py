@@ -132,8 +132,10 @@ def adjust_strategy(cfg: SolverConfig, strat: StrategyState,
     thr = jnp.where(hot, jnp.maximum(tol * 50.0, thr * 1.05),
           jnp.where(warm, jnp.maximum(tol * 5.0, thr * 1.02),
           jnp.where(cool, jnp.maximum(tol, thr * 0.9), thr)))
-    pref = jnp.where(hot | warm, jnp.int32(SolverPreference.GMRES),
-           jnp.where(cool, jnp.int32(SolverPreference.DIRECT), strat.solver_pref))
+    # Solver preference is NOT regime-forced (deviation from AMS:480-497 — see
+    # initial_strategy): the direct↔iterative switch is failure-driven failover,
+    # handled in the evolve loop from per-step regression statistics.
+    pref = strat.solver_pref
 
     # final clamps (AMS:498-501)
     psi = jnp.clip(psi, 1.0, 200.0)
