@@ -1,0 +1,151 @@
+"""Benchmark harness — the north-star metric (BASELINE.md / BASELINE.json):
+
+    time-to-tol ‖Ax−b‖/‖b‖ ≤ 1e-8 on a 4096² ill-conditioned dense complex system,
+    full candidate-population sweep, vs the SciPy reference modeled on CPU.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup}
+
+``vs_baseline`` models the reference's cost for the same work honestly and
+conservatively: the reference performs one LAPACK ``sla.solve`` per candidate per
+iteration (AMS:224-225, AMS:59 — no factorization reuse); its modeled time is
+(measured scipy c128 solve time at N) × (population size) × (our iteration count,
+i.e. granting the reference our own convergence speed, which it does not have —
+SURVEY.md §0.1 measured it never converging at all).
+
+Usage:  python bench.py [--quick] [--n N] [--cands K]
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _device_problem(n: int, cond: float, dtype, seed: int = 0):
+    """Generate the controlled-κ system ON DEVICE (host QR at 4096² costs minutes;
+    TPU QR costs seconds). A = Q1 · diag(logspace) · Q2ᴴ, b random."""
+    import jax
+    import jax.numpy as jnp
+
+    k1, k2, k3, k4, kb = jax.random.split(jax.random.PRNGKey(seed), 5)
+    rdt = jnp.float32 if dtype == jnp.complex64 else jnp.float64
+
+    def qhaar(ka, kb_):
+        # lax.complex keeps the pair in c64 — "re + 1j*im" promotes through c128,
+        # which does not exist on TPU
+        g = jax.lax.complex(jax.random.normal(ka, (n, n), rdt),
+                            jax.random.normal(kb_, (n, n), rdt)).astype(dtype)
+        q, r = jnp.linalg.qr(g)
+        d = jnp.diagonal(r)
+        return q * (d / jnp.abs(d))[None, :]
+
+    q1 = qhaar(k1, k2)
+    q2 = qhaar(k3, k4)
+    s = jnp.logspace(0.0, -np.log10(cond), n, dtype=rdt).astype(dtype)
+    A = (q1 * s[None, :]) @ q2.conj().T
+    b = jax.lax.complex(
+        jax.random.normal(kb, (n,), rdt),
+        jax.random.normal(jax.random.fold_in(kb, 1), (n,), rdt)).astype(dtype)
+    return A, b
+
+
+def _measure_scipy_solve(n_model: int, n_target: int) -> float:
+    """Per-solve LAPACK time at n_target, measured at n_model and scaled by the
+    O(N³) flop ratio (measuring directly at 4096 costs ~a minute per solve)."""
+    import scipy.linalg as sla
+
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((n_model, n_model)) \
+        + 1j * rng.standard_normal((n_model, n_model))
+    b = rng.standard_normal(n_model) + 0j
+    sla.solve(A, b)                       # warm BLAS threads
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        sla.solve(A, b)
+    t_model = (time.perf_counter() - t0) / reps
+    return t_model * (n_target / n_model) ** 3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="N=512 smoke config")
+    ap.add_argument("--n", type=int, default=None)
+    ap.add_argument("--cands", type=int, default=16)
+    ap.add_argument("--cond", type=float, default=1e6)
+    ap.add_argument("--tol", type=float, default=1e-8)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_enable_x64", True)   # f64 for split-residual refinement
+    import jax.numpy as jnp
+
+    from maus_tpu.core.types import (ProblemKnowledge, ProblemType, SolverConfig)
+    from maus_tpu.ops.batched_solve import shared_factor
+    from maus_tpu.ops.refine import SplitComplex, refine_split
+    from maus_tpu.solver import evolve as ev
+
+    n = args.n or (512 if args.quick else 4096)
+    K = args.cands
+    tol = args.tol
+    dtype = jnp.complex64
+    eps = float(np.finfo(np.float32).eps)
+
+    A, b = _device_problem(n, args.cond, dtype)
+    jax.block_until_ready(A)
+
+    # c64 convergence floor for this κ (refinement closes the rest, see ops/refine)
+    floor = max(50 * eps, 2 * eps * args.cond)
+    cfg = SolverConfig(problem_type=ProblemType.SOLVE_LINEAR_SYSTEM,
+                       num_candidates=K, tol=tol, dtype=dtype,
+                       convergence_floor=floor, refine=True, max_refine_steps=60)
+    kn = ProblemKnowledge(shape=(n, n), cond_estimate=args.cond)
+    key = jax.random.PRNGKey(1)
+    max_iters = 50
+
+    A64 = SplitComplex(A.real.astype(jnp.float64), A.imag.astype(jnp.float64))
+    b64 = SplitComplex(b.real.astype(jnp.float64), b.imag.astype(jnp.float64))
+
+    def full_solve():
+        """evolve to the c64 floor, then split-f64 refinement to tol."""
+        carry, _ = ev.evolve_while(cfg, kn, A, b, key, max_iters, 1)
+        pop = carry.pop
+        best = jnp.argmin(jnp.where(jnp.isfinite(pop.residual), pop.residual,
+                                    jnp.inf))
+        x0 = pop.v[best]
+        xs, rel = refine_split(A64, carry.fac, b64, x0,
+                               steps=cfg.max_refine_steps, tol=tol * 0.3)
+        return xs, rel, carry.iteration
+
+    # warmup (compile); then timed run
+    xs, rel, iters = full_solve()
+    jax.block_until_ready(rel)
+    t0 = time.perf_counter()
+    xs, rel, iters = full_solve()
+    jax.block_until_ready(rel)
+    elapsed = time.perf_counter() - t0
+
+    rel_f = float(rel)
+    iters_f = int(iters)
+    ok = rel_f <= tol
+
+    # reference model: K LAPACK solves per iteration, our iteration count
+    t_solve = _measure_scipy_solve(min(1024, n), n)
+    ref_time = t_solve * K * max(iters_f, 1)
+
+    result = {
+        "metric": f"time_to_tol({tol:g}) N={n} illcond(k={args.cond:g}) "
+                  f"pop={K} [achieved_rel={rel_f:.2e}{'' if ok else ' MISS'}]",
+        "value": round(elapsed, 4),
+        "unit": "s",
+        "vs_baseline": round(ref_time / elapsed, 2) if elapsed > 0 else 0.0,
+    }
+    print(json.dumps(result))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -39,7 +39,9 @@ class SplitComplex(NamedTuple):
 
     def to_complex(self, dtype=jnp.complex64) -> jax.Array:
         rdt = jnp.float32 if dtype == jnp.complex64 else jnp.float64
-        return (self.re.astype(rdt) + 1j * self.im.astype(rdt)).astype(dtype)
+        # lax.complex avoids an intermediate c128 (unsupported on TPU)
+        return jax.lax.complex(self.re.astype(rdt),
+                               self.im.astype(rdt)).astype(dtype)
 
     def norm(self) -> jax.Array:
         return jnp.sqrt(jnp.sum(self.re * self.re + self.im * self.im, axis=-1))
@@ -77,30 +79,44 @@ def refine(A: jax.Array, fac: LUFactors, b: jax.Array, x0: jax.Array,
 
 
 def refine_split(A, fac: LUFactors, b, x0: jax.Array,
-                 steps: int = 3) -> tuple[SplitComplex, jax.Array]:
+                 steps: int = 3, tol: float = 0.0) -> tuple[SplitComplex, jax.Array]:
     """As :func:`refine` but returns the split-f64 iterate.
 
     ``A`` / ``b`` may be passed as :class:`SplitComplex` built from the *original*
     full-precision host operands — then refinement targets the user's true system
     (the c64 factorization is only the preconditioner), not its c64 rounding.
+
+    Early-exits (cheap no-op iterations) once the f64 relative residual reaches
+    ``tol`` or stops improving; per-step cost is O(N²), so a generous ``steps``
+    budget is safe — at large N·ε·κ the contraction per step approaches 1 and
+    dozens of steps may be needed (observed at N=4096, κ=1e6).
     """
     A64 = A if isinstance(A, SplitComplex) else SplitComplex.from_complex(A)
     b64 = b if isinstance(b, SplitComplex) else SplitComplex.from_complex(b)
     bnorm = jnp.maximum(b64.norm(), jnp.asarray(1e-300, jnp.float64))
 
     def body(_, carry):
-        x64, _ = carry
+        x64, rel, prev_rel = carry
+        done = (rel <= tol) | (rel > 0.9 * prev_rel)   # converged or stalled
         r64 = split_residual(A64, x64, b64)
         # correction in working precision against the same factorization
         d = solve_factored(fac, r64.to_complex(x0.dtype))
         d64 = SplitComplex.from_complex(d)
         x_new = SplitComplex(x64.re + d64.re, x64.im + d64.im)
         r_new = split_residual(A64, x_new, b64)
-        return x_new, r_new.norm() / bnorm
+        rel_new = r_new.norm() / bnorm
+        # keep the better iterate; freeze when done
+        better = rel_new < rel
+        x_out = jax.tree.map(
+            lambda new, old: jnp.where(done | ~better, old, new), x_new, x64)
+        rel_out = jnp.where(done, rel, jnp.minimum(rel_new, rel))
+        return x_out, rel_out, rel
 
     x64 = SplitComplex.from_complex(x0)
     rel0 = split_residual(A64, x64, b64).norm() / bnorm
-    return jax.lax.fori_loop(0, steps, body, (x64, rel0))
+    x64, rel, _ = jax.lax.fori_loop(
+        0, steps, body, (x64, rel0, jnp.asarray(jnp.inf, rel0.dtype)))
+    return x64, rel
 
 
 def true_residual_norm(A: jax.Array, x: jax.Array, b: jax.Array) -> jax.Array:

@@ -64,14 +64,18 @@ class MausSolver:
     def __init__(self, matrix, problem_type: ProblemType, b_vector=None,
                  initial_num_candidates: Optional[int] = None,
                  global_convergence_tol: float = 1e-8,
-                 config: Optional[SolverConfig] = None, seed: int = 0):
+                 config: Optional[SolverConfig] = None, seed: int = 0,
+                 knowledge: Optional[ProblemKnowledge] = None):
         problem_type = ProblemType(problem_type)
         A_host = _to_dense_numpy(matrix).astype(np.complex128)
         if problem_type != ProblemType.SVD and A_host.ndim == 2 and \
                 A_host.shape[0] != A_host.shape[1]:
             raise ValueError(
                 f"{problem_type.name} requires a square matrix, got {A_host.shape}")
-        self.knowledge = diagnose(A_host, problem_type)
+        # callers who already know the operand's structure (e.g. the bench harness
+        # generating a matrix with prescribed κ) may skip the O(N³-ish) diagnosis
+        self.knowledge = knowledge if knowledge is not None \
+            else diagnose(A_host, problem_type)
         m, n = self.knowledge.shape
 
         if config is None:
