@@ -1,0 +1,2 @@
+from . import diffusion, engine, interp, tape
+from .engine import AgeConfig, GenesisEngine, Genome
