@@ -1,0 +1,110 @@
+"""Tests for aux subsystems: checkpoint/resume, metrics sink, truth comparison,
+and the CLI (SURVEY.md §5)."""
+import io
+import json
+
+import jax
+import numpy as np
+import pytest
+
+import maus_tpu
+from maus_tpu.core.types import ProblemType
+from maus_tpu.problems import generators as gen
+from maus_tpu.solver import evolve as ev
+from maus_tpu.utils import checkpoint, metrics, truth
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip_and_resume(self, tmp_path):
+        """Checkpoint mid-run, resume from the file, match the uninterrupted run
+        exactly (the whole point of the carry being one pytree, SURVEY §5.4)."""
+        A_h, b_h = gen.well_conditioned_system(32, seed=0)
+        s = maus_tpu.MausSolver(A_h, ProblemType.SOLVE_LINEAR_SYSTEM, b_vector=b_h,
+                                initial_num_candidates=8)
+        cfg, kn = s.config, s.knowledge
+        step = jax.jit(ev.make_iteration(cfg, kn, s.A, s.b, None, 1))
+        carry = ev.init_carry(cfg, kn, s.A, s._key)
+
+        for _ in range(3):
+            carry, _ = step(carry)
+        path = str(tmp_path / "ckpt.npz")
+        checkpoint.save_state(path, carry)
+
+        # uninterrupted continuation
+        ref = carry
+        for _ in range(3):
+            ref, _ = step(ref)
+
+        # resumed continuation
+        template = ev.init_carry(cfg, kn, s.A, s._key)
+        loaded = checkpoint.load_state(path, template)
+        for _ in range(3):
+            loaded, _ = step(loaded)
+
+        np.testing.assert_array_equal(np.asarray(ref.pop.v),
+                                      np.asarray(loaded.pop.v))
+        np.testing.assert_array_equal(np.asarray(ref.pop.status),
+                                      np.asarray(loaded.pop.status))
+
+    def test_shape_mismatch_fails_loudly(self, tmp_path):
+        path = str(tmp_path / "bad.npz")
+        checkpoint.save_state(path, {"a": np.zeros(3)})
+        with pytest.raises(ValueError, match="shape"):
+            checkpoint.load_state(path, {"a": np.zeros(4)})
+        checkpoint.save_state(path, {"a": np.zeros(3)})
+        with pytest.raises(ValueError, match="leaves"):
+            checkpoint.load_state(path, {"a": np.zeros(3), "b": np.zeros(1)})
+
+
+class TestMetrics:
+    def test_jsonl_sink_and_trace(self):
+        buf = io.StringIO()
+        sink = metrics.MetricsSink(buf)
+        sink.write({"x": np.float32(1.5), "y": np.int32(2)})
+        A_h, b_h = gen.well_conditioned_system(16, seed=1)
+        s = maus_tpu.MausSolver(A_h, ProblemType.SOLVE_LINEAR_SYSTEM,
+                                b_vector=b_h, initial_num_candidates=4)
+        rep = s.evolve(max_iterations=5, collect_metrics=True)
+        _, m = ev.evolve_scan(s.config, s.knowledge, s.A, s.b, s._key, 5, 1)
+        n = sink.write_trace(m, prefix={"run": "t"})
+        lines = [json.loads(line) for line in buf.getvalue().splitlines()]
+        assert lines[0] == {"x": 1.5, "y": 2}
+        assert n == 5 and len(lines) == 6
+        assert "landscape_energy" in lines[1] and lines[1]["run"] == "t"
+
+
+class TestTruth:
+    def test_eig_truth_comparison(self):
+        A = gen.laplace_like_complex(8, make_hermitian=True)
+        rep = maus_tpu.eig(A, tol=1e-7, max_iterations=50, num_candidates=30)
+        t = truth.compare(rep, A)
+        assert t.matched == 8 and t.max_abs_error < 1e-6
+
+    def test_linear_truth_comparison(self):
+        A, b = gen.well_conditioned_system(32, seed=2)
+        rep = maus_tpu.solve(A, b, max_iterations=40, num_candidates=8)
+        t = truth.compare(rep, A, b)
+        assert t.matched >= 1 and t.max_abs_error < 1e-8
+
+    def test_svd_truth_values(self):
+        A = gen.low_rank_svd_matrix(6, 5, target_rank=2, seed=1)
+        s = truth.compute_truth(A, ProblemType.SVD)
+        np.testing.assert_allclose(s[:2], [5.0, 2.5], rtol=1e-3)
+
+
+class TestCLI:
+    def test_solve_command(self, capsys):
+        from maus_tpu.cli import main
+        rc = main(["solve", "--n", "16", "--iters", "30", "--cands", "6",
+                   "--check"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "distinct solutions" in out and "vs LAPACK truth" in out
+
+    def test_age_command_json(self, capsys):
+        from maus_tpu.cli import main
+        rc = main(["age", "--cycles", "1", "--cands", "4", "--json"])
+        out = capsys.readouterr().out.strip().splitlines()
+        assert rc == 0
+        rec = json.loads(out[-1])
+        assert rec["cycle"] == 1 and "best_fitness" in rec
