@@ -120,15 +120,16 @@ def main():
                                steps=cfg.max_refine_steps, tol=tol * 0.3)
         return xs, rel, carry.iteration
 
-    # warmup (compile); then timed run
+    # warmup (compile); then timed run. NOTE: timing fences with a host value
+    # fetch (float()) — on this backend block_until_ready alone does not
+    # guarantee the remote execution has finished.
     xs, rel, iters = full_solve()
-    jax.block_until_ready(rel)
+    _ = float(rel)
     t0 = time.perf_counter()
     xs, rel, iters = full_solve()
-    jax.block_until_ready(rel)
+    rel_f = float(rel)
     elapsed = time.perf_counter() - t0
 
-    rel_f = float(rel)
     iters_f = int(iters)
     ok = rel_f <= tol
 

@@ -125,6 +125,10 @@ class SolverConfig:
     # --- which solutions count & early stop (AMS:583-584) ---
     target_num_solutions: Optional[int] = None   # default: problem-dependent
     energy_stop: float = 0.05
+    stall_limit: int = 10            # stop when the population's best residual
+                                     # hasn't improved for this many iterations
+                                     # (the reference loops to max_iterations
+                                     # even when fully stagnant)
 
     def __post_init__(self):
         object.__setattr__(self, "problem_type", ProblemType(self.problem_type))
@@ -141,7 +145,8 @@ class SolverConfig:
                      self.sigma_similarity_rel, str(self.dtype),
                      self.convergence_floor, self.refine,
                      self.max_refine_steps, self.orthogonalize,
-                     self.target_num_solutions, self.energy_stop))
+                     self.target_num_solutions, self.energy_stop,
+                     self.stall_limit))
 
     @property
     def real_dtype(self):

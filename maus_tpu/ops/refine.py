@@ -16,6 +16,7 @@ f64 for free on CPU; this module is what makes the 1e-8 north-star tolerance
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -78,6 +79,7 @@ def refine(A: jax.Array, fac: LUFactors, b: jax.Array, x0: jax.Array,
     return xs.to_complex(x0.dtype), rel
 
 
+@functools.partial(jax.jit, static_argnames=("steps",))
 def refine_split(A, fac: LUFactors, b, x0: jax.Array,
                  steps: int = 3, tol: float = 0.0) -> tuple[SplitComplex, jax.Array]:
     """As :func:`refine` but returns the split-f64 iterate.

@@ -43,6 +43,8 @@ class EvolveCarry(NamedTuple):
     fac: Optional[LUFactors]        # linear path only
     psi_cached: jax.Array           # Ψ the carried factorization was built with
     iteration: jax.Array
+    best_residual: jax.Array        # best (min) residual seen so far, f32
+    stall_count: jax.Array          # iterations since best_residual improved
 
 
 class Metrics(NamedTuple):
@@ -65,9 +67,17 @@ def _effective_psi(cfg: SolverConfig, strat: StrategyState,
     aggression × 10^frustration. ``frustration`` plays the role of the reference's
     per-candidate retry ``attempt`` (AMS:44) at the population level: it ratchets up
     when solves keep failing, giving the same escalation ladder without
-    refactorizing mid-step."""
-    return psi_magnitude(cfg.psi_base * anorm, strat.psi_aggression,
-                         strat.frustration, 0.0)
+    refactorizing mid-step.
+
+    The result is quantized to half-decade rungs — the ladder's own granularity
+    (10^(attempt/2), AMS:44). Without quantization the regime controller's gentle
+    ×1.05/×0.9 aggression nudges change Ψ every iteration, and each change would
+    trigger a full O(N³) refactorization of the carried LU (measured: ~10× bench
+    slowdown)."""
+    raw = psi_magnitude(cfg.psi_base * anorm, strat.psi_aggression,
+                        strat.frustration, 0.0)
+    half_decades = jnp.round(jnp.log10(jnp.maximum(raw, 1e-300)) * 2.0)
+    return jnp.power(10.0, half_decades / 2.0).astype(raw.dtype)
 
 
 def make_iteration(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
@@ -124,6 +134,13 @@ def make_iteration(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
                                     pref_failures=pref_failures,
                                     solver_pref=solver_pref)
 
+        # stagnation tracking for early stop (cfg.stall_limit)
+        cur_min = jnp.min(jnp.where(jnp.isfinite(pop.residual), pop.residual,
+                                    jnp.inf)).astype(jnp.float32)
+        improved = cur_min < carry.best_residual * 0.99
+        best_residual = jnp.minimum(carry.best_residual, cur_min)
+        stall_count = jnp.where(improved, 0, carry.stall_count + 1)
+
         metrics = Metrics(
             landscape_energy=strat.landscape_energy,
             avg_residual=strat.avg_residual,
@@ -135,7 +152,9 @@ def make_iteration(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
             threshold=strat.threshold,
             solve_fail_frac=stats.solve_fail_frac)
         return EvolveCarry(pop=pop, strat=strat, fac=fac, psi_cached=psi_cached,
-                           iteration=carry.iteration + 1), metrics
+                           iteration=carry.iteration + 1,
+                           best_residual=best_residual,
+                           stall_count=stall_count), metrics
 
     return iteration
 
@@ -154,14 +173,19 @@ def init_carry(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
         fac, psi0 = None, jnp.asarray(0.0, jnp.float32)
     return EvolveCarry(pop=pop, strat=strat, fac=fac,
                        psi_cached=jnp.asarray(psi0, jnp.float32),
-                       iteration=jnp.asarray(0, jnp.int32))
+                       iteration=jnp.asarray(0, jnp.int32),
+                       best_residual=jnp.asarray(jnp.inf, jnp.float32),
+                       stall_count=jnp.asarray(0, jnp.int32))
 
 
 def _stop_condition(cfg: SolverConfig, target_solutions: int, carry: EvolveCarry
                     ) -> jax.Array:
     """Done ⇔ the target number of distinct converged solutions exists (reference
-    intent at AMS:583-584)."""
-    return carry.strat.num_distinct >= target_solutions
+    intent at AMS:583-584), or the population has fully stagnated (no best-
+    residual improvement for cfg.stall_limit iterations — further O(N²)-per-
+    iteration work cannot help; the refinement stage takes over from here)."""
+    return (carry.strat.num_distinct >= target_solutions) | \
+        (carry.stall_count >= cfg.stall_limit)
 
 
 @partial(jax.jit, static_argnames=("cfg", "knowledge", "max_iterations",
