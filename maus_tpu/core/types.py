@@ -118,6 +118,10 @@ class SolverConfig:
                                      # final/candidate solutions (f64 split residuals)
     max_refine_steps: int = 3
     # --- SVD/eig block behavior ---
+    eigh_max_n: int = 2048           # Hermitian path: shared full eigh up to this
+                                     # N; beyond it (or for sparse-classified
+                                     # inputs) per-candidate deflated Lanczos
+                                     # (the reference's eigsh branch, AMS:186-210)
     orthogonalize: bool = True       # block-orthogonalize SVD/eig candidate vectors
                                      # (subspace iteration); fixes the reference's
                                      # diversity collapse (SURVEY §0.1) while keeping
@@ -144,7 +148,7 @@ class SolverConfig:
                      self.lambda_similarity_tol, self.sigma_similarity_abs,
                      self.sigma_similarity_rel, str(self.dtype),
                      self.convergence_floor, self.refine,
-                     self.max_refine_steps, self.orthogonalize,
+                     self.max_refine_steps, self.eigh_max_n, self.orthogonalize,
                      self.target_num_solutions, self.energy_stop,
                      self.stall_limit))
 
@@ -232,6 +236,9 @@ class ProblemKnowledge:
     is_hermitian: bool = False
     is_complex_symmetric: bool = False
     is_sparse_input: bool = False     # density < 0.25 in the reference (AMS:380)
+    is_positive_definite: bool = False  # Hermitian + positive spectrum: unlocks
+                                        # the Cholesky solve path (2× cheaper
+                                        # than LU, MXU-friendly)
     density: float = 1.0
     cond_estimate: float = 1.0
     is_singular: bool = False

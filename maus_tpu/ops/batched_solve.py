@@ -144,3 +144,39 @@ def batched_shifted_solve(A: jax.Array, lams: jax.Array, stuck: jax.Array,
     # treats a zero update as a solve failure (stuck++/weight collapse, AMS:287-293).
     W = jnp.where(ok[:, None], W, jnp.zeros_like(W))
     return W, attempts
+
+
+# ---------------------------------------------------------------------------
+# Hermitian-positive-definite path: Cholesky (SURVEY §7.1 cholesky_batched)
+# ---------------------------------------------------------------------------
+
+class CholFactors(NamedTuple):
+    """A Cholesky factorization bundle, duck-compatible with LUFactors for
+    :func:`solve_factored`-style use via :func:`solve_chol`."""
+
+    L: jax.Array
+
+
+def factor_chol(H: jax.Array) -> CholFactors:
+    """Cholesky of an HPD (possibly batched) matrix — half the flops of LU and a
+    cleaner MXU mapping; the Ψ shift keeps H safely positive definite."""
+    if H.ndim == 2:
+        L = jnp.linalg.cholesky(H)
+    else:
+        L = jax.vmap(jnp.linalg.cholesky)(H)
+    return CholFactors(L)
+
+
+def solve_chol(fac: CholFactors, b: jax.Array) -> jax.Array:
+    """Two triangular solves against the Cholesky factor."""
+    def one(L, bb):
+        y = jsla.solve_triangular(L, bb, lower=True)
+        return jsla.solve_triangular(jnp.conj(L.T), y, lower=False)
+    if fac.L.ndim == 2:
+        return one(fac.L, b)
+    return jax.vmap(one)(fac.L, b)
+
+
+def shared_factor_hpd(A: jax.Array, psi) -> CholFactors:
+    """Factor ``H = A + Ψ·(I + jitter)`` once via Cholesky (HPD linear path)."""
+    return factor_chol(apply_shift(A, psi))

@@ -96,6 +96,8 @@ def refine_split(A, fac: LUFactors, b, x0: jax.Array,
     A64 = A if isinstance(A, SplitComplex) else SplitComplex.from_complex(A)
     b64 = b if isinstance(b, SplitComplex) else SplitComplex.from_complex(b)
     bnorm = jnp.maximum(b64.norm(), jnp.asarray(1e-300, jnp.float64))
+    prec = jax.default_matmul_precision("highest")
+    prec.__enter__()
 
     def body(_, carry):
         x64, rel, prev_rel = carry
@@ -118,6 +120,7 @@ def refine_split(A, fac: LUFactors, b, x0: jax.Array,
     rel0 = split_residual(A64, x64, b64).norm() / bnorm
     x64, rel, _ = jax.lax.fori_loop(
         0, steps, body, (x64, rel0, jnp.asarray(jnp.inf, rel0.dtype)))
+    prec.__exit__(None, None, None)
     return x64, rel
 
 
@@ -126,8 +129,9 @@ def true_residual_norm(A: jax.Array, x: jax.Array, b: jax.Array) -> jax.Array:
 
     Used by tests and the bench harness as the ground-truth acceptance measure.
     """
-    A64 = SplitComplex.from_complex(A)
-    x64 = SplitComplex.from_complex(x)
-    b64 = SplitComplex.from_complex(b)
-    r = split_residual(A64, x64, b64)
-    return r.norm() / jnp.maximum(b64.norm(), 1e-300)
+    with jax.default_matmul_precision("highest"):
+        A64 = SplitComplex.from_complex(A)
+        x64 = SplitComplex.from_complex(x)
+        b64 = SplitComplex.from_complex(b)
+        r = split_residual(A64, x64, b64)
+        return r.norm() / jnp.maximum(b64.norm(), 1e-300)

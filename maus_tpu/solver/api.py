@@ -24,6 +24,7 @@ from ..ops.batched_solve import shared_factor
 from ..ops.refine import SplitComplex
 from ..ops.refine import refine_split as refine_split_ir
 from ..ops.refine import true_residual_norm
+from ..utils.xfer import to_device_complex, to_host_complex
 from . import evolve as evolve_mod
 from . import strategy as strat_mod
 from .diagnose import _to_dense_numpy, diagnose
@@ -109,13 +110,15 @@ class MausSolver:
             default_target_solutions(config, self.knowledge), config.num_candidates)
 
         self.A_host = A_host
-        self.A = jnp.asarray(A_host, config.dtype)
+        # complex transfers must go through the split-plane shim: this TPU
+        # runtime cannot device_put/readback complex dtypes (utils/xfer.py)
+        self.A = to_device_complex(A_host, config.dtype)
         self.b = None
         if problem_type == ProblemType.SOLVE_LINEAR_SYSTEM:
             if b_vector is None:
                 raise ValueError("SOLVE_LINEAR_SYSTEM requires b_vector")
             self.b_host = np.asarray(b_vector).astype(np.complex128)
-            self.b = jnp.asarray(self.b_host, config.dtype)
+            self.b = to_device_complex(self.b_host, config.dtype)
         self._key = jax.random.PRNGKey(seed)
         self._fac_cache = None
 
@@ -125,35 +128,52 @@ class MausSolver:
         if matrix is not None:
             self.A_host = _to_dense_numpy(matrix).astype(np.complex128)
             self.knowledge = diagnose(self.A_host, self.config.problem_type)
-            self.A = jnp.asarray(self.A_host, self.config.dtype)
+            self.A = to_device_complex(self.A_host, self.config.dtype)
             self.target_solutions = min(
                 default_target_solutions(self.config, self.knowledge),
                 self.config.num_candidates)
         if b_vector is not None:
             self.b_host = np.asarray(b_vector).astype(np.complex128)
-            self.b = jnp.asarray(self.b_host, self.config.dtype)
+            self.b = to_device_complex(self.b_host, self.config.dtype)
         self._fac_cache = None
 
     def evolve(self, max_iterations: int = 100,
-               collect_metrics: bool = False) -> SolutionReport:
+               collect_metrics: bool = False,
+               checkpoint_path: Optional[str] = None,
+               resume_from: Optional[str] = None) -> SolutionReport:
+        """Run the evolution loop.
+
+        ``resume_from`` restores a carry saved by a previous ``checkpoint_path``
+        run (same config/shapes) and continues from there — the whole solver
+        state is one pytree, so resume is just re-entering the jitted loop
+        (SURVEY.md §5.4; the reference has no serialization at all).
+        """
         cfg, kn = self.config, self.knowledge
+        carry0 = None
+        if resume_from is not None:
+            from ..utils.checkpoint import load_state
+            template = evolve_mod.init_carry(cfg, kn, self.A, self._key)
+            carry0 = load_state(resume_from, template)
         if collect_metrics:
             carry, metrics = evolve_mod.evolve_scan(
                 cfg, kn, self.A, self.b, self._key, max_iterations,
-                self.target_solutions)
+                self.target_solutions, carry0=carry0)
         else:
             carry, metrics = evolve_mod.evolve_while(
                 cfg, kn, self.A, self.b, self._key, max_iterations,
-                self.target_solutions)
+                self.target_solutions, carry0=carry0)
             metrics = None   # while-path metrics are last-iteration only
+        if checkpoint_path is not None:
+            from ..utils.checkpoint import save_state
+            save_state(checkpoint_path, carry)
 
         pop, strat = carry.pop, carry.strat
         diag = strat_mod.compute_diagnostics(cfg, pop, strat, self.target_solutions)
         leader = np.asarray(diag.distinct_leader)
         residual = np.array(pop.residual)   # writable copy (refinement updates it)
-        v = np.asarray(pop.v)
-        lam = np.asarray(pop.lam)
-        u = None if pop.u is None else np.asarray(pop.u)
+        v = to_host_complex(pop.v)
+        lam = to_host_complex(pop.lam)
+        u = None if pop.u is None else to_host_complex(pop.u)
 
         solutions, residuals = [], []
         order = np.argsort(np.where(np.isfinite(residual), residual, np.inf))
@@ -192,15 +212,15 @@ class MausSolver:
         cfg = self.config
         if self._fac_cache is None:
             self._fac_cache = shared_factor(self.A, cfg.psi_base)
-        x_j = jnp.asarray(x, cfg.dtype)
+        x_j = to_device_complex(x, cfg.dtype)
         # refine against the ORIGINAL full-precision operands (split f64 — the only
         # f64 complex representation TPUs can hold), so the result solves the user's
         # system, not its c64 rounding
         rdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-        A_split = SplitComplex(jnp.asarray(self.A_host.real, rdt),
-                               jnp.asarray(self.A_host.imag, rdt))
-        b_split = SplitComplex(jnp.asarray(self.b_host.real, rdt),
-                               jnp.asarray(self.b_host.imag, rdt))
+        A_split = SplitComplex(jnp.asarray(self.A_host.real.astype(rdt)),
+                               jnp.asarray(self.A_host.imag.astype(rdt)))
+        b_split = SplitComplex(jnp.asarray(self.b_host.real.astype(rdt)),
+                               jnp.asarray(self.b_host.imag.astype(rdt)))
         xs, rel = refine_split_ir(A_split, self._fac_cache, b_split, x_j,
                                   steps=cfg.max_refine_steps)
         x128 = np.asarray(xs.re, np.float64) + 1j * np.asarray(xs.im, np.float64)

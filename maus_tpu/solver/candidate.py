@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from ..core import rng
 from ..core.types import (CandidateStatus, Population, ProblemType, SolverConfig,
                           SolverPreference, StrategyState)
-from ..ops.batched_solve import LUFactors, batched_shifted_solve, solve_factored
+from ..ops.batched_solve import (CholFactors, LUFactors, batched_shifted_solve,
+                                 solve_chol, solve_factored)
 from ..ops.gmres import gmres_batched, jacobi_from_diag
 
 
@@ -169,7 +170,8 @@ def step_linear(cfg: SolverConfig, A: jax.Array, b: jax.Array, fac: LUFactors,
     bnorm = jnp.maximum(jnp.linalg.norm(b), jnp.finfo(cfg.real_dtype).tiny)
 
     def direct(_):
-        return solve_factored(fac, b)
+        return solve_chol(fac, b) if isinstance(fac, CholFactors) \
+            else solve_factored(fac, b)
 
     def iterative(_):
         diag = jnp.diagonal(A)

@@ -80,10 +80,17 @@ def diagnose(A, problem_type: ProblemType,
 
     is_hermitian = False
     is_complex_symmetric = False
+    is_positive_definite = False
     if m == n and m * n <= 10_000_000:          # densify guard (AMS:390-395)
         is_hermitian = bool(np.allclose(Ad, Ad.conj().T, atol=1e-9))
         if not is_hermitian and np.iscomplexobj(Ad):
             is_complex_symmetric = bool(np.allclose(Ad, Ad.T, atol=1e-9))
+        if is_hermitian:
+            try:
+                np.linalg.cholesky(Ad)
+                is_positive_definite = True
+            except np.linalg.LinAlgError:
+                is_positive_definite = False
 
     cond = estimate_cond(Ad) if m == n else estimate_cond(Ad)
     is_singular = (not np.isfinite(cond)) or cond > 1e15
@@ -105,6 +112,7 @@ def diagnose(A, problem_type: ProblemType,
     return ProblemKnowledge(
         shape=(m, n), is_hermitian=is_hermitian,
         is_complex_symmetric=is_complex_symmetric,
+        is_positive_definite=is_positive_definite,
         is_sparse_input=is_sparse, density=float(density),
         cond_estimate=float(cond) if np.isfinite(cond) else float("inf"),
         is_singular=bool(is_singular), effective_rank=effective_rank)

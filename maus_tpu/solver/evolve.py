@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from ..core.types import (CandidateStatus, Population, ProblemKnowledge, ProblemType,
                           SolverConfig, StrategyState, default_target_solutions,
                           initial_strategy)
-from ..ops.batched_solve import LUFactors, shared_factor
+from ..ops.batched_solve import (LUFactors, shared_factor, shared_factor_hpd,
+                                 solve_chol)
 from ..ops.regularize import psi_magnitude
 from . import candidate as cand
 from . import hermitian as herm
@@ -90,6 +91,13 @@ def make_iteration(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
     anorm = anorm.real.astype(jnp.float32)
 
     def iteration(carry: EvolveCarry) -> tuple[EvolveCarry, Metrics]:
+        # TPU's default matmul precision is bf16-grade: fine for neural nets,
+        # fatal for residual measurement (observed floor ~4e-3). All solver
+        # math runs at full f32 MXU precision.
+        with jax.default_matmul_precision("highest"):
+            return _iteration_impl(carry)
+
+    def _iteration_impl(carry: EvolveCarry) -> tuple[EvolveCarry, Metrics]:
         pop, strat = carry.pop, carry.strat
 
         diag = strat_mod.compute_diagnostics(cfg, pop, strat, target_solutions)
@@ -99,15 +107,20 @@ def make_iteration(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
         if cfg.problem_type == ProblemType.SOLVE_LINEAR_SYSTEM:
             psi_eff = _effective_psi(cfg, strat, anorm).astype(psi_cached.dtype)
             need = psi_eff != psi_cached
+            hpd = knowledge.is_positive_definite
 
             def refactor(_):
-                return shared_factor(A, psi_eff)
+                return shared_factor_hpd(A, psi_eff) if hpd \
+                    else shared_factor(A, psi_eff)
 
             fac = jax.lax.cond(need, refactor, lambda _: fac, operand=None)
             psi_cached = psi_eff
             pop, stats = cand.step_linear(cfg, A, b, fac, pop, strat)
         elif cfg.problem_type == ProblemType.EIGENVALUE and knowledge.is_hermitian:
-            pop, stats = herm.step_hermitian(cfg, A, eigh_cache, pop, strat)
+            if eigh_cache is not None:
+                pop, stats = herm.step_hermitian(cfg, A, eigh_cache, pop, strat)
+            else:   # large-N / sparse: per-candidate deflated Lanczos
+                pop, stats = herm.step_hermitian_lanczos(cfg, A, pop, strat)
         elif cfg.problem_type == ProblemType.EIGENVALUE:
             pop, stats = cand.step_eigen(cfg, A, pop, strat)
         else:
@@ -161,6 +174,12 @@ def make_iteration(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
 
 def init_carry(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
                key: jax.Array) -> EvolveCarry:
+    with jax.default_matmul_precision("highest"):
+        return _init_carry_impl(cfg, knowledge, A, key)
+
+
+def _init_carry_impl(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
+                     key: jax.Array) -> EvolveCarry:
     pop = cand.init_population(cfg, key, knowledge.shape)
     strat = initial_strategy(cfg, knowledge)
     if cfg.problem_type == ProblemType.SOLVE_LINEAR_SYSTEM:
@@ -168,7 +187,8 @@ def init_carry(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
         anorm = (jnp.linalg.norm(A) / jnp.sqrt(jnp.asarray(float(n)))).real \
             .astype(jnp.float32)
         psi0 = _effective_psi(cfg, strat, anorm)
-        fac = shared_factor(A, psi0)
+        fac = shared_factor_hpd(A, psi0) if knowledge.is_positive_definite \
+            else shared_factor(A, psi0)
     else:
         fac, psi0 = None, jnp.asarray(0.0, jnp.float32)
     return EvolveCarry(pop=pop, strat=strat, fac=fac,
@@ -176,6 +196,16 @@ def init_carry(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
                        iteration=jnp.asarray(0, jnp.int32),
                        best_residual=jnp.asarray(jnp.inf, jnp.float32),
                        stall_count=jnp.asarray(0, jnp.int32))
+
+
+def _use_shared_eigh(cfg: SolverConfig, knowledge: ProblemKnowledge) -> bool:
+    """Shared full eigh for dense moderate-N Hermitian operands; deflated
+    Lanczos otherwise (cfg.eigh_max_n; reference dense/sparse split at
+    AMS:159/186)."""
+    if cfg.problem_type != ProblemType.EIGENVALUE or not knowledge.is_hermitian:
+        return False
+    n = knowledge.shape[-1]
+    return n <= cfg.eigh_max_n and not knowledge.is_sparse_input
 
 
 def _stop_condition(cfg: SolverConfig, target_solutions: int, carry: EvolveCarry
@@ -192,13 +222,16 @@ def _stop_condition(cfg: SolverConfig, target_solutions: int, carry: EvolveCarry
                                    "target_solutions"))
 def evolve_while(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
                  b: Optional[jax.Array], key: jax.Array, max_iterations: int,
-                 target_solutions: int) -> tuple[EvolveCarry, Metrics]:
-    """Run until the distinct-solution target is met or ``max_iterations``."""
-    eigh_cache = herm.eigh_setup(A) \
-        if (cfg.problem_type == ProblemType.EIGENVALUE and knowledge.is_hermitian) \
-        else None
+                 target_solutions: int,
+                 carry0: Optional[EvolveCarry] = None
+                 ) -> tuple[EvolveCarry, Metrics]:
+    """Run until the distinct-solution target is met or ``max_iterations``.
+    ``carry0`` resumes from a checkpointed state (max_iterations then bounds the
+    TOTAL iteration count, consistent with the saved carry's counter)."""
+    eigh_cache = herm.eigh_setup(A) if _use_shared_eigh(cfg, knowledge) else None
     step = make_iteration(cfg, knowledge, A, b, eigh_cache, target_solutions)
-    carry0 = init_carry(cfg, knowledge, A, key)
+    if carry0 is None:
+        carry0 = init_carry(cfg, knowledge, A, key)
     _, m0 = jax.eval_shape(step, carry0)
     zero_metrics = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), m0)
 
@@ -218,14 +251,15 @@ def evolve_while(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
                                    "target_solutions"))
 def evolve_scan(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
                 b: Optional[jax.Array], key: jax.Array, num_iterations: int,
-                target_solutions: int) -> tuple[EvolveCarry, Metrics]:
+                target_solutions: int,
+                carry0: Optional[EvolveCarry] = None
+                ) -> tuple[EvolveCarry, Metrics]:
     """Fixed-length run returning stacked per-iteration metrics (frozen once the
     stop condition hits, so trailing iterations are cheap no-ops)."""
-    eigh_cache = herm.eigh_setup(A) \
-        if (cfg.problem_type == ProblemType.EIGENVALUE and knowledge.is_hermitian) \
-        else None
+    eigh_cache = herm.eigh_setup(A) if _use_shared_eigh(cfg, knowledge) else None
     step = make_iteration(cfg, knowledge, A, b, eigh_cache, target_solutions)
-    carry0 = init_carry(cfg, knowledge, A, key)
+    if carry0 is None:
+        carry0 = init_carry(cfg, knowledge, A, key)
     _, m0 = jax.eval_shape(step, carry0)
     zero_metrics = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), m0)
 

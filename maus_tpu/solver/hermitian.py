@@ -34,7 +34,8 @@ class EighCache(NamedTuple):
 
 
 def eigh_setup(A: jax.Array) -> EighCache:
-    w, V = jnp.linalg.eigh(A)
+    with jax.default_matmul_precision("highest"):
+        w, V = jnp.linalg.eigh(A)
     return EighCache(w=w, V=V)
 
 
@@ -78,6 +79,76 @@ def step_hermitian(cfg: SolverConfig, A: jax.Array, cache: EighCache,
         status=jnp.where(take & (resid < jnp.maximum(strat.threshold,
                                                      cfg.convergence_floor)),
                          jnp.int8(CandidateStatus.CONVERGED),
+                         jnp.where(take, jnp.int8(CandidateStatus.REFINING),
+                                   pop.status)))
+    return pop, StepStats(solve_fail_frac=jnp.asarray(0.0, jnp.float32),
+                          psi_attempts_mean=jnp.asarray(0.0, jnp.float32),
+                          regress_frac=jnp.asarray(0.0, jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Large-N / sparse-input path: per-candidate Lanczos (reference AMS:186-210)
+# ---------------------------------------------------------------------------
+
+def step_hermitian_lanczos(cfg: SolverConfig, A: jax.Array, pop: Population,
+                           strat: StrategyState, k: int = 6, m: int = 32
+                           ) -> tuple[Population, StepStats]:
+    """Krylov variant of the fast path for operands where a full eigh is
+    disproportionate (the reference's sparse branch calls ARPACK ``eigsh(k≤6,
+    v0=candidate)``, AMS:186-210).
+
+    Each candidate runs an m-step batched Lanczos seeded from its own vector,
+    **deflated against the eigenvectors already claimed** by converged candidates
+    — so successive respawn waves converge to successive unclaimed extremal
+    eigenpairs instead of re-finding the dominant ones (Lanczos with a deflated
+    start vector never re-enters the deflated subspace, up to rounding that the
+    next wave's deflation re-removes).
+    """
+    from ..ops.lanczos import lanczos_batched
+
+    N = A.shape[0]
+    k = min(k, N - 1)
+    conv = pop.status == CandidateStatus.CONVERGED
+    retired = pop.status == CandidateStatus.RETIRED
+    active = ~conv & ~retired
+
+    # deflate start vectors against claimed (converged) eigenvectors
+    Vc = pop.v * conv.astype(cfg.dtype)[:, None]
+    coeff = jnp.conj(Vc) @ pop.v.T                              # (K, K)
+    v0 = pop.v - coeff.T @ Vc
+    norms = jnp.linalg.norm(v0, axis=-1, keepdims=True)
+    v0 = jnp.where(norms > 1e-6, v0 / jnp.maximum(norms, 1e-30), pop.v)
+
+    res = lanczos_batched(A, v0, k=k, m=m)
+
+    # a Ritz pair is 'claimed' if a converged candidate already owns that
+    # eigenvalue (same similarity rule as dedup, AMS:435-437)
+    lam_conv = jnp.where(conv, pop.lam.real, jnp.inf)           # (K,)
+    dist = jnp.abs(res.eigenvalues[:, :, None] - lam_conv[None, None, :])
+    tol_eff = cfg.lambda_similarity_tol + jnp.abs(res.eigenvalues)[:, :, None] \
+        * 1e-6
+    is_claimed = jnp.any(dist < tol_eff, axis=-1)               # (K, k)
+
+    # pick the best unclaimed Ritz pair per candidate (lowest residual)
+    score = res.residuals + jnp.where(is_claimed, 1e30, 0.0)
+    pick = jnp.argmin(score, axis=-1)                            # (K,)
+    rows = jnp.arange(pop.capacity)
+    v_new = res.eigenvectors[rows, pick]                         # (K, N)
+    lam_new = res.eigenvalues[rows, pick].astype(cfg.dtype)
+    resid_new = res.residuals[rows, pick].astype(cfg.real_dtype)
+    any_unclaimed = jnp.any(~is_claimed, axis=-1)                # (K,)
+
+    take = active & any_unclaimed & jnp.isfinite(resid_new)
+    good = take & (resid_new < jnp.maximum(strat.threshold, cfg.convergence_floor))
+    pop = dataclasses.replace(
+        pop,
+        v=jnp.where(take[:, None], v_new, pop.v),
+        lam=jnp.where(take, lam_new, pop.lam),
+        residual=jnp.where(take, resid_new, pop.residual),
+        prev_residual=jnp.where(take, pop.residual, pop.prev_residual),
+        weight=jnp.where(good, 1.0, pop.weight),
+        stuck=jnp.where(good, 0, pop.stuck),
+        status=jnp.where(good, jnp.int8(CandidateStatus.CONVERGED),
                          jnp.where(take, jnp.int8(CandidateStatus.REFINING),
                                    pop.status)))
     return pop, StepStats(solve_fail_frac=jnp.asarray(0.0, jnp.float32),

@@ -1,1 +1,1 @@
-from . import checkpoint, metrics, truth
+from . import checkpoint, metrics, truth, xfer

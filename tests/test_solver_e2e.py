@@ -146,3 +146,59 @@ class TestReportAndValidation:
         r2 = maus_tpu.solve(A, b, max_iterations=20, num_candidates=8, seed=3)
         assert r1.iterations == r2.iterations
         np.testing.assert_array_equal(r1.best()[0], r2.best()[0])
+
+
+class TestHermitianLanczosPath:
+    def test_sparse_hermitian_routes_to_lanczos_and_converges(self):
+        """Sparse-classified Hermitian input takes the deflated-Lanczos path
+        (reference eigsh branch) and still finds distinct extremal eigenpairs."""
+        import scipy.sparse as sp
+        n = 48
+        rng = np.random.default_rng(4)
+        d = rng.standard_normal(n) * 3
+        off = rng.standard_normal(n - 1) * 0.5
+        A_dense = np.diag(d) + np.diag(off, 1) + np.diag(off, -1)
+        A = sp.csc_matrix(A_dense)
+        rep = maus_tpu.eig(A, tol=1e-6, max_iterations=30, num_candidates=8)
+        assert rep.knowledge.is_hermitian and rep.knowledge.is_sparse_input
+        assert rep.num_distinct >= 4
+        w_true = np.linalg.eigvalsh(A_dense)
+        for lam, v in rep.solutions:
+            assert np.min(np.abs(w_true - lam.real)) < 1e-5
+            assert np.linalg.norm(A_dense @ v - lam * v) < 1e-5
+
+    def test_large_n_threshold_switch(self):
+        """Config with a tiny eigh_max_n forces the Lanczos path on a dense
+        Hermitian operand; results match the eigh path's extremal pairs."""
+        A = gen.hermitian_matrix(32, seed=5)
+        cfg = maus_tpu.SolverConfig(problem_type=maus_tpu.ProblemType.EIGENVALUE,
+                                    num_candidates=8, tol=1e-6, eigh_max_n=16,
+                                    dtype=np.complex128)
+        s = maus_tpu.MausSolver(A, maus_tpu.ProblemType.EIGENVALUE, config=cfg,
+                                global_convergence_tol=1e-6)
+        rep = s.evolve(max_iterations=30)
+        assert rep.num_distinct >= 4
+        w_true = np.linalg.eigvalsh(A)
+        for lam, v in rep.solutions:
+            assert np.min(np.abs(w_true - lam.real)) < 1e-5
+
+
+class TestHPDCholeskyPath:
+    def test_hpd_system_diagnosed_and_solved(self):
+        rng = np.random.default_rng(9)
+        G = rng.standard_normal((32, 32)) + 1j * rng.standard_normal((32, 32))
+        A = G @ G.conj().T + 32 * np.eye(32)     # HPD
+        b = rng.standard_normal(32)
+        s = maus_tpu.MausSolver(A, maus_tpu.ProblemType.SOLVE_LINEAR_SYSTEM,
+                                b_vector=b, initial_num_candidates=6)
+        assert s.knowledge.is_positive_definite and s.knowledge.is_hermitian
+        rep = s.evolve(max_iterations=40)
+        assert rep.converged
+        x = rep.best()[0]
+        assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) < 1e-8
+
+    def test_indefinite_hermitian_not_flagged_pd(self):
+        A = np.diag([1.0, -2.0, 3.0])
+        s = maus_tpu.MausSolver(A, maus_tpu.ProblemType.SOLVE_LINEAR_SYSTEM,
+                                b_vector=np.ones(3), initial_num_candidates=4)
+        assert s.knowledge.is_hermitian and not s.knowledge.is_positive_definite

@@ -108,3 +108,19 @@ class TestCLI:
         assert rc == 0
         rec = json.loads(out[-1])
         assert rec["cycle"] == 1 and "best_fitness" in rec
+
+
+class TestSolverCheckpointAPI:
+    def test_evolve_checkpoint_and_resume(self, tmp_path):
+        import maus_tpu as mt
+        A, b = gen.well_conditioned_system(24, seed=5)
+        path = str(tmp_path / "run.npz")
+        s1 = mt.MausSolver(A, ProblemType.SOLVE_LINEAR_SYSTEM, b_vector=b,
+                           initial_num_candidates=6)
+        r1 = s1.evolve(max_iterations=2, checkpoint_path=path)
+        s2 = mt.MausSolver(A, ProblemType.SOLVE_LINEAR_SYSTEM, b_vector=b,
+                           initial_num_candidates=6)
+        r2 = s2.evolve(max_iterations=40, resume_from=path)
+        assert r2.converged
+        # resumed run's iteration counter continues from the checkpoint
+        assert r2.iterations > 2
