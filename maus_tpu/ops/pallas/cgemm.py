@@ -35,9 +35,13 @@ def _cgemm_kernel(ar_ref, ai_ref, br_ref, bi_ref, cr_ref, ci_ref):
     ai = ai_ref[:]
     br = br_ref[:]
     bi = bi_ref[:]
-    p1 = jnp.dot(ar, br, preferred_element_type=jnp.float32)
-    p2 = jnp.dot(ai, bi, preferred_element_type=jnp.float32)
-    p3 = jnp.dot(ar + ai, br + bi, preferred_element_type=jnp.float32)
+    # full f32 MXU precision: bf16-pass dots put a ~3e-3 error on the product,
+    # useless for solver math (measured)
+    hi = jax.lax.Precision.HIGHEST
+    p1 = jnp.dot(ar, br, preferred_element_type=jnp.float32, precision=hi)
+    p2 = jnp.dot(ai, bi, preferred_element_type=jnp.float32, precision=hi)
+    p3 = jnp.dot(ar + ai, br + bi, preferred_element_type=jnp.float32,
+                 precision=hi)
     cr_ref[:] += p1 - p2
     ci_ref[:] += p3 - p1 - p2
 

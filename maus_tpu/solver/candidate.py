@@ -53,7 +53,8 @@ def _regress_frac(cfg: SolverConfig, pop_before: Population,
 # Initialization (reference M4a, AMS:129-143 — zero-mean here)
 # ---------------------------------------------------------------------------
 
-def init_population(cfg: SolverConfig, key: jax.Array, shape: tuple) -> Population:
+def init_population(cfg: SolverConfig, key: jax.Array, shape: tuple,
+                    lam_scale=1.0, lam_center=0.0) -> Population:
     m, n = (int(shape[0]), int(shape[1]) if len(shape) > 1 else int(shape[0]))
     K = cfg.num_candidates
     keys = rng.make_candidate_keys(key, K)
@@ -64,8 +65,14 @@ def init_population(cfg: SolverConfig, key: jax.Array, shape: tuple) -> Populati
     lam = jnp.zeros((K,), cfg.dtype)
     keys, use = rng.split_batch(keys)
     if cfg.problem_type == ProblemType.EIGENVALUE:
-        # reference: λ ∈ [−2.5, 2.5]² complex (AMS:134-135)
-        lam = (rng.normal_like_batch(use, (), cfg.dtype) * 1.5).reshape(K)
+        # Random shifts matched to the spectrum's first two moments. The
+        # reference draws from a FIXED ±2.5 window (AMS:134-135), which misses
+        # the spectrum of any matrix whose eigenvalues live elsewhere; here
+        # center = tr(A)/N (the exact spectral centroid) and the spread follows
+        # from ‖A‖_F² = Σ|λ|² + (non-normality), so √(‖A‖_F²/N − |c|²) bounds
+        # the RMS eigenvalue distance from the centroid.
+        lam = (rng.normal_like_batch(use, (), cfg.dtype) * lam_scale
+               + lam_center).reshape(K)
     elif cfg.problem_type == ProblemType.SVD:
         keys, use2 = rng.split_batch(keys)
         u = rng.normal_like_batch(use2, (m,), cfg.dtype)
@@ -222,6 +229,7 @@ def step_eigen(cfg: SolverConfig, A: jax.Array, pop: Population,
     anorm = (jnp.linalg.norm(A) / jnp.sqrt(jnp.asarray(float(N)))).real \
         .astype(jnp.float32)
     psi_scaled = cfg.psi_base * anorm * 1e6   # ≈ eps²·‖A‖ scale for c64
+
     Av = pop.v @ A.T                                             # (K, N)
     vv = jnp.sum(jnp.conj(pop.v) * pop.v, axis=-1)
     lam = jnp.where(jnp.abs(vv) > 1e-12,

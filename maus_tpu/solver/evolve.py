@@ -89,6 +89,14 @@ def make_iteration(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
     n = knowledge.shape[-1]
     anorm = jnp.linalg.norm(A) / jnp.sqrt(jnp.asarray(float(n)))
     anorm = anorm.real.astype(jnp.float32)
+    if A.shape[0] == A.shape[1]:
+        lam_center = (jnp.trace(A) / n).astype(A.dtype)
+        lam_spread = jnp.sqrt(jnp.maximum(
+            (jnp.linalg.norm(A).real ** 2) / n - jnp.abs(lam_center) ** 2,
+            1e-12)).astype(jnp.float32)
+    else:
+        lam_center = jnp.zeros((), A.dtype)
+        lam_spread = anorm
 
     def iteration(carry: EvolveCarry) -> tuple[EvolveCarry, Metrics]:
         # TPU's default matmul precision is bf16-grade: fine for neural nets,
@@ -126,7 +134,8 @@ def make_iteration(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
         else:
             pop, stats = cand.step_svd(cfg, A, pop, strat)
 
-        pop = popmgmt.manage(cfg, pop, strat, diag, target_solutions)
+        pop = popmgmt.manage(cfg, pop, strat, diag, target_solutions,
+                             lam_scale=lam_spread, lam_center=lam_center)
 
         # population-level escalation pressure (see _effective_psi)
         bad_step = (stats.solve_fail_frac > 0.5) | (stats.regress_frac > 0.5)
@@ -147,10 +156,14 @@ def make_iteration(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
                                     pref_failures=pref_failures,
                                     solver_pref=solver_pref)
 
-        # stagnation tracking for early stop (cfg.stall_limit)
+        # stagnation tracking for early stop (cfg.stall_limit): progress is
+        # EITHER a better best-residual OR a new distinct solution (multi-
+        # solution searches keep exploring long after the first residual
+        # saturates)
         cur_min = jnp.min(jnp.where(jnp.isfinite(pop.residual), pop.residual,
                                     jnp.inf)).astype(jnp.float32)
-        improved = cur_min < carry.best_residual * 0.99
+        improved = (cur_min < carry.best_residual * 0.99) | \
+            (strat.num_distinct > carry.strat.num_distinct)
         best_residual = jnp.minimum(carry.best_residual, cur_min)
         stall_count = jnp.where(improved, 0, carry.stall_count + 1)
 
@@ -180,7 +193,17 @@ def init_carry(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
 
 def _init_carry_impl(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
                      key: jax.Array) -> EvolveCarry:
-    pop = cand.init_population(cfg, key, knowledge.shape)
+    n = knowledge.shape[-1]
+    if A.shape[0] == A.shape[1]:
+        lam_center = (jnp.trace(A) / n).astype(A.dtype)
+        lam_scale = jnp.sqrt(jnp.maximum(
+            (jnp.linalg.norm(A).real ** 2) / n - jnp.abs(lam_center) ** 2,
+            1e-12))
+    else:
+        lam_center = jnp.zeros((), A.dtype)
+        lam_scale = (jnp.linalg.norm(A) / jnp.sqrt(jnp.asarray(float(n)))).real
+    pop = cand.init_population(cfg, key, knowledge.shape, lam_scale=lam_scale,
+                               lam_center=lam_center)
     strat = initial_strategy(cfg, knowledge)
     if cfg.problem_type == ProblemType.SOLVE_LINEAR_SYSTEM:
         n = knowledge.shape[-1]

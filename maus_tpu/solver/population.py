@@ -21,9 +21,11 @@ from .strategy import Diagnostics
 
 
 def manage(cfg: SolverConfig, pop: Population, strat: StrategyState,
-           diag: Diagnostics, target_solutions: int) -> Population:
+           diag: Diagnostics, target_solutions: int,
+           lam_scale=1.0, lam_center=0.0) -> Population:
     K = pop.capacity
     rdt = cfg.real_dtype
+    lam_scale = jnp.asarray(lam_scale, rdt)
 
     # 1) retire converged duplicates (keep the per-class leader) — AMS:507-521
     status = jnp.where(diag.duplicate, jnp.int8(CandidateStatus.RETIRED), pop.status)
@@ -79,11 +81,37 @@ def manage(cfg: SolverConfig, pop: Population, strat: StrategyState,
         noise_lam = rng.normal_like_batch(use_lam, (), cfg.dtype).reshape(K) \
             * scale * 0.05
         warm_lam = base_lam + noise_lam
-        use_warm = have_leader & (diag.landscape_energy < 0.8)
-        new_v = jnp.where(use_warm, warm_v, fresh_v)
-        new_lam = jnp.where(use_warm, warm_lam,
-                            rng.normal_like_batch(use_lam, (), cfg.dtype).reshape(K)
-                            * 1.5)
+        # Exploration half: fresh shifts over the spectral scale, REPELLED from
+        # eigenvalues already claimed by leaders — the reference's warm-start-only
+        # respawn (AMS:539-546) clusters new candidates onto found solutions and
+        # never covers the rest of the spectrum.
+        fresh_lam = rng.normal_like_batch(use_lam, (), cfg.dtype).reshape(K) \
+            * lam_scale.astype(cfg.dtype) + jnp.asarray(lam_center, cfg.dtype)
+        lam_claimed = jnp.where(diag.distinct_leader, pop.lam,
+                                jnp.asarray(jnp.inf, cfg.dtype))
+        min_dist = jnp.min(jnp.abs(fresh_lam[:, None] - lam_claimed[None, :]),
+                           axis=-1)
+        too_close = min_dist < 0.05 * lam_scale
+        keys, use_rep = rng.split_batch(keys)
+        bump = rng.normal_like_batch(use_rep, (), cfg.dtype).reshape(K)
+        bump = bump / jnp.maximum(jnp.abs(bump), 1e-30) * 0.2 \
+            * lam_scale.astype(cfg.dtype)
+        fresh_lam = jnp.where(too_close, fresh_lam + bump, fresh_lam)
+        # fresh explorers start deflated against claimed eigendirections —
+        # a ONE-TIME projection at respawn (projecting every iteration
+        # destabilizes the Rayleigh dynamics; measured) so inverse iteration
+        # initially amplifies unclaimed components
+        Vc = pop.v * diag.distinct_leader.astype(cfg.dtype)[:, None]
+        coeff = jnp.conj(Vc) @ fresh_v.T                          # (K, K)
+        fresh_defl = fresh_v - coeff.T @ Vc
+        nrm = jnp.linalg.norm(fresh_defl, axis=-1, keepdims=True)
+        fresh_v = jnp.where(nrm > 1e-6, fresh_defl / jnp.maximum(nrm, 1e-30),
+                            fresh_v)
+        # alternate respawns between warm-start refiners and fresh explorers
+        slot_parity = (jnp.arange(K) % 2) == 0
+        use_warm = have_leader & (diag.landscape_energy < 0.8) & slot_parity
+        new_v = jnp.where(use_warm[:, None], warm_v, fresh_v)
+        new_lam = jnp.where(use_warm, warm_lam, fresh_lam)
     else:
         new_v = fresh_v
         new_lam = jnp.ones((K,), cfg.dtype) if cfg.problem_type == ProblemType.SVD \

@@ -29,3 +29,29 @@ def test_cgemm_bad_shapes():
     b = jnp.zeros((6, 4), jnp.complex64)
     with pytest.raises(ValueError, match="bad shapes"):
         cgemm(a, b, interpret=True)
+
+
+class TestPallasLU:
+    def test_lu_matches_scipy_contract(self):
+        import jax.scipy.linalg as jsla
+        from maus_tpu.ops.pallas.lu import lu_factor_batched
+        rng = np.random.default_rng(0)
+        K, n = 3, 16
+        A = _rand_c64(rng, K, n, n) + 2 * np.eye(n, dtype=np.complex64)
+        lu, piv = lu_factor_batched(jnp.asarray(A), interpret=True)
+        b = _rand_c64(rng, K, n)
+        x = jax.vmap(lambda l, p, bb: jsla.lu_solve((l, p), bb))(
+            lu, piv, jnp.asarray(b))
+        for k in range(K):
+            resid = np.linalg.norm(A[k] @ np.asarray(x[k]) - b[k]) \
+                / np.linalg.norm(b[k])
+            assert resid < 5e-5, resid
+
+    def test_lu_pivoting_handles_zero_leading_diagonal(self):
+        import jax.scipy.linalg as jsla
+        from maus_tpu.ops.pallas.lu import lu_factor_batched
+        A = np.array([[[0.0, 1.0], [1.0, 0.0]]], np.complex64)  # needs pivoting
+        lu, piv = lu_factor_batched(jnp.asarray(A), interpret=True)
+        b = jnp.asarray(np.array([[1.0, 2.0]], np.complex64))
+        x = jax.vmap(lambda l, p, bb: jsla.lu_solve((l, p), bb))(lu, piv, b)
+        np.testing.assert_allclose(np.asarray(x[0]), [2.0, 1.0], atol=1e-6)
