@@ -5,6 +5,14 @@ Target: the eigenproblem path's K independent shifted factorizations
 matrix is small enough to live entirely in VMEM — exactly the regime where XLA's
 generic batched LU underperforms (dispatch + HBM round-trips per step).
 
+Status (measured on v5e, K=16-32, n=128-512): numerically correct on hardware
+(residuals match XLA's batched LU) but 0.5-0.9× its speed — the Mosaic
+constraint that forbids dynamic row/column slicing forces ~6 full-matrix masked
+VPU passes per column, i.e. O(6n³) VPU work where XLA blocks onto the MXU. The
+path to a win is the classic panel split (unblocked 128-column panels + MXU
+rank-128 trailing updates); until then the solver's hot paths keep XLA's LU and
+this kernel stands as the from-scratch reference implementation.
+
 Design: one grid program per batch element; the whole matrix is factorized
 in-place in VMEM by a ``fori_loop`` over columns:
 
@@ -34,53 +42,56 @@ def _lu_kernel(n: int):
         outr_ref[:] = ar_ref[:]
         outi_ref[:] = ai_ref[:]
         rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
 
         def col_step(k, _):
+            # Mosaic cannot lower dynamic single-row/column slices (lane/sublane
+            # alignment), so every access is a masked full-matrix VPU op — the
+            # matrix is VMEM-resident, so these passes are cheap.
             Mr = outr_ref[:]
             Mi = outi_ref[:]
-            colr = jax.lax.dynamic_slice(Mr, (0, k), (n, 1))     # (n, 1)
-            coli = jax.lax.dynamic_slice(Mi, (0, k), (n, 1))
+            colmask = cols == k                                   # (1, n)
+            rowmask_k = rows == k                                 # (n, 1)
+
+            colr = jnp.sum(jnp.where(colmask, Mr, 0.0), axis=1, keepdims=True)
+            coli = jnp.sum(jnp.where(colmask, Mi, 0.0), axis=1, keepdims=True)
             mag = colr * colr + coli * coli
             mag = jnp.where(rows >= k, mag, -1.0)
-            p = jnp.argmax(mag[:, 0])
-            piv_ref[0, k] = p.astype(jnp.int32)
+            p = jnp.argmax(mag[:, 0]).astype(jnp.int32)
+            piv_ref[0, k] = p
 
-            # swap rows k and p (no-op when p == k)
-            row_k_r = outr_ref[pl.ds(k, 1), :]
-            row_k_i = outi_ref[pl.ds(k, 1), :]
-            row_p_r = outr_ref[pl.ds(p, 1), :]
-            row_p_i = outi_ref[pl.ds(p, 1), :]
-            outr_ref[pl.ds(k, 1), :] = row_p_r
-            outi_ref[pl.ds(k, 1), :] = row_p_i
-            outr_ref[pl.ds(p, 1), :] = row_k_r
-            outi_ref[pl.ds(p, 1), :] = row_k_i
+            # masked row swap k ↔ p
+            rowmask_p = rows == p
+            rowk_r = jnp.sum(jnp.where(rowmask_k, Mr, 0.0), axis=0, keepdims=True)
+            rowk_i = jnp.sum(jnp.where(rowmask_k, Mi, 0.0), axis=0, keepdims=True)
+            rowp_r = jnp.sum(jnp.where(rowmask_p, Mr, 0.0), axis=0, keepdims=True)
+            rowp_i = jnp.sum(jnp.where(rowmask_p, Mi, 0.0), axis=0, keepdims=True)
+            Mr = Mr + rowmask_k * (rowp_r - rowk_r) + rowmask_p * (rowk_r - rowp_r)
+            Mi = Mi + rowmask_k * (rowp_i - rowk_i) + rowmask_p * (rowk_i - rowp_i)
 
-            Mr = outr_ref[:]
-            Mi = outi_ref[:]
-            # pivot value (scalar reads via dynamic slice)
-            pv_r = jax.lax.dynamic_slice(Mr, (k, k), (1, 1))[0, 0]
-            pv_i = jax.lax.dynamic_slice(Mi, (k, k), (1, 1))[0, 0]
+            # post-swap pivot column and pivot value
+            colr = jnp.sum(jnp.where(colmask, Mr, 0.0), axis=1, keepdims=True)
+            coli = jnp.sum(jnp.where(colmask, Mi, 0.0), axis=1, keepdims=True)
+            pv_r = jnp.sum(jnp.where(rowmask_k, colr, 0.0))
+            pv_i = jnp.sum(jnp.where(rowmask_k, coli, 0.0))
             den = pv_r * pv_r + pv_i * pv_i
-            den = jnp.where(den > 0.0, den, 1.0)                 # singular guard
+            den = jnp.where(den > 0.0, den, 1.0)                  # singular guard
 
-            colr = jax.lax.dynamic_slice(Mr, (0, k), (n, 1))
-            coli = jax.lax.dynamic_slice(Mi, (0, k), (n, 1))
             below = rows > k
-            # factor = col / pivot  (complex divide on planes)
             fr = jnp.where(below, (colr * pv_r + coli * pv_i) / den, 0.0)
             fi = jnp.where(below, (coli * pv_r - colr * pv_i) / den, 0.0)
 
-            # store multipliers into column k (keep rows ≤ k unchanged)
-            outr_ref[:, pl.ds(k, 1)] = jnp.where(below, fr, colr)
-            outi_ref[:, pl.ds(k, 1)] = jnp.where(below, fi, coli)
+            # write multipliers into column k (rows ≤ k keep their values)
+            Mr = jnp.where(colmask & below, fr, Mr)
+            Mi = jnp.where(colmask & below, fi, Mi)
 
             # trailing rank-1 update on columns > k: A -= f ⊗ row_k
-            cols = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+            # (row k after the swap is the old row p, already extracted)
             right = cols > k
-            ur = jnp.where(right, jax.lax.dynamic_slice(Mr, (k, 0), (1, n)), 0.0)
-            ui = jnp.where(right, jax.lax.dynamic_slice(Mi, (k, 0), (1, n)), 0.0)
-            outr_ref[:] = outr_ref[:] - (fr * ur - fi * ui)
-            outi_ref[:] = outi_ref[:] - (fr * ui + fi * ur)
+            ur = jnp.where(right, rowp_r, 0.0)
+            ui = jnp.where(right, rowp_i, 0.0)
+            outr_ref[:] = Mr - (fr * ur - fi * ui)
+            outi_ref[:] = Mi - (fr * ui + fi * ur)
             return 0
 
         jax.lax.fori_loop(0, n, col_step, 0)

@@ -71,6 +71,10 @@ def ring_matvec(mesh: Mesh, A, X):
       (K, N) result of X @ A.T, columns sharded over model.
     """
     n_model = mesh.shape[MODEL_AXIS]
+    if A.shape[-1] % n_model != 0:
+        raise ValueError(
+            f"ring_matvec needs N divisible by the model axis: "
+            f"N={A.shape[-1]}, model={n_model}")
 
     def local(a_rows, x_cols):
         # a_rows: (N/m, N) — full columns of the local row block

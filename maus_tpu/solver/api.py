@@ -74,9 +74,11 @@ class MausSolver:
             raise ValueError(
                 f"{problem_type.name} requires a square matrix, got {A_host.shape}")
         # callers who already know the operand's structure (e.g. the bench harness
-        # generating a matrix with prescribed κ) may skip the O(N³-ish) diagnosis
+        # generating a matrix with prescribed κ) may skip the O(N³-ish) diagnosis.
+        # Diagnose the ORIGINAL operand — densifying first would lose the
+        # sparse-input classification (AMS:380 semantics).
         self.knowledge = knowledge if knowledge is not None \
-            else diagnose(A_host, problem_type)
+            else diagnose(matrix, problem_type)
         m, n = self.knowledge.shape
 
         if config is None:
@@ -127,7 +129,7 @@ class MausSolver:
     def update_problem(self, matrix=None, b_vector=None):
         if matrix is not None:
             self.A_host = _to_dense_numpy(matrix).astype(np.complex128)
-            self.knowledge = diagnose(self.A_host, self.config.problem_type)
+            self.knowledge = diagnose(matrix, self.config.problem_type)
             self.A = to_device_complex(self.A_host, self.config.dtype)
             self.target_solutions = min(
                 default_target_solutions(self.config, self.knowledge),

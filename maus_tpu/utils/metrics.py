@@ -76,3 +76,16 @@ def timed(name: str, sink: Optional[MetricsSink] = None):
     logger.info("%s: %.4fs", name, dt)
     if sink is not None:
         sink.write({"timer": name, "seconds": dt})
+
+
+@contextmanager
+def profile_trace(log_dir: str):
+    """Capture a device profile for the enclosed scope (SURVEY.md §5.1 —
+    host-side ``jax.profiler`` hook; view with TensorBoard or xprof)."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

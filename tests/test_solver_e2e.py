@@ -202,3 +202,52 @@ class TestHPDCholeskyPath:
         s = maus_tpu.MausSolver(A, maus_tpu.ProblemType.SOLVE_LINEAR_SYSTEM,
                                 b_vector=np.ones(3), initial_num_candidates=4)
         assert s.knowledge.is_hermitian and not s.knowledge.is_positive_definite
+
+
+class TestBaselineConfigs:
+    """The judge's config list (BASELINE.json): the two not covered elsewhere."""
+
+    def test_noncommuting_eig_via_forced_gmres(self):
+        """Config 4: non-Hermitian eig solved through the GMRES+Jacobi path
+        (exercised directly — in production it engages via failover)."""
+        import dataclasses
+        import jax
+        import jax.numpy as jnp
+        from maus_tpu.core.types import (SolverConfig, SolverPreference,
+                                         initial_strategy, ProblemKnowledge)
+        from maus_tpu.solver import candidate as cand
+
+        A_h = gen.laplace_like_complex(8, make_hermitian=False)
+        cfg = SolverConfig(problem_type=maus_tpu.ProblemType.EIGENVALUE,
+                           num_candidates=16, tol=1e-6, dtype=jnp.complex128)
+        kn = ProblemKnowledge(shape=(8, 8))
+        A = jnp.asarray(A_h, cfg.dtype)
+        pop = cand.init_population(cfg, jax.random.PRNGKey(0), (8, 8))
+        strat = dataclasses.replace(
+            initial_strategy(cfg, kn),
+            solver_pref=jnp.asarray(int(SolverPreference.GMRES), jnp.int32))
+        for _ in range(25):
+            pop, stats = cand.step_eigen(cfg, A, pop, strat)
+        res = np.asarray(pop.residual)
+        assert np.sum(res < 1e-6) >= 4     # GMRES path converges candidates
+        w_true = np.linalg.eigvals(A_h)
+        lam = np.asarray(pop.lam)[res < 1e-6]
+        for l in lam:
+            assert np.min(np.abs(w_true - l)) < 1e-4
+
+    def test_rectangular_sparse_csc_svd(self):
+        """Config 5 (shrunk for CPU): rectangular sparse-CSC input maps to the
+        dense TPU layout and SVD mode finds the dominant triplets."""
+        sp = pytest.importorskip("scipy.sparse")
+        rng = np.random.default_rng(11)
+        A_sp = sp.random(128, 32, density=0.08, random_state=rng,
+                         data_rvs=rng.standard_normal, format="csc")
+        A_dense = A_sp.toarray()
+        rep = maus_tpu.svd(A_sp, tol=1e-4, max_iterations=200,
+                           num_candidates=12)
+        assert rep.knowledge.is_sparse_input
+        s_true = np.linalg.svd(A_dense, compute_uv=False)
+        found = sorted([s[0] for s in rep.solutions], reverse=True)
+        assert len(found) >= 3
+        for f, t in zip(found[:3], s_true[:3]):
+            assert abs(f - t) / t < 1e-2

@@ -124,3 +124,19 @@ class TestSolverCheckpointAPI:
         assert r2.converged
         # resumed run's iteration counter continues from the checkpoint
         assert r2.iterations > 2
+
+
+class TestXfer:
+    def test_complex_roundtrip(self):
+        from maus_tpu.utils import xfer
+        rng = np.random.default_rng(0)
+        z = (rng.standard_normal((5, 7)) + 1j * rng.standard_normal((5, 7)))
+        d = xfer.to_device_complex(z, np.complex128)
+        back = xfer.to_host_complex(d)
+        np.testing.assert_allclose(back, z, rtol=1e-12)
+
+    def test_real_passthrough(self):
+        from maus_tpu.utils import xfer
+        x = np.arange(4.0)
+        d = xfer.to_device_complex(x, np.float64)
+        np.testing.assert_array_equal(xfer.to_host_complex(d), x)
