@@ -348,11 +348,21 @@ def step_svd(cfg: SolverConfig, A: jax.Array, pop: Population,
 
     solve_ok = _finite_rows(u_new) & _finite_rows(v_new) & (s_u > 1e-30)
 
+    # zero-singular-value detection (AMS:243-247): a candidate whose direction
+    # is annihilated by A has found a null vector — that IS a singular triplet
+    # (σ=0); declare it converged instead of respinning forever
+    zero_sv = s_u < 1e-8
+    sigma = jnp.where(zero_sv, 0.0, sigma)
+
     # two-sided residual (M4g, AMS:301)
     sig_c = sigma[:, None].astype(cfg.dtype)
     r1 = jnp.linalg.norm(v_new @ A.T - sig_c * u_new, axis=-1)
     r2 = jnp.linalg.norm(u_new @ jnp.conj(A) - sig_c * v_new, axis=-1)
     resid = (r1 + r2).astype(cfg.real_dtype)
+    # for a null vector the residual IS ‖Av‖ + ‖Aᴴu‖ ≈ 0 on the v side; use v
+    # only (u is arbitrary for σ=0)
+    resid = jnp.where(zero_sv, r1.astype(cfg.real_dtype), resid)
+    solve_ok = solve_ok | (zero_sv & _finite_rows(v_new))
 
     # Converged candidates are polished, not frozen: their triplet data keeps
     # updating toward machine precision (status stays CONVERGED via the state

@@ -70,6 +70,14 @@ def compute_diagnostics(cfg: SolverConfig, pop: Population, strat: StrategyState
              ((prio[None, :] == prio[:, None]) & (idx[None, :] < idx[:, None]))
     beaten = jnp.any(same & better & conv[None, :] & conv[:, None], axis=1)
     leader = conv & ~beaten
+    if cfg.problem_type == ProblemType.SVD:
+        # σ below rel-tol × the largest σ in play doesn't count as a distinct
+        # triplet (AMS:443-445) — unless it is a genuine null vector (σ == 0,
+        # which the reference's zero-SV branch also treats as a solution)
+        sig = pop.lam.real
+        max_sig = jnp.maximum(jnp.max(jnp.where(conv, sig, 0.0)), 1e-30)
+        tiny = (sig < max_sig * cfg.sigma_similarity_rel) & (sig > 0.0)
+        leader = leader & ~tiny
     duplicate = conv & beaten
     num_distinct = jnp.sum(leader).astype(jnp.int32)
 
