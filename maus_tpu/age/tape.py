@@ -83,7 +83,13 @@ class Node:
         return table[self.name](a, b)
 
     def canonical_form(self) -> str:
-        """``sympy.simplify`` string (K:267-272); falls back to the raw string."""
+        """``sympy.simplify`` string (K:267-272); falls back to the raw string.
+
+        Guarded by node count — ``simplify`` on deep random trees can take
+        seconds each (the reference pays this cost unconditionally per genome,
+        SURVEY.md §3.5 'can be slow')."""
+        if self.complexity() > 24:
+            return self.to_string()
         try:
             import sympy
 
