@@ -69,7 +69,8 @@ class MausSolver:
                  knowledge: Optional[ProblemKnowledge] = None):
         problem_type = ProblemType(problem_type)
         A_host = _to_dense_numpy(matrix).astype(np.complex128)
-        if not np.all(np.isfinite(A_host.view(np.float64))):
+        if not (np.all(np.isfinite(A_host.real)) and
+                np.all(np.isfinite(A_host.imag))):
             raise ValueError("matrix contains non-finite entries")
         if problem_type != ProblemType.SVD and A_host.ndim == 2 and \
                 A_host.shape[0] != A_host.shape[1]:
@@ -125,7 +126,8 @@ class MausSolver:
             if self.b_host.shape != (n,):
                 raise ValueError(f"b_vector shape {self.b_host.shape} does not "
                                  f"match matrix ({n},)")
-            if not np.all(np.isfinite(self.b_host.view(np.float64))):
+            if not (np.all(np.isfinite(self.b_host.real)) and
+                    np.all(np.isfinite(self.b_host.imag))):
                 raise ValueError("b_vector contains non-finite entries")
             self.b = to_device_complex(self.b_host, config.dtype)
         self._key = jax.random.PRNGKey(seed)
