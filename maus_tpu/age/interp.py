@@ -17,8 +17,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .tape import (BINARY_OPS, MAX_STACK, MAX_TAPE, OP_BINARY, OP_CONST, OP_NOP,
-                   OP_UNARY, OP_VAR, UNARY_OPS)
+from .tape import BINARY_OPS, MAX_STACK, UNARY_OPS
 
 
 def _apply_unary(op_idx, x):

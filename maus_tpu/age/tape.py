@@ -19,8 +19,6 @@ from __future__ import annotations
 
 import dataclasses
 import random as _random
-from typing import Optional
-
 import numpy as np
 
 # Core variable set (K:31-40)

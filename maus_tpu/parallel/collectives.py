@@ -9,11 +9,9 @@ directly (keeps the rest of the code mesh-agnostic and unit-testable on CPU).
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from .mesh import MODEL_AXIS, REPLICA_AXIS
 

@@ -74,3 +74,21 @@ def population_vector_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host/multi-slice initialization (SURVEY.md §5.8): thin wrapper over
+    ``jax.distributed.initialize`` so callers never import jax.distributed
+    directly. No-ops when already initialized or running single-process.
+
+    On multi-slice deployments, build the mesh afterwards with
+    ``make_mesh(replica=n_slices, model=devices_per_slice)`` so the model axis
+    (heavy matvec collectives) stays within a slice's ICI and only the
+    replica-axis reductions (scalar landscape statistics) cross DCN.
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass  # single-process or already initialized

@@ -9,8 +9,6 @@ for paths where manual overlap beats GSPMD.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 from jax.sharding import Mesh
 

@@ -12,18 +12,17 @@ data).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.types import (CandidateStatus, ProblemKnowledge, ProblemType,
-                          SolverConfig, default_target_solutions)
+from ..core.types import (ProblemKnowledge, ProblemType, SolverConfig,
+                          default_target_solutions)
 from ..ops.batched_solve import shared_factor
 from ..ops.refine import SplitComplex
 from ..ops.refine import refine_split as refine_split_ir
-from ..ops.refine import true_residual_norm
 from ..utils.xfer import to_device_complex, to_host_complex
 from . import evolve as evolve_mod
 from . import strategy as strat_mod

@@ -17,7 +17,7 @@ Key deliberate deviations from the reference, per SURVEY.md §0.1:
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

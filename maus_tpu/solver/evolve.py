@@ -26,9 +26,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..core.types import (CandidateStatus, Population, ProblemKnowledge, ProblemType,
-                          SolverConfig, StrategyState, default_target_solutions,
-                          initial_strategy)
+from ..core.types import (Population, ProblemKnowledge, ProblemType,
+                          SolverConfig, StrategyState, initial_strategy)
 from ..ops.batched_solve import (LUFactors, shared_factor, shared_factor_hpd,
                                  solve_chol)
 from ..ops.regularize import psi_magnitude

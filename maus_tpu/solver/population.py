@@ -9,8 +9,6 @@ solution when the landscape is calm, AMS:539-546).
 """
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 
