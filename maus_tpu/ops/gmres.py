@@ -72,8 +72,13 @@ def gmres_batched(matvec: Callable[[jax.Array], jax.Array],
     dtype = b.dtype
     m = restart
     # full-precision MXU math (TPU default is bf16-grade; Arnoldi dies at that)
-    prec = jax.default_matmul_precision("highest")
-    prec.__enter__()
+    with jax.default_matmul_precision("highest"):
+        return _gmres_impl(matvec, b, x0, precond_diag, tol, m, max_restarts)
+
+
+def _gmres_impl(matvec, b, x0, precond_diag, tol, m, max_restarts):
+    K, N = b.shape
+    dtype = b.dtype
     if x0 is None:
         x0 = b  # reference's warm start (AMS:61)
     Minv = precond_diag if precond_diag is not None else jnp.ones_like(b)
@@ -151,5 +156,4 @@ def gmres_batched(matvec: Callable[[jax.Array], jax.Array],
     x, rel, nrestarts = jax.lax.while_loop(
         cond, body, (x0, rel0, jnp.asarray(0, jnp.int32)))
     iters = nrestarts * m * jnp.ones((K,), jnp.int32)
-    prec.__exit__(None, None, None)
     return GMRESResult(x=x, rel_residual=rel, iterations=iters, converged=rel <= tol)

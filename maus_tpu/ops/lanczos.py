@@ -73,9 +73,11 @@ def lanczos_batched(A: jax.Array, V0: jax.Array, k: int = 6,
       k: Ritz pairs to return (reference k = min(6, N−1)).
       m: Krylov subspace size (≥ k; more → better interior convergence).
     """
-    prec = jax.default_matmul_precision("highest")
-    prec.__enter__()
+    with jax.default_matmul_precision("highest"):
+        return _lanczos_impl(A, V0, k, m)
 
+
+def _lanczos_impl(A, V0, k, m):
     def one(v0):
         V, alpha, beta = _lanczos_single(lambda x: A @ x, v0, m)
         T = jnp.diag(alpha) + jnp.diag(beta[:-1], 1) + jnp.diag(beta[:-1], -1)
@@ -90,5 +92,4 @@ def lanczos_batched(A: jax.Array, V0: jax.Array, k: int = 6,
         return theta_k, Y, resid.astype(jnp.float32)
 
     theta, Y, resid = jax.vmap(one)(V0)
-    prec.__exit__(None, None, None)
     return LanczosResult(eigenvalues=theta, eigenvectors=Y, residuals=resid)

@@ -95,9 +95,12 @@ def refine_split(A, fac: LUFactors, b, x0: jax.Array,
     """
     A64 = A if isinstance(A, SplitComplex) else SplitComplex.from_complex(A)
     b64 = b if isinstance(b, SplitComplex) else SplitComplex.from_complex(b)
+    with jax.default_matmul_precision("highest"):
+        return _refine_split_impl(A64, fac, b64, x0, steps, tol)
+
+
+def _refine_split_impl(A64, fac, b64, x0, steps, tol):
     bnorm = jnp.maximum(b64.norm(), jnp.asarray(1e-300, jnp.float64))
-    prec = jax.default_matmul_precision("highest")
-    prec.__enter__()
 
     def body(_, carry):
         x64, rel, prev_rel = carry
@@ -120,7 +123,6 @@ def refine_split(A, fac: LUFactors, b, x0: jax.Array,
     rel0 = split_residual(A64, x64, b64).norm() / bnorm
     x64, rel, _ = jax.lax.fori_loop(
         0, steps, body, (x64, rel0, jnp.asarray(jnp.inf, rel0.dtype)))
-    prec.__exit__(None, None, None)
     return x64, rel
 
 

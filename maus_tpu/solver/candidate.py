@@ -302,51 +302,58 @@ def step_eigen(cfg: SolverConfig, A: jax.Array, pop: Population,
 
 def step_svd(cfg: SolverConfig, A: jax.Array, pop: Population,
              strat: StrategyState) -> tuple[Population, StepStats]:
-    """One alternating power-iteration round per candidate (u = Av/σ, v = Aᴴu/σ,
-    AMS:233-242), batched as two GEMMs, plus **deflation**: non-converged candidates
-    project out the subspace spanned by already-converged singular vectors so the
-    population converges to *distinct* triplets (the reference's candidates all crowd
-    σ₁ — SURVEY.md §0.1)."""
-    conv = pop.status == CandidateStatus.CONVERGED
-    convf = conv.astype(cfg.dtype)
+    """One SVD population step.
 
-    v = pop.v
+    ``cfg.orthogonalize`` (default) runs the population as a **block**: one round
+    of subspace iteration with a Rayleigh–Ritz rotation — two tall QRs and one
+    K×K SVD per step, all MXU-shaped. Per-candidate power iteration (the
+    reference's literal update, AMS:233-242) converges at (σ_{i+1}/σ_i)² per
+    step and stalls for thousands of iterations on clustered spectra (measured
+    on a 2048×512 sparse operand with σ₁/σ₂ ≈ 0.996); the block converges at
+    (σ_{K+1}/σ_i) and every candidate lands on a *distinct* Ritz triplet by
+    construction. With ``orthogonalize=False`` the reference's independent
+    per-candidate dynamics are preserved verbatim.
+    """
+    conv = pop.status == CandidateStatus.CONVERGED
+
     if cfg.orthogonalize:
-        # Deflation: v_k ← v_k − Σ_c M[k,c] ⟨v_c, v_k⟩ v_c over converged candidates.
-        # Non-converged candidates deflate against ALL converged ones; converged
-        # candidates keep being power-polished (they are NOT frozen — freezing at
-        # threshold accuracy poisons everyone else's deflation floor) and therefore
-        # deflate only against converged candidates with strictly larger σ, so each
-        # stays pinned to its own triplet instead of drifting back to σ₁.
-        sig_now = pop.lam.real
-        Vc = pop.v * convf[:, None]                              # (K, N), zeros if ~conv
-        coeff = jnp.conj(Vc) @ v.T                               # (K, K): ⟨v_c, v_k⟩
-        bigger = sig_now[:, None] < sig_now[None, :] * (1.0 - 1e-6)   # [k,c]: σ_c > σ_k
-        not_self = ~jnp.eye(pop.capacity, dtype=bool)
-        proj_mask = jnp.where(conv[:, None], bigger & conv[None, :],
-                              conv[None, :]) & not_self          # (K, C)
-        v = v - (proj_mask.astype(cfg.dtype) * coeff.T) @ Vc
-        # fully-deflated candidates get a fresh random direction (collapse reseed,
-        # AMS:229-232/236-239)
-        vnorm = jnp.linalg.norm(v, axis=-1, keepdims=True)
-        collapsed = vnorm[:, 0] < 1e-6
+        K, N = pop.v.shape
+        M = pop.u.shape[1]
+        r = min(K, M, N)
+        # reseed non-finite / collapsed directions before orthogonalization
         keys, use = rng.split_batch(pop.keys)
-        fresh = rng.normal_like_batch(use, (v.shape[1],), cfg.dtype)
-        v = jnp.where(collapsed[:, None], fresh, v)
-        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True),
-                            jnp.finfo(cfg.real_dtype).tiny)
+        fresh = rng.normal_like_batch(use, (N,), cfg.dtype)
+        bad = ~_finite_rows(pop.v) | (jnp.linalg.norm(pop.v, axis=-1) < 1e-12)
+        V = jnp.where(bad[:, None], fresh, pop.v)
         pop = dataclasses.replace(pop, keys=keys)
 
-    # Aᴴu as a GEMM: (Aᴴu)[n] = Σ_m conj(A[m,n]) u[m]  ⇒  U @ conj(A)
-    Av = v @ A.T                                                 # (K, M)
-    s_u = jnp.linalg.norm(Av, axis=-1)
-    u_new = Av / jnp.maximum(s_u[:, None], jnp.finfo(cfg.real_dtype).tiny)
-    AHu = u_new @ jnp.conj(A)                                    # (K, N)
-    s_v = jnp.linalg.norm(AHu, axis=-1)
-    v_new = AHu / jnp.maximum(s_v[:, None], jnp.finfo(cfg.real_dtype).tiny)
-    sigma = jnp.maximum(s_u, s_v).astype(cfg.real_dtype)
+        # one block round: span{A·V} → Qu; project; QR; small SVD → Ritz triplets
+        Y = (V @ A.T).T                                          # (M, K)
+        Qu, _ = jnp.linalg.qr(Y)                                 # (M, r)
+        Z = jnp.conj(Qu).T @ A                                   # (r, N) = QuᴴA
+        Qv, Rz = jnp.linalg.qr(jnp.conj(Z).T)                    # (N, r), (r, r)
+        Us, S, Vsh = jnp.linalg.svd(jnp.conj(Rz).T)              # (r,r),(r,),(r,r)
+        U_ritz = Qu @ Us                                         # (M, r)
+        V_ritz = Qv @ jnp.conj(Vsh).T                            # (N, r)
 
-    solve_ok = _finite_rows(u_new) & _finite_rows(v_new) & (s_u > 1e-30)
+        idx = jnp.arange(K) % r          # K > r: extra slots duplicate (dedup'd)
+        v_new = V_ritz.T[idx]                                    # (K, N)
+        u_new = U_ritz.T[idx]
+        sigma = S[idx].astype(cfg.real_dtype)
+        s_u = sigma                       # σ estimate doubles as the Av norm here
+        solve_ok = _finite_rows(u_new) & _finite_rows(v_new)
+    else:
+        # reference-parity per-candidate alternating power iteration
+        v = pop.v
+        # Aᴴu as a GEMM: (Aᴴu)[n] = Σ_m conj(A[m,n]) u[m]  ⇒  U @ conj(A)
+        Av = v @ A.T                                             # (K, M)
+        s_u = jnp.linalg.norm(Av, axis=-1)
+        u_new = Av / jnp.maximum(s_u[:, None], jnp.finfo(cfg.real_dtype).tiny)
+        AHu = u_new @ jnp.conj(A)                                # (K, N)
+        s_v = jnp.linalg.norm(AHu, axis=-1)
+        v_new = AHu / jnp.maximum(s_v[:, None], jnp.finfo(cfg.real_dtype).tiny)
+        sigma = jnp.maximum(s_u, s_v).astype(cfg.real_dtype)
+        solve_ok = _finite_rows(u_new) & _finite_rows(v_new) & (s_u > 1e-30)
 
     # zero-singular-value detection (AMS:243-247): a candidate whose direction
     # is annihilated by A has found a null vector — that IS a singular triplet
