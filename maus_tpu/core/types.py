@@ -133,6 +133,11 @@ class SolverConfig:
                                      # hasn't improved for this many iterations
                                      # (the reference loops to max_iterations
                                      # even when fully stagnant)
+    capture_history: bool = False    # include per-candidate residual/α/status
+                                     # trajectories in the scan metrics (the
+                                     # reference's param_history/residual_history,
+                                     # AMS:126/142-143 — off by default: it costs
+                                     # O(iters·K) output memory)
 
     def __post_init__(self):
         object.__setattr__(self, "problem_type", ProblemType(self.problem_type))
@@ -150,7 +155,7 @@ class SolverConfig:
                      self.convergence_floor, self.refine,
                      self.max_refine_steps, self.eigh_max_n, self.orthogonalize,
                      self.target_num_solutions, self.energy_stop,
-                     self.stall_limit))
+                     self.stall_limit, self.capture_history))
 
     @property
     def real_dtype(self):

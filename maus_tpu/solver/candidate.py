@@ -11,8 +11,9 @@ Key deliberate deviations from the reference, per SURVEY.md §0.1:
 * zero-mean Gaussian init (reference's U[0,1] init collapses diversity, AMS:130);
 * step-size gains that can actually reach tolerance (reference α₀=0.01 with ×1.1
   growth provably stalls, AMS:17/307-316);
-* SVD/Hermitian respawns deflate against already-converged solutions so the
-  population finds *distinct* triplets/eigenpairs instead of piling onto σ₁.
+* the SVD population runs as a Rayleigh–Ritz block by default (distinct
+  triplets by construction; the reference's candidates all crowd σ₁) and the
+  Hermitian/eig paths deflate respawns against claimed solutions.
 """
 from __future__ import annotations
 

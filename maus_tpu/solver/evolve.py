@@ -49,7 +49,9 @@ class EvolveCarry(NamedTuple):
 
 class Metrics(NamedTuple):
     """Per-iteration population statistics (SURVEY.md §5.5 — same metric names as
-    the reference where they exist)."""
+    the reference where they exist). The three ``candidate_*`` fields carry the
+    reference's per-candidate trajectories (AMS:126/142-143) when
+    ``cfg.capture_history`` is on; otherwise they are zero-size placeholders."""
 
     landscape_energy: jax.Array
     avg_residual: jax.Array
@@ -59,6 +61,9 @@ class Metrics(NamedTuple):
     psi_aggression: jax.Array
     threshold: jax.Array
     solve_fail_frac: jax.Array
+    candidate_residuals: jax.Array   # (K,) or (0,)
+    candidate_alpha: jax.Array       # (K,) or (0,)
+    candidate_status: jax.Array      # (K,) or (0,)
 
 
 def _effective_psi(cfg: SolverConfig, strat: StrategyState,
@@ -166,6 +171,14 @@ def make_iteration(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
         best_residual = jnp.minimum(carry.best_residual, cur_min)
         stall_count = jnp.where(improved, 0, carry.stall_count + 1)
 
+        if cfg.capture_history:
+            hist_res = pop.residual
+            hist_alpha = pop.alpha
+            hist_status = pop.status
+        else:
+            hist_res = jnp.zeros((0,), pop.residual.dtype)
+            hist_alpha = jnp.zeros((0,), pop.alpha.dtype)
+            hist_status = jnp.zeros((0,), pop.status.dtype)
         metrics = Metrics(
             landscape_energy=strat.landscape_energy,
             avg_residual=strat.avg_residual,
@@ -175,7 +188,10 @@ def make_iteration(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
                                            jnp.inf)),
             psi_aggression=strat.psi_aggression,
             threshold=strat.threshold,
-            solve_fail_frac=stats.solve_fail_frac)
+            solve_fail_frac=stats.solve_fail_frac,
+            candidate_residuals=hist_res,
+            candidate_alpha=hist_alpha,
+            candidate_status=hist_status)
         return EvolveCarry(pop=pop, strat=strat, fac=fac, psi_cached=psi_cached,
                            iteration=carry.iteration + 1,
                            best_residual=best_residual,

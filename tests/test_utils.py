@@ -140,3 +140,22 @@ class TestXfer:
         x = np.arange(4.0)
         d = xfer.to_device_complex(x, np.float64)
         np.testing.assert_array_equal(xfer.to_host_complex(d), x)
+
+
+class TestCandidateHistory:
+    def test_capture_history_flag(self):
+        import dataclasses
+        import maus_tpu as mt
+        A, b = gen.well_conditioned_system(16, seed=0)
+        cfg = mt.SolverConfig(num_candidates=6, capture_history=True,
+                              dtype=np.complex128)
+        s = mt.MausSolver(A, ProblemType.SOLVE_LINEAR_SYSTEM, b_vector=b,
+                          config=cfg)
+        rep = s.evolve(max_iterations=8, collect_metrics=True)
+        assert rep.metrics["candidate_residuals"].shape == (8, 6)
+        assert rep.metrics["candidate_status"].shape == (8, 6)
+        # without the flag the placeholders are zero-size
+        s2 = mt.MausSolver(A, ProblemType.SOLVE_LINEAR_SYSTEM, b_vector=b,
+                          initial_num_candidates=6)
+        rep2 = s2.evolve(max_iterations=8, collect_metrics=True)
+        assert rep2.metrics["candidate_residuals"].shape == (8, 0)
