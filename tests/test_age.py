@@ -139,3 +139,32 @@ class TestEngine:
         s1, s2 = mk(), mk()
         assert s1[-1]["best_fitness"] == s2[-1]["best_fitness"]
         assert s1[-1]["library_size"] == s2[-1]["library_size"]
+
+
+class TestViz:
+    def test_plot_best_produces_heatmap(self, tmp_path):
+        """K10 parity: the best genome's diffusion heatmap renders to a file."""
+        from maus_tpu.age import viz
+        eng = engine.GenesisEngine(engine.AgeConfig(candidates_per_cycle=8,
+                                                    diffusion_n=24,
+                                                    diffusion_t=24), seed=3)
+        eng.run(2)
+        path = viz.plot_best(eng, path=str(tmp_path / "heat.png"))
+        if path is None:
+            import pytest
+            pytest.skip("matplotlib unavailable or empty library")
+        import os
+        assert os.path.getsize(path) > 1000
+
+    def test_capture_full_grid_shape(self):
+        from maus_tpu.age import viz
+        eng = engine.GenesisEngine(engine.AgeConfig(candidates_per_cycle=4,
+                                                    diffusion_n=16,
+                                                    diffusion_t=12), seed=1)
+        eng.run(1)
+        if not eng.harmonic_library:
+            import pytest
+            pytest.skip("no archived genomes")
+        grid = viz.capture_full_grid(eng.harmonic_library[0], eng.conf)
+        assert grid.shape == (12, 16)
+        assert np.isfinite(grid).all()
