@@ -22,7 +22,16 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .batched_solve import LUFactors, solve_factored
+from .batched_solve import (CholFactors, LUFactors, QRFactors, solve_chol,
+                            solve_factored, solve_qr)
+
+
+def _solve_any(fac, b):
+    if isinstance(fac, CholFactors):
+        return solve_chol(fac, b)
+    if isinstance(fac, QRFactors):
+        return solve_qr(fac, b)
+    return solve_factored(fac, b)
 
 
 class SplitComplex(NamedTuple):
@@ -102,27 +111,32 @@ def refine_split(A, fac: LUFactors, b, x0: jax.Array,
 def _refine_split_impl(A64, fac, b64, x0, steps, tol):
     bnorm = jnp.maximum(b64.norm(), jnp.asarray(1e-300, jnp.float64))
 
-    def body(_, carry):
-        x64, rel, prev_rel = carry
-        done = (rel <= tol) | (rel > 0.9 * prev_rel)   # converged or stalled
+    # a REAL early-exit while_loop: a masked fori_loop still executes every
+    # step's O(N²) work after convergence — measured as 4.3 of the 4.4 s of the
+    # 4096² bench before this change
+    def cond(carry):
+        _, rel, prev_rel, it = carry
+        return (it < steps) & (rel > tol) & (rel <= 0.9 * prev_rel)
+
+    def body(carry):
+        x64, rel, _, it = carry
         r64 = split_residual(A64, x64, b64)
         # correction in working precision against the same factorization
-        d = solve_factored(fac, r64.to_complex(x0.dtype))
+        d = _solve_any(fac, r64.to_complex(x0.dtype))
         d64 = SplitComplex.from_complex(d)
         x_new = SplitComplex(x64.re + d64.re, x64.im + d64.im)
-        r_new = split_residual(A64, x_new, b64)
-        rel_new = r_new.norm() / bnorm
-        # keep the better iterate; freeze when done
+        rel_new = split_residual(A64, x_new, b64).norm() / bnorm
+        # keep the better iterate
         better = rel_new < rel
         x_out = jax.tree.map(
-            lambda new, old: jnp.where(done | ~better, old, new), x_new, x64)
-        rel_out = jnp.where(done, rel, jnp.minimum(rel_new, rel))
-        return x_out, rel_out, rel
+            lambda new, old: jnp.where(better, new, old), x_new, x64)
+        return x_out, jnp.minimum(rel_new, rel), rel, it + 1
 
     x64 = SplitComplex.from_complex(x0)
     rel0 = split_residual(A64, x64, b64).norm() / bnorm
-    x64, rel, _ = jax.lax.fori_loop(
-        0, steps, body, (x64, rel0, jnp.asarray(jnp.inf, rel0.dtype)))
+    x64, rel, _, _ = jax.lax.while_loop(
+        cond, body, (x64, rel0, jnp.asarray(jnp.inf, rel0.dtype),
+                     jnp.asarray(0, jnp.int32)))
     return x64, rel
 
 

@@ -20,7 +20,7 @@ import numpy as np
 
 from ..core.types import (ProblemKnowledge, ProblemType, SolverConfig,
                           default_target_solutions)
-from ..ops.batched_solve import shared_factor
+from ..ops.batched_solve import shared_factor_qr
 from ..ops.refine import SplitComplex
 from ..ops.refine import refine_split as refine_split_ir
 from ..utils.xfer import to_device_complex, to_host_complex
@@ -221,7 +221,7 @@ class MausSolver:
         """
         cfg = self.config
         if self._fac_cache is None:
-            self._fac_cache = shared_factor(self.A, cfg.psi_base)
+            self._fac_cache = shared_factor_qr(self.A, cfg.psi_base)
         x_j = to_device_complex(x, cfg.dtype)
         # refine against the ORIGINAL full-precision operands (split f64 — the only
         # f64 complex representation TPUs can hold), so the result solves the user's

@@ -26,8 +26,9 @@ import jax.numpy as jnp
 from ..core import rng
 from ..core.types import (CandidateStatus, Population, ProblemType, SolverConfig,
                           SolverPreference, StrategyState)
-from ..ops.batched_solve import (CholFactors, LUFactors, batched_shifted_solve,
-                                 solve_chol, solve_factored)
+from ..ops.batched_solve import (CholFactors, LUFactors, QRFactors,
+                                 batched_shifted_solve, solve_chol,
+                                 solve_factored, solve_qr)
 from ..ops.gmres import gmres_batched, jacobi_from_diag
 
 
@@ -178,8 +179,11 @@ def step_linear(cfg: SolverConfig, A: jax.Array, b: jax.Array, fac: LUFactors,
     bnorm = jnp.maximum(jnp.linalg.norm(b), jnp.finfo(cfg.real_dtype).tiny)
 
     def direct(_):
-        return solve_chol(fac, b) if isinstance(fac, CholFactors) \
-            else solve_factored(fac, b)
+        if isinstance(fac, CholFactors):
+            return solve_chol(fac, b)
+        if isinstance(fac, QRFactors):
+            return solve_qr(fac, b)
+        return solve_factored(fac, b)
 
     def iterative(_):
         diag = jnp.diagonal(A)

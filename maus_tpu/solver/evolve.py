@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..core.types import (Population, ProblemKnowledge, ProblemType,
                           SolverConfig, StrategyState, initial_strategy)
-from ..ops.batched_solve import (LUFactors, shared_factor, shared_factor_hpd,
+from ..ops.batched_solve import (LUFactors, shared_factor_hpd, shared_factor_qr,
                                  solve_chol)
 from ..ops.regularize import psi_magnitude
 from . import candidate as cand
@@ -123,7 +123,7 @@ def make_iteration(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
 
             def refactor(_):
                 return shared_factor_hpd(A, psi_eff) if hpd \
-                    else shared_factor(A, psi_eff)
+                    else shared_factor_qr(A, psi_eff)
 
             fac = jax.lax.cond(need, refactor, lambda _: fac, operand=None)
             psi_cached = psi_eff
@@ -226,7 +226,7 @@ def _init_carry_impl(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Arra
             .astype(jnp.float32)
         psi0 = _effective_psi(cfg, strat, anorm)
         fac = shared_factor_hpd(A, psi0) if knowledge.is_positive_definite \
-            else shared_factor(A, psi0)
+            else shared_factor_qr(A, psi0)
     else:
         fac, psi0 = None, jnp.asarray(0.0, jnp.float32)
     return EvolveCarry(pop=pop, strat=strat, fac=fac,
