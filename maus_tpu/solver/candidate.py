@@ -264,6 +264,8 @@ def step_eigen(cfg: SolverConfig, A: jax.Array, pop: Population,
     W, attempts = jax.lax.cond(strat.solver_pref == SolverPreference.DIRECT,
                                direct, iterative, operand=None)
     solve_ok = _finite_rows(W) & (jnp.linalg.norm(W, axis=-1) > 0)
+    # record the Ψ-ladder rung each candidate needed (reference num_psi_attempts)
+    pop = dataclasses.replace(pop, psi_level=attempts.astype(jnp.int32))
 
     # damped update + renormalize (AMS:280-283). The solve returns w ∝ (A−λI)⁻¹v —
     # normalize before mixing so α mixes directions, not magnitudes.
