@@ -251,3 +251,47 @@ class TestBaselineConfigs:
         assert len(found) >= 3
         for f, t in zip(found[:3], s_true[:3]):
             assert abs(f - t) / t < 1e-2
+
+
+class TestEdgeCases:
+    def test_identity_matrix_solve(self):
+        """The reference misclassifies eye(5) as sparse+Critical (SURVEY §0.1);
+        we must classify it sane and solve it exactly."""
+        rep = maus_tpu.solve(np.eye(5), np.arange(1.0, 6.0), max_iterations=20,
+                             num_candidates=4)
+        assert rep.converged
+        np.testing.assert_allclose(rep.best()[0], np.arange(1.0, 6.0),
+                                   atol=1e-10)
+
+    def test_one_by_one(self):
+        rep = maus_tpu.solve(np.array([[4.0]]), np.array([8.0]),
+                             max_iterations=10, num_candidates=2)
+        assert rep.converged
+        np.testing.assert_allclose(rep.best()[0], [2.0], atol=1e-10)
+        rep = maus_tpu.eig(np.array([[3.0]]), max_iterations=10,
+                           num_candidates=2)
+        assert rep.num_distinct == 1
+        assert abs(rep.solutions[0][0] - 3.0) < 1e-8
+
+    def test_zero_matrix_svd(self):
+        """All singular values zero: the zero-SV branch converges null vectors."""
+        rep = maus_tpu.svd(np.zeros((4, 3)), tol=1e-6, max_iterations=20,
+                           num_candidates=6)
+        for sig, u, v in rep.solutions:
+            assert sig == 0.0
+
+    def test_real_valued_inputs(self):
+        """Real (non-complex) numpy inputs are accepted and solved."""
+        rng = np.random.default_rng(0)
+        A = rng.standard_normal((12, 12)) + 12 * np.eye(12)
+        b = rng.standard_normal(12)
+        rep = maus_tpu.solve(A, b, max_iterations=30, num_candidates=4)
+        assert rep.converged
+
+    def test_nonfinite_rejected(self):
+        A = np.eye(3)
+        A[0, 0] = np.nan
+        with pytest.raises(ValueError, match="non-finite"):
+            maus_tpu.solve(A, np.ones(3))
+        with pytest.raises(ValueError, match="non-finite"):
+            maus_tpu.solve(np.eye(3), np.array([1.0, np.inf, 0.0]))
