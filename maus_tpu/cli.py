@@ -6,6 +6,7 @@
     python -m maus_tpu eig --n 8 --hermitian
     python -m maus_tpu svd --rows 5 --cols 4
     python -m maus_tpu age --cycles 5     # KAIROSAGE genesis cycles
+    python -m maus_tpu bench --quick      # north-star benchmark (JSON line)
 """
 from __future__ import annotations
 
@@ -108,6 +109,29 @@ def cmd_scenarios(args):
     return 0 if ok_all else 1
 
 
+def cmd_bench(args):
+    """Delegate to the repo-root benchmark harness (same JSON-line contract)."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py")
+    spec = importlib.util.spec_from_file_location("maus_bench", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    argv = []
+    if args.quick:
+        argv.append("--quick")
+    if args.n:
+        argv += ["--n", str(args.n)]
+    old = sys.argv
+    sys.argv = ["bench.py"] + argv
+    try:
+        return mod.main()
+    finally:
+        sys.argv = old
+
+
 def cmd_age(args):
     from maus_tpu.age import AgeConfig, GenesisEngine
 
@@ -159,6 +183,11 @@ def main(argv=None):
 
     p = sub.add_parser("scenarios")
     p.set_defaults(fn=cmd_scenarios)
+
+    p = sub.add_parser("bench")
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--n", type=int, default=None)
+    p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("age")
     p.add_argument("--cycles", type=int, default=5)

@@ -159,3 +159,19 @@ class TestCandidateHistory:
                           initial_num_candidates=6)
         rep2 = s2.evolve(max_iterations=8, collect_metrics=True)
         assert rep2.metrics["candidate_residuals"].shape == (8, 0)
+
+
+class TestCLIMore:
+    def test_eig_command_hermitian_check(self, capsys):
+        from maus_tpu.cli import main
+        rc = main(["eig", "--n", "8", "--hermitian", "--tol", "1e-6",
+                   "--cands", "16", "--check"])
+        out = capsys.readouterr().out
+        assert rc == 0 and "matched" in out
+
+    def test_svd_command(self, capsys):
+        from maus_tpu.cli import main
+        rc = main(["svd", "--rows", "6", "--cols", "4", "--rank", "2",
+                   "--tol", "1e-5", "--iters", "60", "--cands", "10"])
+        out = capsys.readouterr().out
+        assert rc == 0 and "σ =" in out
