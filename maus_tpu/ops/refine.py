@@ -151,3 +151,62 @@ def true_residual_norm(A: jax.Array, x: jax.Array, b: jax.Array) -> jax.Array:
         b64 = SplitComplex.from_complex(b)
         r = split_residual(A64, x64, b64)
         return r.norm() / jnp.maximum(b64.norm(), 1e-300)
+
+
+def refine_gmres(A, fac, b, x0: jax.Array, steps: int = 3, tol: float = 0.0,
+                 restart: int = 30) -> tuple[SplitComplex, jax.Array]:
+    """GMRES-IR: iterative refinement whose correction solve is a *preconditioned
+    GMRES* instead of a single factorization solve.
+
+    Plain IR contracts at ~N·ε_f32·κ per step and stalls once that factor nears 1
+    (κ ≳ 1e7 at N=4096 in c64). Replacing the single correction solve with
+    GMRES on the right-preconditioned operator ``A·P⁻¹`` (P = the c64
+    factorization) extends the reachable κ by roughly another 1/ε factor — the
+    standard GMRES-IR construction, here with f64 split-plane outer residuals.
+
+    Same contract as :func:`refine_split`.
+    """
+    from .gmres import gmres_batched
+
+    A64 = A if isinstance(A, SplitComplex) else SplitComplex.from_complex(A)
+    b64 = b if isinstance(b, SplitComplex) else SplitComplex.from_complex(b)
+    with jax.default_matmul_precision("highest"):
+        return _refine_gmres_impl(A64, fac, b64, x0, steps, tol, restart,
+                                  gmres_batched)
+
+
+def _refine_gmres_impl(A64, fac, b64, x0, steps, tol, restart, gmres_batched):
+    bnorm = jnp.maximum(b64.norm(), jnp.asarray(1e-300, jnp.float64))
+    Ac = SplitComplex(A64.re.astype(jnp.float32),
+                      A64.im.astype(jnp.float32)).to_complex(x0.dtype)
+
+    def matvec(Z):
+        # right-preconditioned operator: A · P⁻¹ (batched over one row)
+        y = _solve_any(fac, Z[0])
+        return (Ac @ y)[None, :]
+
+    def cond(carry):
+        _, rel, prev_rel, it = carry
+        return (it < steps) & (rel > tol) & (rel <= 0.95 * prev_rel)
+
+    def body(carry):
+        x64, rel, _, it = carry
+        r64 = split_residual(A64, x64, b64)
+        r = r64.to_complex(x0.dtype)
+        res = gmres_batched(matvec, r[None, :], tol=1e-6, restart=restart,
+                            max_restarts=2)
+        d = _solve_any(fac, res.x[0])          # un-precondition: x = P⁻¹ y
+        d64 = SplitComplex.from_complex(d)
+        x_new = SplitComplex(x64.re + d64.re, x64.im + d64.im)
+        rel_new = split_residual(A64, x_new, b64).norm() / bnorm
+        better = rel_new < rel
+        x_out = jax.tree.map(lambda new, old: jnp.where(better, new, old),
+                             x_new, x64)
+        return x_out, jnp.minimum(rel_new, rel), rel, it + 1
+
+    x64 = SplitComplex.from_complex(x0)
+    rel0 = split_residual(A64, x64, b64).norm() / bnorm
+    x64, rel, _, _ = jax.lax.while_loop(
+        cond, body, (x64, rel0, jnp.asarray(jnp.inf, rel0.dtype),
+                     jnp.asarray(0, jnp.int32)))
+    return x64, rel

@@ -232,7 +232,18 @@ class MausSolver:
         b_split = SplitComplex(jnp.asarray(self.b_host.real.astype(rdt)),
                                jnp.asarray(self.b_host.imag.astype(rdt)))
         xs, rel = refine_split_ir(A_split, self._fac_cache, b_split, x_j,
-                                  steps=cfg.max_refine_steps)
+                                  steps=cfg.max_refine_steps, tol=cfg.tol * 0.3)
+        if float(rel) > cfg.tol:
+            # plain IR stalled (κ·ε_f32 near 1): escalate to GMRES-IR — the
+            # factorization becomes a preconditioner instead of the solver
+            from ..ops.refine import refine_gmres
+
+            xs2, rel2 = refine_gmres(A_split, self._fac_cache, b_split,
+                                     xs.to_complex(cfg.dtype),
+                                     steps=cfg.max_refine_steps,
+                                     tol=cfg.tol * 0.3)
+            if float(rel2) < float(rel):
+                xs, rel = xs2, rel2
         x128 = np.asarray(xs.re, np.float64) + 1j * np.asarray(xs.im, np.float64)
         return x128, float(rel)
 

@@ -142,3 +142,27 @@ class TestRefine:
         y_ref = A.astype(np.complex64) @ x.astype(np.complex64)
         got = np.asarray(y.re) + 1j * np.asarray(y.im)
         assert np.linalg.norm(got - y_ref) / np.linalg.norm(y_ref) < 1e-6
+
+
+class TestGMRESIR:
+    def test_gmres_ir_beats_plain_ir_at_high_kappa(self):
+        """κ where c64-preconditioned plain IR stalls: GMRES-IR must still reach
+        near-f64 residuals (the gap-#3 fallback, docs/STATUS.md)."""
+        from maus_tpu.problems import generators as gen
+        n, kappa = 192, 3e7
+        A128, b128 = gen.ill_conditioned_system(n, cond=kappa, seed=2)
+        A = jnp.asarray(A128, jnp.complex64)
+        b = jnp.asarray(b128, jnp.complex64)
+        from maus_tpu.ops.batched_solve import factor_qr, solve_qr
+        fac = factor_qr(A)
+        x0 = solve_qr(fac, b)
+        A_s = rf.SplitComplex(jnp.asarray(A128.real), jnp.asarray(A128.imag))
+        b_s = rf.SplitComplex(jnp.asarray(b128.real), jnp.asarray(b128.imag))
+        _, rel_ir = rf.refine_split(A_s, fac, b_s, x0, steps=40, tol=1e-10)
+        xs, rel_g = rf.refine_gmres(A_s, fac, b_s, x0, steps=20, tol=1e-10)
+        assert float(rel_g) < 1e-8
+        # and it must actually beat what plain IR reached (or match if IR won)
+        assert float(rel_g) <= float(rel_ir) * 1.5
+        x128 = np.asarray(xs.re) + 1j * np.asarray(xs.im)
+        true_rel = np.linalg.norm(A128 @ x128 - b128) / np.linalg.norm(b128)
+        assert true_rel < 1e-8
