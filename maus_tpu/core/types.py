@@ -135,9 +135,14 @@ class SolverConfig:
                                      # even when fully stagnant)
     capture_history: bool = False    # include per-candidate residual/α/status
                                      # trajectories in the scan metrics (the
-                                     # reference's param_history/residual_history,
+                                     # reference's residual_history,
                                      # AMS:126/142-143 — off by default: it costs
                                      # O(iters·K) output memory)
+    capture_param_history: bool = False  # additionally capture the solution
+                                     # ITERATES (pop.v) per iteration — the
+                                     # reference's param_history (AMS:126,
+                                     # 142-143). O(iters·K·N) output memory;
+                                     # implies nothing about capture_history.
 
     def __post_init__(self):
         object.__setattr__(self, "problem_type", ProblemType(self.problem_type))
@@ -155,7 +160,8 @@ class SolverConfig:
                      self.convergence_floor, self.refine,
                      self.max_refine_steps, self.eigh_max_n, self.orthogonalize,
                      self.target_num_solutions, self.energy_stop,
-                     self.stall_limit, self.capture_history))
+                     self.stall_limit, self.capture_history,
+                     self.capture_param_history))
 
     @property
     def real_dtype(self):
@@ -225,6 +231,11 @@ class StrategyState:
     pref_failures: jax.Array         # scalar f32 — consecutive bad steps of the
                                      # preferred method; drives direct↔GMRES
                                      # failover (reference M3e, AMS:98-102)
+    target_dynamic: jax.Array        # scalar i32 — SVD effective-rank target,
+                                     # re-derived each iteration from the
+                                     # converged σ spectrum (AMS:463-470); for
+                                     # other problem types it stays at the
+                                     # static target
 
 
 @dataclasses.dataclass(frozen=True)
@@ -320,4 +331,7 @@ def initial_strategy(cfg: SolverConfig, knowledge: ProblemKnowledge) -> Strategy
         num_distinct=jnp.asarray(0, jnp.int32),
         frustration=jnp.asarray(0.0, f32),
         pref_failures=jnp.asarray(0.0, f32),
+        target_dynamic=jnp.asarray(
+            min(default_target_solutions(cfg, knowledge), cfg.num_candidates),
+            jnp.int32),
     )

@@ -28,7 +28,9 @@ import jax.numpy as jnp
 class GMRESResult(NamedTuple):
     x: jax.Array          # (K, N) solution iterates
     rel_residual: jax.Array   # (K,) preconditioned relative residual
-    iterations: jax.Array     # (K,) int32 total inner iterations spent
+    iterations: jax.Array     # (K,) int32 PER-CANDIDATE inner iterations: a
+                              # candidate stops accumulating once it meets tol
+                              # (the reference reports scipy's per-system count)
     converged: jax.Array      # (K,) bool
 
 
@@ -140,20 +142,22 @@ def _gmres_impl(matvec, b, x0, precond_diag, tol, m, max_restarts):
         return x_new, rel
 
     def cond(carry):
-        x, rel, it = carry
+        x, rel, it, _ = carry
         return (it < max_restarts) & jnp.any(rel > tol)
 
     def body(carry):
-        x, rel, it = carry
+        x, rel, it, iters_k = carry
         x_new, rel_new = arnoldi_cycle(x)
-        # keep candidates that already met tol untouched
+        # keep candidates that already met tol untouched (and stop counting
+        # their work — per-candidate true iteration counts)
         keep = rel <= tol
         x_out = jnp.where(keep[:, None], x, x_new)
         rel_out = jnp.where(keep, rel, rel_new)
-        return x_out, rel_out, it + 1
+        iters_out = jnp.where(keep, iters_k, iters_k + m)
+        return x_out, rel_out, it + 1, iters_out
 
     rel0 = jnp.linalg.norm(apply_M(b - matvec(x0)), axis=-1) / bnorm
-    x, rel, nrestarts = jax.lax.while_loop(
-        cond, body, (x0, rel0, jnp.asarray(0, jnp.int32)))
-    iters = nrestarts * m * jnp.ones((K,), jnp.int32)
+    x, rel, _, iters = jax.lax.while_loop(
+        cond, body, (x0, rel0, jnp.asarray(0, jnp.int32),
+                     jnp.zeros((K,), jnp.int32)))
     return GMRESResult(x=x, rel_residual=rel, iterations=iters, converged=rel <= tol)

@@ -1,0 +1,268 @@
+"""Mixed-precision finishers for eigenpairs and singular triplets.
+
+The linear path reaches the user's 1e-8 tolerance on TPU via split-f64
+iterative refinement (:mod:`maus_tpu.ops.refine`). This module closes the same
+gap for the other two problem classes (VERDICT r1 #2): on real TPU hardware
+(c64 compute, no c128 anywhere) the evolve loop accepts eig/SVD candidates at
+the c64 floor ≈ √N·ε_f32; these finishers take those candidates to f64-limited
+accuracy with O(N²) work per step.
+
+Eigenpairs — Newton iteration on F(v, λ) = (Av − λv, vᴴv − 1):
+
+    [A − λI   −v] [δv]   [−r]
+    [  vᴴ      0] [δλ] = [ 0]
+
+solved by bordered elimination against ONE batched c64 LU of
+H_k = A − λ_k I + ψI per candidate (δv = δλ·H⁻¹v − H⁻¹r). H is nearly singular
+*along v* by construction, but the Newton correction lives in v's complement,
+where H's effective conditioning is ‖A‖/gap — so the c64 solves are accurate
+exactly where it matters, and the f64 split-plane residuals drive quadratic-ish
+convergence to ~ε_f64·κ levels. Residual evaluation is always against the
+ORIGINAL full-precision operand (reference M4g semantics, AMS:297).
+
+Singular triplets — the same Newton step on the augmented Hermitian operator
+[[0, A], [Aᴴ, 0]] with eigenpair (σ, [u; v]/√2), block-eliminated so the only
+factorization is the N×N Gram system G_k = AᴴA − σ_k²I + ψI per candidate.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsla
+
+from .refine import SplitComplex
+
+
+# ---------------------------------------------------------------------------
+# split-complex helpers (batched rows: X is (K, N), A is (M, N) split planes)
+# ---------------------------------------------------------------------------
+
+def _smatvec(A: SplitComplex, X: SplitComplex) -> SplitComplex:
+    """Rows of the result are A @ x_k (X: (K, N) against A: (M, N))."""
+    return SplitComplex(X.re @ A.re.T - X.im @ A.im.T,
+                        X.re @ A.im.T + X.im @ A.re.T)
+
+
+def _smatvec_adj(A: SplitComplex, X: SplitComplex) -> SplitComplex:
+    """Rows of the result are Aᴴ @ x_k (X: (K, M) against A: (M, N))."""
+    return SplitComplex(X.re @ A.re + X.im @ A.im,
+                        X.im @ A.re - X.re @ A.im)
+
+
+def _sdot(a: SplitComplex, b: SplitComplex) -> SplitComplex:
+    """⟨a, b⟩ = Σ conj(a)·b along the last axis (batched)."""
+    return SplitComplex(jnp.sum(a.re * b.re + a.im * b.im, axis=-1),
+                        jnp.sum(a.re * b.im - a.im * b.re, axis=-1))
+
+
+def _sdiv(x: SplitComplex, y: SplitComplex) -> SplitComplex:
+    den = jnp.maximum(y.re * y.re + y.im * y.im, 1e-300)
+    return SplitComplex((x.re * y.re + x.im * y.im) / den,
+                        (x.im * y.re - x.re * y.im) / den)
+
+
+def _smul(x: SplitComplex, y: SplitComplex) -> SplitComplex:
+    return SplitComplex(x.re * y.re - x.im * y.im,
+                        x.re * y.im + x.im * y.re)
+
+
+def _snorm(x: SplitComplex) -> jax.Array:
+    return jnp.sqrt(jnp.sum(x.re * x.re + x.im * x.im, axis=-1))
+
+
+def _to_c(x: SplitComplex, dtype) -> jax.Array:
+    rdt = jnp.float32 if dtype == jnp.complex64 else jnp.float64
+    return jax.lax.complex(x.re.astype(rdt), x.im.astype(rdt)).astype(dtype)
+
+
+def _from_c(z: jax.Array, rdt) -> SplitComplex:
+    return SplitComplex(z.real.astype(rdt), z.imag.astype(rdt))
+
+
+# ---------------------------------------------------------------------------
+# Eigenpair refinement
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("steps",))
+def refine_eigenpairs(A64: SplitComplex, lam0: jax.Array, V0: jax.Array,
+                      steps: int = 4, psi_rel: float = 3e-6
+                      ) -> tuple[SplitComplex, SplitComplex, jax.Array]:
+    """Refine K eigenpair candidates to f64-limited residuals.
+
+    Args:
+      A64: (N, N) split-f64 original operand.
+      lam0: (K,) complex eigenvalue estimates (compute dtype).
+      V0: (K, N) complex eigenvector estimates (compute dtype).
+      steps: Newton steps (each O(K·N²) after the one batched LU).
+      psi_rel: H = A − λI + ψI regularization, relative to ‖A‖_F/√N.
+
+    Returns ``(lam: SplitComplex (K,), V: SplitComplex (K, N), resid: (K,) f64)``
+    with ‖v‖ = 1 and resid = ‖Av − λv‖ measured in f64 against A64.
+    """
+    cdtype = V0.dtype
+    rdt = A64.re.dtype
+    K, N = V0.shape
+    with jax.default_matmul_precision("highest"):
+        anorm = jnp.sqrt(jnp.sum(A64.re * A64.re + A64.im * A64.im)
+                         / N).astype(rdt)
+        psi = (psi_rel * anorm).astype(jnp.float32)
+
+        # one batched c64 LU of H_k = A − λ_k I + ψ I
+        Ac = _to_c(A64, cdtype)
+        idx = jnp.arange(N)
+
+        def factor_one(l):
+            H = Ac.at[idx, idx].add(-l + psi.astype(Ac.real.dtype))
+            return jsla.lu_factor(H)
+
+        lu, piv = jax.vmap(factor_one)(lam0)
+
+        def solve(B):                       # (K, N) c64 batched solve
+            return jax.vmap(lambda l, p, b: jsla.lu_solve((l, p), b))(lu, piv, B)
+
+        V = _from_c(V0, rdt)
+        nrm = jnp.maximum(_snorm(V), 1e-300)
+        V = SplitComplex(V.re / nrm[:, None], V.im / nrm[:, None])
+
+        def body(_, carry):
+            V, lam, resid = carry
+            W = _smatvec(A64, V)                          # A v (f64)
+            lam_new = _sdiv(_sdot(V, W), _sdot(V, V))     # f64 Rayleigh quotient
+            r = SplitComplex(W.re - (lam_new.re[:, None] * V.re
+                                     - lam_new.im[:, None] * V.im),
+                             W.im - (lam_new.re[:, None] * V.im
+                                     + lam_new.im[:, None] * V.re))
+            rn = _snorm(r)
+            u1 = solve(_to_c(V, cdtype))                  # H⁻¹ v
+            u2 = solve(_to_c(r, cdtype))                  # H⁻¹ r
+            num = jnp.sum(jnp.conj(_to_c(V, cdtype)) * u2, axis=-1)
+            den = jnp.sum(jnp.conj(_to_c(V, cdtype)) * u1, axis=-1)
+            den = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
+            dlam = num / den
+            dv = dlam[:, None] * u1 - u2                  # δv = δλ H⁻¹v − H⁻¹r
+            dv64 = _from_c(dv, rdt)
+            V_new = SplitComplex(V.re + dv64.re, V.im + dv64.im)
+            nn = jnp.maximum(_snorm(V_new), 1e-300)
+            V_new = SplitComplex(V_new.re / nn[:, None], V_new.im / nn[:, None])
+            # keep the better iterate per candidate (guards divergent steps on
+            # defective/clustered eigenvalues)
+            W2 = _smatvec(A64, V_new)
+            lam2 = _sdiv(_sdot(V_new, W2), _sdot(V_new, V_new))
+            r2 = SplitComplex(W2.re - (lam2.re[:, None] * V_new.re
+                                       - lam2.im[:, None] * V_new.im),
+                              W2.im - (lam2.re[:, None] * V_new.im
+                                       + lam2.im[:, None] * V_new.re))
+            rn2 = _snorm(r2)
+            better = rn2 < rn
+            Vo = SplitComplex(jnp.where(better[:, None], V_new.re, V.re),
+                              jnp.where(better[:, None], V_new.im, V.im))
+            lo = SplitComplex(jnp.where(better, lam2.re, lam_new.re),
+                              jnp.where(better, lam2.im, lam_new.im))
+            return Vo, lo, jnp.minimum(rn, rn2)
+
+        lam_init = SplitComplex(lam0.real.astype(rdt), lam0.imag.astype(rdt))
+        resid0 = jnp.full((K,), jnp.inf, rdt)
+        V, lam, resid = jax.lax.fori_loop(0, steps, body,
+                                          (V, lam_init, resid0))
+        return lam, V, resid
+
+
+# ---------------------------------------------------------------------------
+# Singular-triplet refinement
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("steps",))
+def refine_svd_triplets(A64: SplitComplex, sig0: jax.Array, U0: jax.Array,
+                        V0: jax.Array, steps: int = 4, psi_rel: float = 3e-6
+                        ) -> tuple[jax.Array, SplitComplex, SplitComplex,
+                                   jax.Array]:
+    """Refine K singular-triplet candidates to f64-limited residuals.
+
+    Newton on the augmented Hermitian [[0, A], [Aᴴ, 0]] eigenpair (σ, [u;v]),
+    block-eliminated: only G_k = AᴴA − σ_k²I + ψI (N×N) is factored, batched in
+    c64. Triplets with σ ≈ 0 (null vectors) are left untouched — their residual
+    is already ‖Av‖, which refinement against G cannot improve.
+
+    Returns ``(sigma (K,) f64, U (K,M) split, V (K,N) split, resid (K,) f64)``
+    where resid = ‖Av − σu‖ + ‖Aᴴu − σv‖ (reference two-sided residual,
+    AMS:301).
+    """
+    cdtype = V0.dtype
+    rdt = A64.re.dtype
+    K, N = V0.shape
+    with jax.default_matmul_precision("highest"):
+        anorm = jnp.sqrt(jnp.sum(A64.re * A64.re + A64.im * A64.im)
+                         / min(A64.re.shape)).astype(rdt)
+        psi = (psi_rel * anorm).astype(jnp.float32)
+        Ac = _to_c(A64, cdtype)
+        G = jnp.conj(Ac.T) @ Ac                            # (N, N) c64 Gram
+        idx = jnp.arange(N)
+        sig_f = sig0.real.astype(jnp.float32)
+        small = sig_f < 1e-6 * jnp.maximum(anorm.astype(jnp.float32), 1e-30)
+
+        def factor_one(s):
+            Gs = G.at[idx, idx].add(-(s * s) + psi.astype(G.real.dtype))
+            return jsla.lu_factor(Gs)
+
+        lu, piv = jax.vmap(factor_one)(sig_f.astype(Ac.real.dtype))
+
+        def solve(B):
+            return jax.vmap(lambda l, p, b: jsla.lu_solve((l, p), b))(lu, piv, B)
+
+        U = _from_c(U0, rdt)
+        V = _from_c(V0, rdt)
+        un = jnp.maximum(_snorm(U), 1e-300)
+        vn = jnp.maximum(_snorm(V), 1e-300)
+        U = SplitComplex(U.re / un[:, None], U.im / un[:, None])
+        V = SplitComplex(V.re / vn[:, None], V.im / vn[:, None])
+        sig = sig0.real.astype(rdt)
+
+        def resid_of(sig, U, V):
+            Av = _smatvec(A64, V)
+            Ahu = _smatvec_adj(A64, U)
+            r1 = SplitComplex(Av.re - sig[:, None] * U.re,
+                              Av.im - sig[:, None] * U.im)
+            r2 = SplitComplex(Ahu.re - sig[:, None] * V.re,
+                              Ahu.im - sig[:, None] * V.im)
+            return r1, r2, _snorm(r1) + _snorm(r2)
+
+        def body(_, carry):
+            sig, U, V, rbest = carry
+            # f64 σ update: σ = Re⟨u, Av⟩ for unit u, v
+            Av = _smatvec(A64, V)
+            sig_new = _sdot(U, Av).re
+            r1, r2, rn = resid_of(sig_new, U, V)
+            # dv solves (AᴴA − σ²) dv = σ r2 + Aᴴ r1 (c64 against the LU)
+            Ahr1 = _smatvec_adj(A64, r1)
+            rhs = SplitComplex(sig_new[:, None] * r2.re + Ahr1.re,
+                               sig_new[:, None] * r2.im + Ahr1.im)
+            dv = solve(_to_c(rhs, cdtype))
+            dv64 = _from_c(dv, rdt)
+            # du = (A dv − r1)/σ  (σ ≈ 0 candidates are masked out entirely)
+            Adv = _smatvec(A64, dv64)
+            sig_safe = jnp.where(small, 1.0, sig_new)[:, None]
+            du = SplitComplex((Adv.re - r1.re) / sig_safe,
+                              (Adv.im - r1.im) / sig_safe)
+            V_new = SplitComplex(V.re + dv64.re, V.im + dv64.im)
+            U_new = SplitComplex(U.re + du.re, U.im + du.im)
+            nn = jnp.maximum(_snorm(V_new), 1e-300)
+            V_new = SplitComplex(V_new.re / nn[:, None], V_new.im / nn[:, None])
+            nn = jnp.maximum(_snorm(U_new), 1e-300)
+            U_new = SplitComplex(U_new.re / nn[:, None], U_new.im / nn[:, None])
+            Av2 = _smatvec(A64, V_new)
+            sig2 = _sdot(U_new, Av2).re
+            _, _, rn2 = resid_of(sig2, U_new, V_new)
+            better = (rn2 < rn) & ~small
+            keep_new = better
+            Uo = SplitComplex(jnp.where(keep_new[:, None], U_new.re, U.re),
+                              jnp.where(keep_new[:, None], U_new.im, U.im))
+            Vo = SplitComplex(jnp.where(keep_new[:, None], V_new.re, V.re),
+                              jnp.where(keep_new[:, None], V_new.im, V.im))
+            so = jnp.where(keep_new, sig2, jnp.where(small, sig, sig_new))
+            return so, Uo, Vo, jnp.minimum(rbest, jnp.minimum(rn, rn2))
+
+        r10, r20, rn0 = resid_of(sig, U, V)
+        sig, U, V, resid = jax.lax.fori_loop(0, steps, body, (sig, U, V, rn0))
+        return sig, U, V, resid

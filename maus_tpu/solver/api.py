@@ -75,12 +75,23 @@ class MausSolver:
                 A_host.shape[0] != A_host.shape[1]:
             raise ValueError(
                 f"{problem_type.name} requires a square matrix, got {A_host.shape}")
+        # Compute dtype is decided before diagnosis so the operand can move to
+        # the device first — the condition estimate then runs on device for
+        # large N (estimate_cond_device) instead of stalling on host LAPACK.
+        if config is not None:
+            compute_dtype = config.dtype
+        else:
+            compute_dtype = jnp.complex128 if jax.config.jax_enable_x64 \
+                else jnp.complex64
+        # complex transfers must go through the split-plane shim: this TPU
+        # runtime cannot device_put/readback complex dtypes (utils/xfer.py)
+        A_dev = to_device_complex(A_host, compute_dtype)
         # callers who already know the operand's structure (e.g. the bench harness
         # generating a matrix with prescribed κ) may skip the O(N³-ish) diagnosis.
         # Diagnose the ORIGINAL operand — densifying first would lose the
         # sparse-input classification (AMS:380 semantics).
         self.knowledge = knowledge if knowledge is not None \
-            else diagnose(matrix, problem_type)
+            else diagnose(matrix, problem_type, device_operand=A_dev)
         m, n = self.knowledge.shape
 
         if config is None:
@@ -114,9 +125,8 @@ class MausSolver:
             default_target_solutions(config, self.knowledge), config.num_candidates)
 
         self.A_host = A_host
-        # complex transfers must go through the split-plane shim: this TPU
-        # runtime cannot device_put/readback complex dtypes (utils/xfer.py)
-        self.A = to_device_complex(A_host, config.dtype)
+        self.A = A_dev if config.dtype == compute_dtype \
+            else to_device_complex(A_host, config.dtype)
         self.b = None
         if problem_type == ProblemType.SOLVE_LINEAR_SYSTEM:
             if b_vector is None:
@@ -137,8 +147,9 @@ class MausSolver:
     def update_problem(self, matrix=None, b_vector=None):
         if matrix is not None:
             self.A_host = _to_dense_numpy(matrix).astype(np.complex128)
-            self.knowledge = diagnose(matrix, self.config.problem_type)
             self.A = to_device_complex(self.A_host, self.config.dtype)
+            self.knowledge = diagnose(matrix, self.config.problem_type,
+                                      device_operand=self.A)
             self.target_solutions = min(
                 default_target_solutions(self.config, self.knowledge),
                 self.config.num_candidates)
@@ -150,13 +161,19 @@ class MausSolver:
     def evolve(self, max_iterations: int = 100,
                collect_metrics: bool = False,
                checkpoint_path: Optional[str] = None,
-               resume_from: Optional[str] = None) -> SolutionReport:
+               resume_from: Optional[str] = None,
+               checkpoint_every: Optional[int] = None) -> SolutionReport:
         """Run the evolution loop.
 
         ``resume_from`` restores a carry saved by a previous ``checkpoint_path``
         run (same config/shapes) and continues from there — the whole solver
         state is one pytree, so resume is just re-entering the jitted loop
         (SURVEY.md §5.4; the reference has no serialization at all).
+
+        ``checkpoint_every=k`` saves the carry to ``checkpoint_path`` every k
+        iterations (in-loop periodic checkpointing, SURVEY §5.4): the run
+        executes as chunks of k iterations of the same jitted loop, so a
+        resumed run reproduces the uninterrupted one bit-exactly.
         """
         cfg, kn = self.config, self.knowledge
         carry0 = None
@@ -164,7 +181,13 @@ class MausSolver:
             from ..utils.checkpoint import load_state
             template = evolve_mod.init_carry(cfg, kn, self.A, self._key)
             carry0 = load_state(resume_from, template)
-        if collect_metrics:
+        if checkpoint_every is not None:
+            if checkpoint_path is None:
+                raise ValueError("checkpoint_every requires checkpoint_path")
+            carry, metrics = self._evolve_chunked(
+                max_iterations, collect_metrics, checkpoint_path,
+                int(checkpoint_every), carry0)
+        elif collect_metrics:
             carry, metrics = evolve_mod.evolve_scan(
                 cfg, kn, self.A, self.b, self._key, max_iterations,
                 self.target_solutions, carry0=carry0)
@@ -178,6 +201,11 @@ class MausSolver:
             save_state(checkpoint_path, carry)
 
         pop, strat = carry.pop, carry.strat
+        if cfg.problem_type == ProblemType.SVD:
+            # the run's final view of the effective rank (re-derived on device
+            # from the converged σ spectrum, AMS:463-470) supersedes the
+            # initial host estimate
+            self.target_solutions = int(strat.target_dynamic)
         diag = strat_mod.compute_diagnostics(cfg, pop, strat, self.target_solutions)
         leader = np.asarray(diag.distinct_leader)
         residual = np.array(pop.residual)   # writable copy (refinement updates it)
@@ -204,13 +232,54 @@ class MausSolver:
 
         mdict = None
         if metrics is not None:
-            mdict = {f: np.asarray(getattr(metrics, f)) for f in metrics._fields}
+            # to_host_complex: complex leaves (candidate_params) must cross the
+            # host boundary as split planes on this TPU runtime
+            mdict = {f: to_host_complex(getattr(metrics, f))
+                     for f in metrics._fields}
         return SolutionReport(
             problem_type=cfg.problem_type, solutions=solutions, residuals=residuals,
             iterations=int(carry.iteration), num_distinct=int(diag.num_distinct),
             target_solutions=self.target_solutions,
             landscape_energy=float(strat.landscape_energy), knowledge=kn,
             metrics=mdict)
+
+    def _evolve_chunked(self, max_iterations: int, collect_metrics: bool,
+                        checkpoint_path: str, every: int, carry0):
+        """Run the loop in chunks of ``every`` iterations, saving the carry at
+        each boundary. Chunk boundaries fall on iteration boundaries of the
+        same jitted step function, so the trajectory is identical to an
+        uninterrupted run."""
+        import jax as _jax
+
+        from ..utils.checkpoint import save_state
+        cfg, kn = self.config, self.knowledge
+        carry = carry0
+        metrics_chunks = []
+        start = 0 if carry is None else int(carry.iteration)
+        bound = start
+        while bound < max_iterations:
+            bound = min(bound + every, max_iterations)
+            if collect_metrics:
+                carry, m = evolve_mod.evolve_scan(
+                    cfg, kn, self.A, self.b, self._key,
+                    bound - (0 if carry is None else int(carry.iteration)),
+                    self.target_solutions, carry0=carry)
+                metrics_chunks.append(m)
+            else:
+                carry, m = evolve_mod.evolve_while(
+                    cfg, kn, self.A, self.b, self._key, bound,
+                    self.target_solutions, carry0=carry)
+            save_state(checkpoint_path, carry)
+            if int(carry.strat.num_distinct) >= self.target_solutions or \
+                    int(carry.stall_count) >= cfg.stall_limit:
+                break
+        if carry is None:   # max_iterations == 0 degenerate case
+            carry = evolve_mod.init_carry(cfg, kn, self.A, self._key)
+        if collect_metrics and metrics_chunks:
+            stacked = _jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *metrics_chunks)
+            return carry, stacked
+        return carry, None
 
     def _refine_linear(self, x: np.ndarray):
         """Mixed-precision iterative refinement of a linear solution (O(N²) f64

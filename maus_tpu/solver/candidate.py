@@ -186,8 +186,20 @@ def step_linear(cfg: SolverConfig, A: jax.Array, b: jax.Array, fac: LUFactors,
         return solve_factored(fac, b)
 
     def iterative(_):
-        diag = jnp.diagonal(A)
-        res = gmres_batched(lambda X: X @ A.T, b[None, :],
+        # Parity with the direct branch (VERDICT r1 #7): GMRES solves the SAME
+        # Ψ-regularized system (A + ΨD) x̂ = b the factorization would, not the
+        # raw operator — on a singular/critical A the raw solve has no solution
+        # to converge to, while the Ψ-shifted one is the reference's contract
+        # (InverseIterateSolver always solves the regularized system, AMS:52).
+        from ..ops.regularize import psi_magnitude, shift_diagonal
+        N = A.shape[0]
+        anorm = (jnp.linalg.norm(A) / jnp.sqrt(jnp.asarray(float(N)))).real \
+            .astype(jnp.float32)
+        psi = psi_magnitude(cfg.psi_base * anorm, strat.psi_aggression,
+                            strat.frustration, 0.0)
+        d = shift_diagonal(N, psi, cfg.dtype)
+        diag = jnp.diagonal(A) + d
+        res = gmres_batched(lambda X: X @ A.T + d[None, :] * X, b[None, :],
                             precond_diag=jacobi_from_diag(diag)[None, :],
                             tol=cfg.tol, restart=min(32, A.shape[0]),
                             max_restarts=8)
@@ -247,19 +259,32 @@ def step_eigen(cfg: SolverConfig, A: jax.Array, pop: Population,
         return W, attempts
 
     def iterative(_):
-        diag = jnp.diagonal(A)[None, :] - lam[:, None]
-        from ..ops.regularize import psi_magnitude, shift_diagonal
-        psi = psi_magnitude(psi_scaled, strat.psi_aggression,
-                            jnp.zeros_like(pop.stuck), pop.stuck)
-        d = jax.vmap(lambda p: shift_diagonal(N, p, cfg.dtype))(psi)
+        # Jacobi–Davidson correction equation (VERDICT r1 #7): inverse
+        # iteration through the nearly singular (A − λI) is exactly where
+        # restarted GMRES stalls — the eigenvalue being sought IS the
+        # operator's near-null direction. Solving the PROJECTED system
+        #   (I − v vᴴ)(A − λI)(I − v vᴴ) t = −r,  t ⊥ v,  r = Av − λv
+        # is well-conditioned on v's complement and gives the RQI update
+        # direction (v_new ∝ v + t) without inverting a singular operator.
+        # Loose inner tolerance suffices (inexact JD still converges
+        # superlinearly in the outer loop).
+        vk = pop.v
+        r = Av - lam[:, None] * vk          # λ is the RQ of v ⇒ r ⊥ v already
+
+        def cproj(X):
+            c = jnp.sum(jnp.conj(vk) * X, axis=-1, keepdims=True)
+            return X - c * vk
 
         def matvec(X):
-            return X @ A.T - lam[:, None] * X + d * X
+            Xp = cproj(X)
+            return cproj(Xp @ A.T - lam[:, None] * Xp)
 
-        res = gmres_batched(matvec, pop.v, precond_diag=jacobi_from_diag(diag + d),
-                            tol=max(cfg.tol, 1e-10), restart=min(32, N),
-                            max_restarts=4)
-        return res.x, jnp.zeros((pop.capacity,), jnp.int32)
+        diag = jnp.diagonal(A)[None, :] - lam[:, None]
+        res = gmres_batched(matvec, -cproj(r), x0=jnp.zeros_like(vk),
+                            precond_diag=jacobi_from_diag(diag),
+                            tol=1e-2, restart=min(32, N), max_restarts=2)
+        t = cproj(res.x)
+        return vk + t, jnp.zeros((pop.capacity,), jnp.int32)
 
     W, attempts = jax.lax.cond(strat.solver_pref == SolverPreference.DIRECT,
                                direct, iterative, operand=None)
@@ -364,8 +389,14 @@ def step_svd(cfg: SolverConfig, A: jax.Array, pop: Population,
 
     # zero-singular-value detection (AMS:243-247): a candidate whose direction
     # is annihilated by A has found a null vector — that IS a singular triplet
-    # (σ=0); declare it converged instead of respinning forever
-    zero_sv = s_u < 1e-8
+    # (σ=0); declare it converged instead of respinning forever. The test is
+    # RELATIVE to the operand's scale (σ < 1e-8·‖A‖_F/√min(M,N)): the
+    # reference's absolute 1e-8 cut misfires for small-scaled operands, the
+    # same absolute-threshold failure mode as its Ψ base (core/types.py).
+    a_scale = (jnp.linalg.norm(A) /
+               jnp.sqrt(jnp.asarray(float(min(A.shape))))).real \
+        .astype(cfg.real_dtype)
+    zero_sv = s_u < 1e-8 * jnp.maximum(a_scale, jnp.finfo(cfg.real_dtype).tiny)
     sigma = jnp.where(zero_sv, 0.0, sigma)
 
     # two-sided residual (M4g, AMS:301)

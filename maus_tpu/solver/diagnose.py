@@ -45,30 +45,193 @@ def estimate_cond(A: np.ndarray, exact_below: int = 512, iters: int = 30) -> flo
             return np.inf
         x /= nx
     smax = float(np.sqrt(np.linalg.norm(A.conj().T @ (A @ x))))
-    # smallest singular value via inverse power iteration on AᴴA (LU on host)
+    # smallest singular value via inverse power iteration on AᴴA. Iterating on
+    # A itself (the r1 bug) converges to 1/|λ_min|, which for non-normal
+    # matrices can exceed 1/σ_min by orders of magnitude and misclassifies
+    # near-singular operands as STABLE. Square inputs apply (AᴴA)⁻¹ = A⁻¹A⁻ᴴ
+    # as two triangular solves against ONE LU of A — never forming the Gram
+    # matrix, whose κ² conditioning floors the estimate at √(1/eps) ≈ 1e8.
     try:
         import scipy.linalg as sla
-        lu_piv = sla.lu_factor(A.conj().T @ A if A.shape[0] != A.shape[1] else A)
         y = rng_.standard_normal(A.shape[1]) + 1j * rng_.standard_normal(A.shape[1])
+        if A.shape[0] == A.shape[1]:
+            lu_piv = sla.lu_factor(A)
+
+            def gram_inv(z):          # (AᴴA)⁻¹ z = A⁻¹ (A⁻ᴴ z)
+                return sla.lu_solve(lu_piv, sla.lu_solve(lu_piv, z, trans=2))
+        else:
+            lu_piv = sla.lu_factor(A.conj().T @ A)
+
+            def gram_inv(z):
+                return sla.lu_solve(lu_piv, z)
         for _ in range(iters):
-            y = sla.lu_solve(lu_piv, y)
+            y = gram_inv(y)
             ny = np.linalg.norm(y)
             if not np.isfinite(ny) or ny == 0:
                 return np.inf
             y /= ny
-        smin_inv = np.linalg.norm(sla.lu_solve(lu_piv, y))
-        smin = 1.0 / smin_inv if smin_inv > 0 else 0.0
-        if A.shape[0] != A.shape[1]:
-            smin = float(np.sqrt(abs(smin)))
+        sminsq_inv = np.linalg.norm(gram_inv(y))
+        smin = float(np.sqrt(1.0 / sminsq_inv)) if sminsq_inv > 0 else 0.0
     except Exception:
         return np.inf
     return smax / smin if smin > 0 else np.inf
 
 
+# ---------------------------------------------------------------------------
+# On-device condition probe (VERDICT r1 #10): no host LAPACK for large N
+# ---------------------------------------------------------------------------
+
+def _cond_probe_device(Ac, Are, Aim, key, power_iters: int = 16,
+                       inv_iters: int = 6, ir_steps: int = 10):
+    """Device program: (σ_max, amplification g ≈ 1/σ_min², first-solve backward
+    residual, final IR residual). All O(N²) work per step after one O(N³) QR.
+
+    The IR residuals double as a conditioning signal: a backward-stable c64
+    solve leaves an f64-measured relative residual ≈ ε_f32·κ(A), which keeps
+    growing past the point where the inverse-power estimate floors at the
+    factorization's accuracy (κ ≈ 1/ε_f32)."""
+    import jax
+    import jax.numpy as jnp
+    import jax.scipy.linalg as jsla
+
+    n = Ac.shape[0]
+    f64 = Are.dtype
+
+    with jax.default_matmul_precision("highest"):
+        kr, ki, k2r, k2i = jax.random.split(key, 4)
+        x = jax.lax.complex(jax.random.normal(kr, (n,), jnp.float32),
+                            jax.random.normal(ki, (n,), jnp.float32)) \
+            .astype(Ac.dtype)
+        x = x / jnp.linalg.norm(x)
+
+        def pstep(_, x):
+            z = jnp.conj(Ac.T) @ (Ac @ x)
+            return z / jnp.maximum(jnp.linalg.norm(z), 1e-30)
+
+        x = jax.lax.fori_loop(0, power_iters, pstep, x)
+        smax = jnp.sqrt(jnp.linalg.norm(jnp.conj(Ac.T) @ (Ac @ x)))
+
+        q, r = jnp.linalg.qr(Ac)
+
+        def qr_solve(b):                    # A x = b
+            return jsla.solve_triangular(r, jnp.conj(q.T) @ b, lower=False)
+
+        def qr_solve_adj(b):                # Aᴴ x = b
+            return q @ jsla.solve_triangular(r, b, lower=False, trans=2)
+
+        def mv(xre, xim):                   # A x, split f64
+            return Are @ xre - Aim @ xim, Aim @ xre + Are @ xim
+
+        def mv_adj(xre, xim):               # Aᴴ x, split f64
+            return Are.T @ xre + Aim.T @ xim, Are.T @ xim - Aim.T @ xre
+
+        def _ir(bre, bim, matvec, solve):
+            """Solve to f64 accuracy with the c64 factorization; returns
+            (xre, xim, rel_first, rel_final)."""
+            bnorm = jnp.maximum(jnp.sqrt(jnp.sum(bre * bre + bim * bim)),
+                                jnp.asarray(1e-300, f64))
+
+            def to_c(re_, im_):
+                return jax.lax.complex(re_.astype(jnp.float32),
+                                       im_.astype(jnp.float32)).astype(Ac.dtype)
+
+            xc = solve(to_c(bre, bim))
+            xre = xc.real.astype(f64)
+            xim = xc.imag.astype(f64)
+            are0, aim0 = matvec(xre, xim)
+            rre, rim = bre - are0, bim - aim0
+            rel_first = jnp.sqrt(jnp.sum(rre * rre + rim * rim)) / bnorm
+
+            def body(_, carry):
+                xre, xim, rel = carry
+                are_, aim_ = matvec(xre, xim)
+                rre, rim = bre - are_, bim - aim_
+                dc = solve(to_c(rre, rim))
+                xre2 = xre + dc.real.astype(f64)
+                xim2 = xim + dc.imag.astype(f64)
+                are2, aim2 = matvec(xre2, xim2)
+                rel2 = jnp.sqrt(jnp.sum((bre - are2) ** 2
+                                        + (bim - aim2) ** 2)) / bnorm
+                better = rel2 < rel
+                return (jnp.where(better, xre2, xre),
+                        jnp.where(better, xim2, xim),
+                        jnp.minimum(rel2, rel))
+
+            xre, xim, rel = jax.lax.fori_loop(0, ir_steps, body,
+                                              (xre, xim, rel_first))
+            return xre, xim, rel_first, rel
+
+        yre = jax.random.normal(k2r, (n,), f64)
+        yim = jax.random.normal(k2i, (n,), f64)
+
+        def inv_step(i, carry):
+            yre, yim, g, rel_first, rel_final = carry
+            nrm = jnp.maximum(jnp.sqrt(jnp.sum(yre * yre + yim * yim)), 1e-300)
+            yre, yim = yre / nrm, yim / nrm
+            ure, uim, rf1, rl1 = _ir(yre, yim, mv_adj, qr_solve_adj)
+            zre, zim, rf2, rl2 = _ir(ure, uim, mv, qr_solve)
+            g_new = jnp.sqrt(jnp.sum(zre * zre + zim * zim))
+            # max over iterations: later RHSs align with the smallest singular
+            # direction, which maximizes the ε_f32·κ backward-residual signal
+            rel_first = jnp.maximum(rel_first, jnp.maximum(rf1, rf2))
+            rel_final = jnp.maximum(rel_final, jnp.maximum(rl1, rl2))
+            return zre, zim, g_new, rel_first, rel_final
+
+        init = (yre, yim, jnp.asarray(1.0, f64), jnp.asarray(0.0, f64),
+                jnp.asarray(0.0, f64))
+        _, _, g, rel_first, rel_final = jax.lax.fori_loop(0, inv_iters,
+                                                          inv_step, init)
+        return smax.astype(f64), g, rel_first, rel_final
+
+
+_cond_probe_jit = None
+
+
+def estimate_cond_device(A_dev) -> float:
+    """Condition estimate computed entirely on device (one c64 QR + O(N²)
+    iterations) — replaces the reference's host ``np.linalg.cond`` (AMS:400,
+    full O(N³) LAPACK SVD) for large operands, so a plain ``MausSolver(A)``
+    constructor at 4096² never stalls on host linear algebra."""
+    global _cond_probe_jit
+    import jax
+    import jax.numpy as jnp
+
+    if _cond_probe_jit is None:
+        _cond_probe_jit = jax.jit(_cond_probe_device)
+
+    f64 = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    Are = A_dev.real.astype(f64)
+    Aim = A_dev.imag.astype(f64)
+    key = jax.random.PRNGKey(0)
+    smax, g, rel_first, rel_final = _cond_probe_jit(A_dev, Are, Aim, key)
+    smax = float(smax)
+    g = float(g)
+    rel_final = float(rel_final)
+    if not (np.isfinite(smax) and np.isfinite(g)) or g <= 0:
+        return np.inf
+    cond_lo = smax * np.sqrt(g)      # √g → 1/σ_min as inverse power converges
+    # "resolved" means the mixed-precision IR drove the solve residual to the
+    # residual arithmetic's floor — then √g is trustworthy. Measured (n=256):
+    # accurate within 4× up to κ ≈ 1/ε of the compute dtype. Beyond that the
+    # factorization carries NO information distinguishing κ=1e10 from exactly
+    # singular (all probes saturate at ≈ n/ε), so the honest answer is ∞:
+    # Critical regime + iterative/GMRES-IR handling, which is also the only
+    # machinery that can actually solve such a system in this precision.
+    eps_res = float(jnp.finfo(Are.dtype).eps)
+    if rel_final <= max(1e-6, 100.0 * eps_res):
+        return cond_lo
+    return np.inf
+
+
 def diagnose(A, problem_type: ProblemType,
-             sparse_density_threshold: float = 0.25) -> ProblemKnowledge:
+             sparse_density_threshold: float = 0.25,
+             device_operand=None) -> ProblemKnowledge:
     """Classify the operand: density, Hermitian / complex-symmetric structure,
-    conditioning, singularity (AMS:374-404 semantics, estimation fixed)."""
+    conditioning, singularity (AMS:374-404 semantics, estimation fixed).
+
+    ``device_operand``: optional device-resident copy of A. When provided and
+    the operand is large, the condition estimate runs on device
+    (:func:`estimate_cond_device`) instead of host LAPACK."""
     was_sparse = hasattr(A, "toarray")
     Ad = _to_dense_numpy(A)
     if Ad.ndim != 2:
@@ -92,7 +255,10 @@ def diagnose(A, problem_type: ProblemType,
             except np.linalg.LinAlgError:
                 is_positive_definite = False
 
-    cond = estimate_cond(Ad) if m == n else estimate_cond(Ad)
+    if device_operand is not None and max(m, n) > 512 and m == n:
+        cond = estimate_cond_device(device_operand)
+    else:
+        cond = estimate_cond(Ad)
     is_singular = (not np.isfinite(cond)) or cond > 1e15
 
     effective_rank = None

@@ -64,6 +64,8 @@ class Metrics(NamedTuple):
     candidate_residuals: jax.Array   # (K,) or (0,)
     candidate_alpha: jax.Array       # (K,) or (0,)
     candidate_status: jax.Array      # (K,) or (0,)
+    candidate_params: jax.Array      # (K, N) iterates (cfg.capture_param_history,
+                                     # the reference's param_history) or (0, 0)
 
 
 def _effective_psi(cfg: SolverConfig, strat: StrategyState,
@@ -179,6 +181,8 @@ def make_iteration(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
             hist_res = jnp.zeros((0,), pop.residual.dtype)
             hist_alpha = jnp.zeros((0,), pop.alpha.dtype)
             hist_status = jnp.zeros((0,), pop.status.dtype)
+        hist_params = pop.v if cfg.capture_param_history \
+            else jnp.zeros((0, 0), pop.v.dtype)
         metrics = Metrics(
             landscape_energy=strat.landscape_energy,
             avg_residual=strat.avg_residual,
@@ -191,7 +195,8 @@ def make_iteration(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
             solve_fail_frac=stats.solve_fail_frac,
             candidate_residuals=hist_res,
             candidate_alpha=hist_alpha,
-            candidate_status=hist_status)
+            candidate_status=hist_status,
+            candidate_params=hist_params)
         return EvolveCarry(pop=pop, strat=strat, fac=fac, psi_cached=psi_cached,
                            iteration=carry.iteration + 1,
                            best_residual=best_residual,
@@ -251,8 +256,14 @@ def _stop_condition(cfg: SolverConfig, target_solutions: int, carry: EvolveCarry
     """Done ⇔ the target number of distinct converged solutions exists (reference
     intent at AMS:583-584), or the population has fully stagnated (no best-
     residual improvement for cfg.stall_limit iterations — further O(N²)-per-
-    iteration work cannot help; the refinement stage takes over from here)."""
-    return (carry.strat.num_distinct >= target_solutions) | \
+    iteration work cannot help; the refinement stage takes over from here).
+
+    SVD compares against the TRACED target (strat.target_dynamic): the rank is
+    re-estimated from the converged σ spectrum every iteration (AMS:463-470),
+    so a wrong initial host estimate can't stop the run early or strand it."""
+    target = carry.strat.target_dynamic \
+        if cfg.problem_type == ProblemType.SVD else target_solutions
+    return (carry.strat.num_distinct >= target) | \
         (carry.stall_count >= cfg.stall_limit)
 
 

@@ -39,7 +39,9 @@ def manage(cfg: SolverConfig, pop: Population, strat: StrategyState,
     retired = status == CandidateStatus.RETIRED
     n_alive = K - jnp.sum(retired)
     desired = K  # fixed capacity IS the desired population in the SoA design
-    missing = jnp.maximum(target_solutions - diag.num_distinct, 0)
+    target_eff = diag.target_dynamic \
+        if cfg.problem_type == ProblemType.SVD else target_solutions
+    missing = jnp.maximum(target_eff - diag.num_distinct, 0)
     want = jnp.maximum(desired - n_alive, 0) + missing
     want = (want.astype(jnp.float32) * strat.spawn_rate).astype(jnp.int32)
     n_spawn = jnp.minimum(want, jnp.sum(retired))
@@ -72,7 +74,8 @@ def manage(cfg: SolverConfig, pop: Population, strat: StrategyState,
         base_v = pop.v[picked]                                    # (K, N)
         base_lam = pop.lam[picked]
         scale = (0.1 + diag.landscape_energy).astype(rdt)
-        noise_v = rng.normal_like_batch(use_v, (n,), cfg.dtype) * scale * 0.1
+        keys, use_noise_v = rng.split_batch(keys)
+        noise_v = rng.normal_like_batch(use_noise_v, (n,), cfg.dtype) * scale * 0.1
         warm_v = base_v + noise_v
         warm_v = warm_v / jnp.maximum(jnp.linalg.norm(warm_v, axis=-1, keepdims=True),
                                       jnp.finfo(rdt).tiny)
@@ -83,7 +86,8 @@ def manage(cfg: SolverConfig, pop: Population, strat: StrategyState,
         # eigenvalues already claimed by leaders — the reference's warm-start-only
         # respawn (AMS:539-546) clusters new candidates onto found solutions and
         # never covers the rest of the spectrum.
-        fresh_lam = rng.normal_like_batch(use_lam, (), cfg.dtype).reshape(K) \
+        keys, use_fresh_lam = rng.split_batch(keys)
+        fresh_lam = rng.normal_like_batch(use_fresh_lam, (), cfg.dtype).reshape(K) \
             * lam_scale.astype(cfg.dtype) + jnp.asarray(lam_center, cfg.dtype)
         lam_claimed = jnp.where(diag.distinct_leader, pop.lam,
                                 jnp.asarray(jnp.inf, cfg.dtype))

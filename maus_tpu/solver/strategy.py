@@ -26,6 +26,9 @@ class Diagnostics(NamedTuple):
     avg_stuckness: jax.Array      # scalar f32
     landscape_energy: jax.Array   # scalar f32 (AMS:459-472)
     stability: jax.Array          # scalar i32 (AMS:473-475)
+    target_dynamic: jax.Array     # scalar i32 — SVD: rank re-estimated from the
+                                  # converged σ spectrum (AMS:463-470); other
+                                  # problem types: the static target
 
 
 def _pairwise_same(cfg: SolverConfig, pop: Population) -> jax.Array:
@@ -81,6 +84,28 @@ def compute_diagnostics(cfg: SolverConfig, pop: Population, strat: StrategyState
     duplicate = conv & beaten
     num_distinct = jnp.sum(leader).astype(jnp.int32)
 
+    # Dynamic SVD effective-rank target (AMS:463-470): the reference re-derives
+    # the rank from the converged σ spectrum every iteration. Until a
+    # below-cut σ converges (= the spectrum's noise floor has been reached),
+    # assume at least one more triplet exists; once found, the target IS the
+    # detected rank, which drives early stop with the correct count even when
+    # the initial host estimate was wrong.
+    if cfg.problem_type == ProblemType.SVD:
+        cap = min(pop.capacity, pop.u.shape[1], pop.v.shape[1])
+        sig = pop.lam.real
+        smax_l = jnp.max(jnp.where(leader, sig, 0.0))
+        have = smax_l > 0.0
+        cut = smax_l * cfg.sigma_similarity_rel
+        rank_det = jnp.sum(leader & (sig > cut)).astype(jnp.int32)
+        floor_found = jnp.any(conv & (sig < cut))
+        tgt = jnp.where(floor_found, rank_det,
+                        jnp.minimum(rank_det + 1, cap))
+        tgt = jnp.maximum(tgt, rank_det)
+        target_dynamic = jnp.where(have, tgt, strat.target_dynamic) \
+            .astype(jnp.int32)
+    else:
+        target_dynamic = jnp.asarray(target_solutions, jnp.int32)
+
     # population averages over non-converged, non-retired (AMS:454-458); non-finite
     # residuals count as 100× the current threshold, as in the reference.
     res_eff = jnp.where(jnp.isfinite(pop.residual), pop.residual,
@@ -90,11 +115,12 @@ def compute_diagnostics(cfg: SolverConfig, pop: Population, strat: StrategyState
     avg_stuck = jnp.sum(jnp.where(nonconv_active, pop.stuck, 0)).astype(jnp.float32) \
         / denom
 
-    # landscape energy (AMS:459-472)
+    # landscape energy (AMS:459-472); 'missing' counts against the dynamic
+    # target so a corrected rank estimate immediately relaxes the energy
+    norm_missing = jnp.maximum(target_dynamic - num_distinct, 0) \
+        .astype(jnp.float32) / jnp.maximum(target_dynamic, 1).astype(jnp.float32)
     norm_res = avg_res / (strat.threshold * 10.0)
     norm_stuck = avg_stuck / (cfg.max_stuck_for_retirement * 2.0)
-    norm_missing = (target_solutions - num_distinct).astype(jnp.float32) \
-        / max(1, target_solutions)
     energy = jnp.clip(0.4 * norm_res + 0.3 * norm_stuck + 0.3 * norm_missing, 0.0, 1.0)
 
     # stability reclassification from stuckness (AMS:473-475)
@@ -110,7 +136,7 @@ def compute_diagnostics(cfg: SolverConfig, pop: Population, strat: StrategyState
                        avg_residual=avg_res.astype(jnp.float32),
                        avg_stuckness=avg_stuck.astype(jnp.float32),
                        landscape_energy=energy.astype(jnp.float32),
-                       stability=stability)
+                       stability=stability, target_dynamic=target_dynamic)
 
 
 def adjust_strategy(cfg: SolverConfig, strat: StrategyState,
@@ -154,4 +180,5 @@ def adjust_strategy(cfg: SolverConfig, strat: StrategyState,
         strat, psi_aggression=psi, spawn_rate=spawn, threshold=thr,
         solver_pref=pref, stability=diag.stability,
         landscape_energy=diag.landscape_energy, avg_residual=diag.avg_residual,
-        avg_stuckness=diag.avg_stuckness, num_distinct=diag.num_distinct)
+        avg_stuckness=diag.avg_stuckness, num_distinct=diag.num_distinct,
+        target_dynamic=diag.target_dynamic)

@@ -5,40 +5,111 @@ Here the entire solver state is one pytree (:class:`EvolveCarry`: population SoA
 strategy scalars, cached factorization, PRNG keys), so checkpointing is a flat
 leaf dump and resume is re-entering the jitted loop with the loaded carry.
 
-Format: a single ``.npz`` with positional leaf arrays — no pickling. Loading
-requires a structural template (built by ``init_carry`` from the same config),
-which doubles as a schema check: leaf count/shape/dtype mismatches fail loudly
+Format: a single ``.npz`` with positional leaf arrays — no pickling. Complex
+leaves are stored as separate real/imag float planes (``leaf_XXXX_re`` /
+``leaf_XXXX_im``): this TPU runtime cannot move complex dtypes across the host
+boundary in either direction (probed; see :mod:`maus_tpu.utils.xfer`), so both
+save and load route complex data through the split-plane shim. Loading requires
+a structural template (built by ``init_carry`` from the same config), which
+doubles as a schema check: leaf count, shape, or dtype mismatches fail loudly
 instead of resuming garbage.
 """
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+
+from .xfer import to_device_complex, to_host_complex
+
+FORMAT_VERSION = 2
+
+
+def _is_complex(x) -> bool:
+    return jnp.issubdtype(jnp.asarray(x).dtype if not hasattr(x, "dtype")
+                          else x.dtype, jnp.complexfloating)
 
 
 def save_state(path: str, state) -> int:
-    """Dump any pytree's leaves to ``path`` (.npz). Returns the leaf count."""
+    """Dump any pytree's leaves to ``path`` (.npz). Returns the leaf count.
+
+    Complex leaves cross the host boundary as re/im float planes
+    (``to_host_complex``); everything else as plain arrays.
+    """
     leaves = jax.tree.leaves(state)
-    arrays = {f"leaf_{i:04d}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrays = {"__version__": np.asarray(FORMAT_VERSION, np.int64)}
+    for i, x in enumerate(leaves):
+        if _is_complex(x):
+            z = to_host_complex(x)
+            arrays[f"leaf_{i:04d}_re"] = np.ascontiguousarray(z.real)
+            arrays[f"leaf_{i:04d}_im"] = np.ascontiguousarray(z.imag)
+        else:
+            arrays[f"leaf_{i:04d}"] = np.asarray(x)
     np.savez(path, **arrays)
     return len(leaves)
 
 
 def load_state(path: str, template):
-    """Rebuild a pytree with ``template``'s structure and the file's leaves."""
+    """Rebuild a pytree with ``template``'s structure and the file's leaves.
+
+    Every mismatch — leaf count, shape, or dtype (e.g. a checkpoint written
+    under a different x64/precision config) — raises ``ValueError``; nothing is
+    silently cast.
+    """
     with np.load(path) as data:
-        names = sorted(data.files)
-        leaves = [data[n] for n in names]
-    t_leaves, treedef = jax.tree.flatten(template)
-    if len(leaves) != len(t_leaves):
-        raise ValueError(
-            f"checkpoint has {len(leaves)} leaves, template expects "
-            f"{len(t_leaves)} — config/shape mismatch")
-    out = []
-    for i, (got, want) in enumerate(zip(leaves, t_leaves)):
-        want = np.asarray(want)
-        if got.shape != want.shape:
-            raise ValueError(f"leaf {i}: checkpoint shape {got.shape} != "
-                             f"template {want.shape}")
-        out.append(got.astype(want.dtype))
+        files = set(data.files)
+        version = int(data["__version__"]) if "__version__" in files else 1
+        t_leaves, treedef = jax.tree.flatten(template)
+        # count distinct leaf indices present in the file
+        idxs = set()
+        for n in files:
+            if n.startswith("leaf_"):
+                idxs.add(int(n[5:9]))
+        if len(idxs) != len(t_leaves):
+            raise ValueError(
+                f"checkpoint has {len(idxs)} leaves, template expects "
+                f"{len(t_leaves)} — config/shape mismatch")
+        out = []
+        for i, want in enumerate(t_leaves):
+            want_dtype = jnp.asarray(want).dtype if not hasattr(want, "dtype") \
+                else want.dtype
+            want_shape = tuple(np.shape(want))
+            tag = f"leaf_{i:04d}"
+            if jnp.issubdtype(want_dtype, jnp.complexfloating):
+                if f"{tag}_re" in files:
+                    re, im = data[f"{tag}_re"], data[f"{tag}_im"]
+                    got = re.astype(np.complex128) + 1j * im.astype(np.complex128)
+                    got_dtype = np.complex64 if re.dtype == np.float32 \
+                        else np.complex128
+                elif tag in files and version == 1:   # legacy CPU-written file
+                    got = data[tag]
+                    got_dtype = got.dtype
+                else:
+                    raise ValueError(f"leaf {i}: template is complex "
+                                     f"({want_dtype}) but checkpoint has no "
+                                     f"re/im planes for it")
+                if np.dtype(got_dtype) != np.dtype(want_dtype):
+                    raise ValueError(
+                        f"leaf {i}: checkpoint dtype {got_dtype} != template "
+                        f"{want_dtype} — refusing to cast silently (was the "
+                        f"checkpoint written under a different precision "
+                        f"config?)")
+                if got.shape != want_shape:
+                    raise ValueError(f"leaf {i}: checkpoint shape {got.shape} "
+                                     f"!= template {want_shape}")
+                out.append(to_device_complex(got, want_dtype))
+            else:
+                if tag not in files:
+                    raise ValueError(f"leaf {i}: template is real "
+                                     f"({want_dtype}) but checkpoint stores "
+                                     f"complex planes for it")
+                got = data[tag]
+                if np.dtype(got.dtype) != np.dtype(want_dtype):
+                    raise ValueError(
+                        f"leaf {i}: checkpoint dtype {got.dtype} != template "
+                        f"{want_dtype} — refusing to cast silently")
+                if got.shape != want_shape:
+                    raise ValueError(f"leaf {i}: checkpoint shape {got.shape} "
+                                     f"!= template {want_shape}")
+                out.append(jnp.asarray(got))
     return jax.tree.unflatten(treedef, out)

@@ -42,8 +42,9 @@ class MetricsSink:
 
     def write_trace(self, metrics, prefix: Optional[dict] = None) -> int:
         """Write one record per iteration from a stacked Metrics namedtuple."""
+        from .xfer import to_host_complex   # complex-safe device readback
         fields = metrics._fields
-        arrays = [np.asarray(getattr(metrics, f)) for f in fields]
+        arrays = [to_host_complex(getattr(metrics, f)) for f in fields]
         n = len(arrays[0])
         for i in range(n):
             rec = dict(prefix or {})
@@ -62,6 +63,8 @@ def _jsonify(x):
         return int(x)
     if isinstance(x, (np.floating,)):
         return float(x)
+    if isinstance(x, (np.complexfloating, complex)):
+        return [float(x.real), float(x.imag)]
     if isinstance(x, np.ndarray):
         return x.tolist()
     return str(x)

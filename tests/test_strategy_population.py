@@ -67,7 +67,8 @@ class TestRegimes:
             num_distinct=jnp.asarray(0), avg_residual=jnp.asarray(10.0, jnp.float32),
             avg_stuckness=jnp.asarray(6.0, jnp.float32),
             landscape_energy=jnp.asarray(0.9, jnp.float32),
-            stability=jnp.asarray(int(StabilityState.CRITICAL), jnp.int32))
+            stability=jnp.asarray(int(StabilityState.CRITICAL), jnp.int32),
+            target_dynamic=jnp.asarray(1, jnp.int32))
         out = strat_mod.adjust_strategy(cfg, strat, diag)
         assert float(out.psi_aggression) > float(strat.psi_aggression)
         # solver preference is failover-driven, not regime-forced (see strategy.py)
@@ -86,7 +87,8 @@ class TestRegimes:
             num_distinct=jnp.asarray(1), avg_residual=jnp.asarray(0.0, jnp.float32),
             avg_stuckness=jnp.asarray(0.0, jnp.float32),
             landscape_energy=jnp.asarray(0.1, jnp.float32),
-            stability=jnp.asarray(int(StabilityState.STABLE), jnp.int32))
+            stability=jnp.asarray(int(StabilityState.STABLE), jnp.int32),
+            target_dynamic=jnp.asarray(1, jnp.int32))
         out = strat_mod.adjust_strategy(cfg, strat, diag)
         assert float(out.psi_aggression) < 10.0
         assert float(out.threshold) < 1e-4

@@ -55,6 +55,75 @@ class TestCheckpoint:
         with pytest.raises(ValueError, match="leaves"):
             checkpoint.load_state(path, {"a": np.zeros(3), "b": np.zeros(1)})
 
+    def test_checkpoint_every_resume_bit_exact(self, tmp_path):
+        """Kill a run mid-way (simulated by a small max_iterations), resume from
+        the periodic checkpoint, and match the uninterrupted run bit-exactly
+        (VERDICT r1 #8)."""
+        A_h, b_h = gen.ill_conditioned_system(24, cond=1e4, seed=3)
+        path = str(tmp_path / "periodic.npz")
+
+        s_ref = maus_tpu.MausSolver(A_h, ProblemType.SOLVE_LINEAR_SYSTEM,
+                                    b_vector=b_h, initial_num_candidates=6)
+        rep_ref = s_ref.evolve(max_iterations=6)
+
+        s_a = maus_tpu.MausSolver(A_h, ProblemType.SOLVE_LINEAR_SYSTEM,
+                                  b_vector=b_h, initial_num_candidates=6)
+        s_a.evolve(max_iterations=4, checkpoint_path=path, checkpoint_every=2)
+        s_b = maus_tpu.MausSolver(A_h, ProblemType.SOLVE_LINEAR_SYSTEM,
+                                  b_vector=b_h, initial_num_candidates=6)
+        rep_b = s_b.evolve(max_iterations=6, resume_from=path)
+
+        assert rep_ref.iterations == rep_b.iterations
+        assert rep_ref.residuals == rep_b.residuals
+        np.testing.assert_array_equal(rep_ref.solutions[0][0],
+                                      rep_b.solutions[0][0])
+
+    def test_param_history_capture(self):
+        """cfg.capture_param_history returns the per-iteration solution
+        iterates (reference param_history, AMS:126/142-143)."""
+        from maus_tpu.core.types import SolverConfig
+
+        A_h, b_h = gen.well_conditioned_system(12, seed=2)
+        cfg = SolverConfig(problem_type=ProblemType.SOLVE_LINEAR_SYSTEM,
+                           num_candidates=4, capture_param_history=True,
+                           dtype=np.complex128)
+        s = maus_tpu.MausSolver(A_h, ProblemType.SOLVE_LINEAR_SYSTEM,
+                                b_vector=b_h, config=cfg)
+        rep = s.evolve(max_iterations=5, collect_metrics=True)
+        ph = rep.metrics["candidate_params"]
+        assert ph.shape == (5, 4, 12)
+        # the trajectory must move and end finite
+        assert np.all(np.isfinite(ph[-1].real))
+        assert not np.allclose(ph[0], ph[-1])
+
+    def test_dtype_mismatch_fails_loudly(self, tmp_path):
+        """A checkpoint written under a different precision config must refuse
+        to load (silent truncation was ADVICE r1 finding #5)."""
+        path = str(tmp_path / "prec.npz")
+        checkpoint.save_state(path, {"a": np.zeros(3, np.float64)})
+        with pytest.raises(ValueError, match="dtype"):
+            checkpoint.load_state(path, {"a": np.zeros(3, np.float32)})
+        checkpoint.save_state(path, {"z": np.zeros(3, np.complex128)})
+        with pytest.raises(ValueError, match="dtype"):
+            checkpoint.load_state(path, {"z": np.zeros(3, np.complex64)})
+
+    def test_complex_leaves_stored_as_split_planes(self, tmp_path):
+        """Complex leaves must never hit np.asarray directly (the TPU host
+        boundary can't move complex dtypes) — the file stores re/im planes."""
+        path = str(tmp_path / "cplx.npz")
+        z = (np.arange(6, dtype=np.float64)
+             + 1j * np.arange(6, dtype=np.float64)).reshape(2, 3)
+        checkpoint.save_state(path, {"z": z, "r": np.ones(2, np.float32)})
+        with np.load(path) as data:
+            names = set(data.files)
+        # dict pytrees flatten in sorted key order: r → leaf_0000, z → leaf_0001
+        assert "leaf_0001_re" in names and "leaf_0001_im" in names
+        assert "leaf_0001" not in names
+        loaded = checkpoint.load_state(
+            path, {"z": np.zeros((2, 3), np.complex128),
+                   "r": np.zeros(2, np.float32)})
+        np.testing.assert_array_equal(np.asarray(loaded["z"]), z)
+
 
 class TestMetrics:
     def test_jsonl_sink_and_trace(self):
