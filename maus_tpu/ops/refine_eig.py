@@ -234,17 +234,18 @@ def refine_svd_triplets(A64: SplitComplex, sig0: jax.Array, U0: jax.Array,
             Av = _smatvec(A64, V)
             sig_new = _sdot(U, Av).re
             r1, r2, rn = resid_of(sig_new, U, V)
-            # dv solves (AᴴA − σ²) dv = σ r2 + Aᴴ r1 (c64 against the LU)
+            # Newton with dσ folded into the RQ update: A dv − σ du = −r1,
+            # Aᴴ du − σ dv = −r2  ⇒  (AᴴA − σ²) dv = −(σ r2 + Aᴴ r1),
+            # du = (A dv + r1)/σ  (σ ≈ 0 candidates are masked out entirely)
             Ahr1 = _smatvec_adj(A64, r1)
-            rhs = SplitComplex(sig_new[:, None] * r2.re + Ahr1.re,
-                               sig_new[:, None] * r2.im + Ahr1.im)
+            rhs = SplitComplex(-(sig_new[:, None] * r2.re + Ahr1.re),
+                               -(sig_new[:, None] * r2.im + Ahr1.im))
             dv = solve(_to_c(rhs, cdtype))
             dv64 = _from_c(dv, rdt)
-            # du = (A dv − r1)/σ  (σ ≈ 0 candidates are masked out entirely)
             Adv = _smatvec(A64, dv64)
             sig_safe = jnp.where(small, 1.0, sig_new)[:, None]
-            du = SplitComplex((Adv.re - r1.re) / sig_safe,
-                              (Adv.im - r1.im) / sig_safe)
+            du = SplitComplex((Adv.re + r1.re) / sig_safe,
+                              (Adv.im + r1.im) / sig_safe)
             V_new = SplitComplex(V.re + dv64.re, V.im + dv64.im)
             U_new = SplitComplex(U.re + du.re, U.im + du.im)
             nn = jnp.maximum(_snorm(V_new), 1e-300)

@@ -215,20 +215,33 @@ class MausSolver:
 
         solutions, residuals = [], []
         order = np.argsort(np.where(np.isfinite(residual), residual, np.inf))
-        for k in order:
-            if not leader[k]:
-                continue
+        leader_ks = [int(k) for k in order if leader[k]]
+        refined = {}
+        if cfg.refine and leader_ks and cfg.problem_type in (
+                ProblemType.EIGENVALUE, ProblemType.SVD):
+            # mixed-precision finisher (ops/refine_eig.py): on TPU c64 the
+            # evolve loop accepts at the dtype floor ≈ √N·ε_f32; this closes
+            # the gap to the user's tol with f64 split-plane Newton steps —
+            # the eig/SVD analogue of _refine_linear (AMS:25 tol contract)
+            refined = self._refine_spectral(leader_ks, lam, v, u, residual)
+        for k in leader_ks:
             if cfg.problem_type == ProblemType.EIGENVALUE:
-                solutions.append((complex(lam[k]), v[k]))
+                lam_k, v_k, r_k = refined.get(
+                    k, (complex(lam[k]), v[k], float(residual[k])))
+                solutions.append((lam_k, v_k))
+                residuals.append(r_k)
             elif cfg.problem_type == ProblemType.SVD:
-                solutions.append((float(lam[k].real), u[k], v[k]))
+                s_k, u_k, v_k, r_k = refined.get(
+                    k, (float(lam[k].real), u[k], v[k], float(residual[k])))
+                solutions.append((s_k, u_k, v_k))
+                residuals.append(r_k)
             else:
                 xk = v[k]
                 if cfg.refine:
                     xk, rel = self._refine_linear(xk)
                     residual[k] = float(rel)
                 solutions.append((xk,))
-            residuals.append(float(residual[k]))
+                residuals.append(float(residual[k]))
 
         mdict = None
         if metrics is not None:
@@ -280,6 +293,55 @@ class MausSolver:
                 lambda *xs: jnp.concatenate(xs, axis=0), *metrics_chunks)
             return carry, stacked
         return carry, None
+
+    # chunk size for batched spectral refinement: fixed so each distinct
+    # (chunk, N) shape compiles once; 8 shifted c64 LUs of N² stay well under
+    # HBM limits up to N=4096 (8·4096²·8 B = 1 GiB)
+    _REFINE_CHUNK = 8
+
+    def _refine_spectral(self, ks: list, lam: np.ndarray, v: np.ndarray,
+                         u: Optional[np.ndarray], residual: np.ndarray) -> dict:
+        """Batch-refine eigenpair / singular-triplet leaders to f64 residuals
+        against the ORIGINAL full-precision operand. Returns {slot: refined
+        tuple + residual}, keeping a slot's original data when refinement did
+        not improve it."""
+        from ..ops.refine_eig import refine_eigenpairs, refine_svd_triplets
+        cfg = self.config
+        rdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        A64 = SplitComplex(jnp.asarray(self.A_host.real.astype(rdt)),
+                           jnp.asarray(self.A_host.imag.astype(rdt)))
+        out = {}
+        CH = self._REFINE_CHUNK
+        for i in range(0, len(ks), CH):
+            chunk = ks[i:i + CH]
+            idx = chunk + [chunk[-1]] * (CH - len(chunk))   # pad to fixed shape
+            lam_j = to_device_complex(lam[idx], cfg.dtype)
+            V_j = to_device_complex(v[idx], cfg.dtype)
+            if cfg.problem_type == ProblemType.EIGENVALUE:
+                lam_s, V_s, res = refine_eigenpairs(A64, lam_j, V_j, steps=5)
+                lam_re, lam_im = np.asarray(lam_s.re), np.asarray(lam_s.im)
+                v_re, v_im = np.asarray(V_s.re), np.asarray(V_s.im)
+                res_h = np.asarray(res)
+                for j, k in enumerate(chunk):
+                    if np.isfinite(res_h[j]) and res_h[j] < residual[k]:
+                        out[k] = (complex(lam_re[j] + 1j * lam_im[j]),
+                                  (v_re[j] + 1j * v_im[j]).astype(np.complex128),
+                                  float(res_h[j]))
+            else:   # SVD
+                U_j = to_device_complex(u[idx], cfg.dtype)
+                sig, U_s, V_s, res = refine_svd_triplets(A64, lam_j, U_j, V_j,
+                                                         steps=5)
+                sig_h = np.asarray(sig)
+                u_re, u_im = np.asarray(U_s.re), np.asarray(U_s.im)
+                v_re, v_im = np.asarray(V_s.re), np.asarray(V_s.im)
+                res_h = np.asarray(res)
+                for j, k in enumerate(chunk):
+                    if np.isfinite(res_h[j]) and res_h[j] < residual[k]:
+                        out[k] = (float(sig_h[j]),
+                                  (u_re[j] + 1j * u_im[j]).astype(np.complex128),
+                                  (v_re[j] + 1j * v_im[j]).astype(np.complex128),
+                                  float(res_h[j]))
+        return out
 
     def _refine_linear(self, x: np.ndarray):
         """Mixed-precision iterative refinement of a linear solution (O(N²) f64

@@ -1,0 +1,101 @@
+"""Mixed-precision eig/SVD finishers (VERDICT r1 #2).
+
+All inputs are deliberately complex64 — the TPU compute dtype — while truth and
+residuals are f64: these tests exercise exactly the precision gap the finishers
+exist to close (c64 floor ≈ √N·ε_f32 → tol 1e-8)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import maus_tpu
+from maus_tpu.core.types import ProblemType, SolverConfig
+from maus_tpu.ops.refine import SplitComplex
+from maus_tpu.ops.refine_eig import refine_eigenpairs, refine_svd_triplets
+
+
+def _split64(A):
+    return SplitComplex(jnp.asarray(A.real.astype(np.float64)),
+                        jnp.asarray(A.imag.astype(np.float64)))
+
+
+class TestEigenpairNewton:
+    def _check(self, A, rtol=1e-11):
+        n = A.shape[0]
+        w, V = np.linalg.eig(A)
+        rng = np.random.default_rng(1)
+        k = 6
+        pick = rng.choice(n, size=k, replace=False)
+        v0 = V[:, pick].T + 1e-4 * (rng.standard_normal((k, n))
+                                    + 1j * rng.standard_normal((k, n)))
+        v0 = v0 / np.linalg.norm(v0, axis=1, keepdims=True)
+        lam0 = w[pick] * (1 + 1e-5) + 1e-5
+        lam_s, V_s, res = refine_eigenpairs(
+            _split64(A), jnp.asarray(lam0, jnp.complex64),
+            jnp.asarray(v0, jnp.complex64), steps=5)
+        res = np.asarray(res)
+        anorm = np.linalg.norm(A, 2)
+        assert np.all(res < rtol * anorm), res / anorm
+        lam_ref = np.asarray(lam_s.re) + 1j * np.asarray(lam_s.im)
+        for j in range(k):
+            assert np.min(np.abs(w - lam_ref[j])) < rtol * anorm
+
+    def test_hermitian(self):
+        rng = np.random.default_rng(0)
+        B = rng.standard_normal((48, 48)) + 1j * rng.standard_normal((48, 48))
+        self._check((B + B.conj().T) / 2)
+
+    def test_nonnormal(self):
+        rng = np.random.default_rng(2)
+        A = rng.standard_normal((48, 48)) + 1j * rng.standard_normal((48, 48))
+        self._check(A, rtol=1e-10)
+
+
+class TestSvdNewton:
+    def test_triplets_reach_f64(self):
+        rng = np.random.default_rng(0)
+        A = rng.standard_normal((40, 32)) + 1j * rng.standard_normal((40, 32))
+        U, s, Vh = np.linalg.svd(A, full_matrices=False)
+        k = 5
+        u0 = U[:, :k].T + 1e-4 * (rng.standard_normal((k, 40))
+                                  + 1j * rng.standard_normal((k, 40)))
+        v0 = Vh[:k].conj() + 1e-4 * (rng.standard_normal((k, 32))
+                                     + 1j * rng.standard_normal((k, 32)))
+        sig0 = s[:k] * (1 + 1e-4)
+        sig, U_s, V_s, res = refine_svd_triplets(
+            _split64(A), jnp.asarray(sig0, jnp.complex64),
+            jnp.asarray(u0, jnp.complex64), jnp.asarray(v0, jnp.complex64),
+            steps=6)
+        res = np.asarray(res)
+        anorm = s[0]
+        assert np.all(res < 1e-10 * anorm), res / anorm
+        assert np.allclose(np.asarray(sig), s[:k], rtol=1e-10)
+
+
+class TestApiEngagement:
+    def test_eig_c64_reaches_1e8(self):
+        """End-to-end in the TPU compute dtype: the evolve loop accepts at the
+        c64 floor, the finisher must deliver residuals ≤ 1e-8 in the report."""
+        from maus_tpu.problems import generators as gen
+
+        Ah = gen.laplace_like_complex(8, make_hermitian=True)
+        cfg = SolverConfig(problem_type=ProblemType.EIGENVALUE,
+                           num_candidates=30, tol=1e-8, dtype=jnp.complex64,
+                           convergence_floor=5e-6)
+        s = maus_tpu.MausSolver(Ah, ProblemType.EIGENVALUE, config=cfg)
+        rep = s.evolve(max_iterations=60)
+        assert rep.num_distinct == 8
+        assert max(rep.residuals) <= 1e-8
+
+    def test_svd_c64_reaches_1e6(self):
+        from maus_tpu.problems import generators as gen
+
+        A = np.asarray(gen.low_rank_svd_matrix(5, 4, seed=0))
+        cfg = SolverConfig(problem_type=ProblemType.SVD,
+                           num_candidates=12, tol=1e-6, dtype=jnp.complex64,
+                           convergence_floor=5e-6)
+        s = maus_tpu.MausSolver(A, ProblemType.SVD, config=cfg)
+        rep = s.evolve(max_iterations=80)
+        assert rep.num_distinct >= 2
+        big = [r for sol, r in zip(rep.solutions, rep.residuals)
+               if sol[0] > 1e-3]
+        assert big and max(big) <= 1e-6
