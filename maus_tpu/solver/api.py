@@ -78,11 +78,15 @@ class MausSolver:
         # Compute dtype is decided before diagnosis so the operand can move to
         # the device first — the condition estimate then runs on device for
         # large N (estimate_cond_device) instead of stalling on host LAPACK.
+        # c128 exists only off-TPU: the x64 flag alone is NOT sufficient (the
+        # TPU path runs with x64 ON for split-f64 refinement, while all
+        # complex compute stays c64).
+        use_c128 = jax.config.jax_enable_x64 and \
+            jax.default_backend() == "cpu"
         if config is not None:
             compute_dtype = config.dtype
         else:
-            compute_dtype = jnp.complex128 if jax.config.jax_enable_x64 \
-                else jnp.complex64
+            compute_dtype = jnp.complex128 if use_c128 else jnp.complex64
         # complex transfers must go through the split-plane shim: this TPU
         # runtime cannot device_put/readback complex dtypes (utils/xfer.py)
         A_dev = to_device_complex(A_host, compute_dtype)
@@ -101,13 +105,8 @@ class MausSolver:
                 initial_num_candidates = min(3 * max(m, n), 64)
             # dtype-aware convergence floor: c64 relative residuals bottom out
             # around sqrt(N)·eps_f32; the refinement pass recovers the rest
-            import jax.numpy as _jnp
-            floor = 0.0
-            dt = _jnp.complex64
-            if not jax.config.jax_enable_x64:
-                floor = float(50 * np.finfo(np.float32).eps)
-            else:
-                dt = _jnp.complex128
+            dt = compute_dtype
+            floor = 0.0 if use_c128 else float(50 * np.finfo(np.float32).eps)
             config = SolverConfig(problem_type=problem_type,
                                   num_candidates=int(initial_num_candidates),
                                   tol=float(global_convergence_tol),

@@ -1,0 +1,178 @@
+"""TPU hardware tier (VERDICT r1 #4): c64 numerics on the real chip.
+
+Run with::
+
+    MAUS_TPU_TESTS=1 python -m pytest -m tpu tests/test_tpu.py -q
+
+Every test here exercises behavior the CPU tier structurally cannot: c64
+convergence floors, the complex host-boundary shims, split-f64 refinement on
+emulated f64, and checkpointing device-resident complex state. Shapes are
+deliberately few and reused — remote compiles cost 20-120 s each.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(jax.default_backend() in ("cpu", "gpu"),
+                       reason="requires the TPU backend "
+                              "(MAUS_TPU_TESTS=1 pytest -m tpu)"),
+]
+
+N = 64          # the tier's single square shape — reused to bound compiles
+K = 8
+
+
+def _host_problem(seed=0, cond=100.0):
+    rng = np.random.default_rng(seed)
+    q1, _ = np.linalg.qr(rng.standard_normal((N, N))
+                         + 1j * rng.standard_normal((N, N)))
+    q2, _ = np.linalg.qr(rng.standard_normal((N, N))
+                         + 1j * rng.standard_normal((N, N)))
+    s = np.logspace(0, -np.log10(cond), N)
+    A = (q1 * s[None, :]) @ q2.conj().T
+    b = rng.standard_normal(N) + 1j * rng.standard_normal(N)
+    return A, b
+
+
+class TestXfer:
+    def test_complex_roundtrip(self):
+        from maus_tpu.utils.xfer import to_device_complex, to_host_complex
+
+        z = (np.arange(2 * N, dtype=np.float64)
+             + 1j * np.arange(2 * N, dtype=np.float64)[::-1]).reshape(2, N)
+        zd = to_device_complex(z, jnp.complex64)
+        assert zd.dtype == jnp.complex64
+        zh = to_host_complex(zd)
+        np.testing.assert_allclose(zh, z.astype(np.complex64), rtol=0, atol=0)
+
+
+class TestLinearFloor:
+    def test_solve_reaches_1e8_via_refinement(self):
+        import maus_tpu
+        from maus_tpu.core.types import ProblemType
+
+        A, b = _host_problem(seed=0, cond=1e3)
+        s = maus_tpu.MausSolver(A, ProblemType.SOLVE_LINEAR_SYSTEM, b_vector=b,
+                                initial_num_candidates=K)
+        rep = s.evolve(max_iterations=40)
+        assert rep.converged
+        assert rep.residuals[0] <= 1e-8
+        # the refined solution must actually solve the ORIGINAL host system
+        x = rep.solutions[0][0]
+        rel = np.linalg.norm(A @ x - b) / np.linalg.norm(b)
+        assert rel <= 1e-8
+
+
+class TestEigFloor:
+    def test_hermitian_eig_reaches_1e8(self):
+        import maus_tpu
+        from maus_tpu.core.types import ProblemType
+
+        rng = np.random.default_rng(1)
+        B = rng.standard_normal((N, N)) + 1j * rng.standard_normal((N, N))
+        Ah = (B + B.conj().T) / 2
+        s = maus_tpu.MausSolver(Ah, ProblemType.EIGENVALUE,
+                                initial_num_candidates=2 * K,
+                                global_convergence_tol=1e-8)
+        rep = s.evolve(max_iterations=40)
+        assert rep.num_distinct >= K          # capacity-bounded coverage
+        anorm = float(np.linalg.norm(Ah, 2))
+        assert max(rep.residuals) <= 1e-8 * max(anorm, 1.0)
+        w_true = np.linalg.eigvalsh(Ah)
+        for lam, _v in rep.solutions:
+            assert np.min(np.abs(w_true - lam)) < 1e-6 * anorm
+
+
+class TestSvdFloor:
+    def test_svd_reaches_1e6(self):
+        import maus_tpu
+        from maus_tpu.core.types import ProblemType
+        from maus_tpu.problems import generators as gen
+
+        A = np.asarray(gen.low_rank_svd_matrix(5, 4, seed=0))
+        s = maus_tpu.MausSolver(A, ProblemType.SVD, initial_num_candidates=12,
+                                global_convergence_tol=1e-6)
+        rep = s.evolve(max_iterations=60)
+        sig = sorted((t[0] for t in rep.solutions), reverse=True)
+        assert np.isclose(sig[0], 5.0, rtol=1e-4)
+        assert np.isclose(sig[1], 2.5, rtol=1e-4)
+        big = [r for sol, r in zip(rep.solutions, rep.residuals)
+               if sol[0] > 1e-3]
+        assert max(big) <= 1e-6
+
+
+class TestSharedEigh:
+    def test_eigh_accuracy_on_chip(self):
+        """XLA eigh in c64 at HIGHEST matmul precision vs f64 host oracle."""
+        from maus_tpu.solver.hermitian import eigh_setup
+        from maus_tpu.utils.xfer import to_device_complex, to_host_complex
+
+        rng = np.random.default_rng(2)
+        B = rng.standard_normal((N, N)) + 1j * rng.standard_normal((N, N))
+        Ah = (B + B.conj().T) / 2
+        cache = eigh_setup(to_device_complex(Ah, jnp.complex64))
+        w = np.asarray(cache.w)
+        V = to_host_complex(cache.V)
+        w_true = np.linalg.eigvalsh(Ah)
+        anorm = float(np.abs(w_true).max())
+        assert np.max(np.abs(np.sort(w) - w_true)) < 5e-5 * anorm
+        r = Ah @ V - V * w[None, :]
+        assert np.max(np.linalg.norm(r, axis=0)) < 5e-5 * anorm
+
+
+class TestCheckpointOnChip:
+    def test_roundtrip_with_complex_device_state(self, tmp_path):
+        """save/load of the full carry (complex population + factors) through
+        the split-plane shim — the r1 ADVICE-high crash scenario."""
+        import maus_tpu
+        from maus_tpu.core.types import ProblemType
+        from maus_tpu.solver import evolve as ev
+        from maus_tpu.utils import checkpoint
+
+        A, b = _host_problem(seed=3, cond=10.0)
+        s = maus_tpu.MausSolver(A, ProblemType.SOLVE_LINEAR_SYSTEM, b_vector=b,
+                                initial_num_candidates=K)
+        cfg, kn = s.config, s.knowledge
+        step = jax.jit(ev.make_iteration(cfg, kn, s.A, s.b, None, 1))
+        carry = ev.init_carry(cfg, kn, s.A, s._key)
+        carry, _ = step(carry)
+        path = str(tmp_path / "tpu_ckpt.npz")
+        n_leaves = checkpoint.save_state(path, carry)
+        assert n_leaves > 5
+        template = ev.init_carry(cfg, kn, s.A, s._key)
+        loaded = checkpoint.load_state(path, template)
+        ref, _ = step(carry)
+        res, _ = step(loaded)
+        # fence through a real-valued reduction computed inside jit
+        d = jax.jit(lambda a, b: jnp.sum(jnp.abs(a.pop.v - b.pop.v)))(ref, res)
+        assert float(d) == 0.0
+
+
+class TestCondProbe:
+    def test_device_cond_estimate_on_chip(self):
+        from maus_tpu.solver.diagnose import estimate_cond_device
+        from maus_tpu.utils.xfer import to_device_complex
+
+        A, _ = _host_problem(seed=4, cond=1e4)
+        c = estimate_cond_device(to_device_complex(A, jnp.complex64))
+        assert 2e3 <= c <= 5e4
+
+
+class TestRefineSplit:
+    def test_ir_reaches_1e10_on_emulated_f64(self):
+        from maus_tpu.ops.batched_solve import shared_factor_qr
+        from maus_tpu.ops.refine import SplitComplex, refine_split
+        from maus_tpu.utils.xfer import to_device_complex
+
+        A, b = _host_problem(seed=5, cond=1e3)
+        Ad = to_device_complex(A, jnp.complex64)
+        fac = shared_factor_qr(Ad, 1e-18)
+        A64 = SplitComplex(jnp.asarray(A.real), jnp.asarray(A.imag))
+        b64 = SplitComplex(jnp.asarray(b.real), jnp.asarray(b.imag))
+        x0 = to_device_complex(np.zeros_like(b), jnp.complex64)
+        xs, rel = refine_split(A64, fac, b64, x0, steps=30, tol=1e-12)
+        assert float(rel) < 1e-10
