@@ -8,12 +8,13 @@ root for the reference analysis this build follows.
 """
 from .core.types import (CandidateStatus, ProblemKnowledge, ProblemType,
                          SolverConfig, SolverPreference, StabilityState)
+from .parallel.dist_qr import solve_distributed
 from .solver.api import MausSolver, SolutionReport, eig, solve, svd
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "CandidateStatus", "MausSolver", "ProblemKnowledge", "ProblemType",
     "SolutionReport", "SolverConfig", "SolverPreference", "StabilityState",
-    "eig", "solve", "svd", "__version__",
+    "eig", "solve", "solve_distributed", "svd", "__version__",
 ]

@@ -122,6 +122,10 @@ class SolverConfig:
                                      # N; beyond it (or for sparse-classified
                                      # inputs) per-candidate deflated Lanczos
                                      # (the reference's eigsh branch, AMS:186-210)
+    use_hessenberg: bool = True      # non-Hermitian eig: reduce A = Q H Qᴴ once
+                                     # and run every shifted solve as an O(N²)
+                                     # Givens QR on (H − λI) instead of a
+                                     # per-candidate O(N³) LU (ops/hessenberg)
     orthogonalize: bool = True       # block-orthogonalize SVD/eig candidate vectors
                                      # (subspace iteration); fixes the reference's
                                      # diversity collapse (SURVEY §0.1) while keeping
@@ -157,6 +161,7 @@ class SolverConfig:
                      self.min_weight, self.vector_similarity_tol,
                      self.lambda_similarity_tol, self.sigma_similarity_abs,
                      self.sigma_similarity_rel, str(self.dtype),
+                     self.use_hessenberg,
                      self.convergence_floor, self.refine,
                      self.max_refine_steps, self.eigh_max_n, self.orthogonalize,
                      self.target_num_solutions, self.energy_stop,

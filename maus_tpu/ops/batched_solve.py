@@ -95,6 +95,38 @@ def _finite_rows(x: jax.Array) -> jax.Array:
     return jnp.all(ok, axis=-1)
 
 
+def psi_ladder(solve_at, K: int, max_attempts: int
+               ) -> tuple[jax.Array, jax.Array]:
+    """Generic batched Ψ escalation ladder (AMS:43-104 semantics).
+
+    ``solve_at(attempt_k: (K,) int32) -> (K, N)`` performs the solve at the
+    given per-candidate attempt levels. Candidates whose result is finite are
+    frozen; the loop re-solves only while some candidate is non-finite and
+    attempts remain. Returns ``(W, attempts)``.
+    """
+    W0 = solve_at(jnp.zeros((K,), jnp.int32))
+    ok0 = _finite_rows(W0)
+    attempts0 = jnp.zeros((K,), jnp.int32)
+
+    def cond(carry):
+        attempts, W, ok = carry
+        return jnp.any(~ok & (attempts < max_attempts))
+
+    def body(carry):
+        attempts, W, ok = carry
+        attempts_new = jnp.where(ok, attempts, attempts + 1)
+        W_try = solve_at(attempts_new)
+        ok_try = _finite_rows(W_try)
+        W_out = jnp.where(ok[:, None], W, W_try)
+        return attempts_new, W_out, ok | ok_try
+
+    attempts, W, ok = jax.lax.while_loop(cond, body, (attempts0, W0, ok0))
+    # still non-finite after the ladder: zero them; the candidate layer treats
+    # a zero update as a solve failure (stuck++/weight collapse, AMS:287-293)
+    W = jnp.where(ok[:, None], W, jnp.zeros_like(W))
+    return W, attempts
+
+
 def batched_shifted_solve(A: jax.Array, lams: jax.Array, stuck: jax.Array,
                           psi_base, aggression, B: jax.Array,
                           max_attempts: int = 4) -> tuple[jax.Array, jax.Array]:
@@ -123,27 +155,7 @@ def batched_shifted_solve(A: jax.Array, lams: jax.Array, stuck: jax.Array,
 
         return jax.vmap(one)(lams, psi, B)
 
-    W0 = solve_at(jnp.zeros((K,), jnp.int32))
-    ok0 = _finite_rows(W0)
-    attempts0 = jnp.zeros((K,), jnp.int32)
-
-    def cond(carry):
-        attempts, W, ok = carry
-        return jnp.any(~ok & (attempts < max_attempts))
-
-    def body(carry):
-        attempts, W, ok = carry
-        attempts_new = jnp.where(ok, attempts, attempts + 1)
-        W_try = solve_at(attempts_new)
-        ok_try = _finite_rows(W_try)
-        W_out = jnp.where(ok[:, None], W, W_try)
-        return attempts_new, W_out, ok | ok_try
-
-    attempts, W, ok = jax.lax.while_loop(cond, body, (attempts0, W0, ok0))
-    # Candidates still non-finite after the ladder: zero them; the candidate layer
-    # treats a zero update as a solve failure (stuck++/weight collapse, AMS:287-293).
-    W = jnp.where(ok[:, None], W, jnp.zeros_like(W))
-    return W, attempts
+    return psi_ladder(solve_at, K, max_attempts)
 
 
 # ---------------------------------------------------------------------------

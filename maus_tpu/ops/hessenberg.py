@@ -1,0 +1,184 @@
+"""Hessenberg reduction + batched shifted Hessenberg solves.
+
+THE structural optimization of the eigen hot path (VERDICT r1 #1). The
+reference solves ``(A − λ_k I + ΨD) w = v_k`` with one LAPACK LU per candidate
+per iteration (AMS:224-225/270-271) — O(K·N³) per iteration; round 1 mapped
+that to XLA's batched LU, which the MFU scorecard measures at <1% of the c64
+roofline at eig shapes (small-n batched pivoting is hostile to the MXU).
+
+TPU-first restructure: all K shifted operators share A, so reduce
+``A = Q H Qᴴ`` (upper Hessenberg) ONCE — O(N³), paid at setup — after which
+
+    (A − λI)⁻¹ v  =  Q · (H − λI)⁻¹ · Qᴴ v
+
+and each shifted solve is a **Givens QR of an upper-Hessenberg matrix**:
+O(N²) per candidate with no pivoting (Givens is unconditionally stable), all
+batched over K as (K, N) row operations. Per iteration the eig path now costs
+two (K,N)×(N,N) GEMMs (MXU, memory-bound) + one O(K·N²) banded sweep instead
+of K LU factorizations.
+
+``jax.lax.linalg.hessenberg`` has no TPU lowering (probed: "MLIR translation
+rule not found"), so the reduction is implemented here as N−2 masked
+Householder similarity steps under ``lax.scan`` — fixed shapes, O(N³) total,
+GEMV-bound, one-time.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class HessCache(NamedTuple):
+    """Shared Hessenberg form of the operand: A = Q H Qᴴ."""
+
+    h: jax.Array    # (N, N) upper Hessenberg
+    q: jax.Array    # (N, N) unitary
+
+
+@functools.partial(jax.jit)
+def reduce_hessenberg(A: jax.Array) -> HessCache:
+    """Householder reduction to upper Hessenberg form (one-time O(N³))."""
+    N = A.shape[0]
+    dtype = A.dtype
+    rdt = jnp.finfo(dtype).dtype
+    rows = jnp.arange(N)
+
+    with jax.default_matmul_precision("highest"):
+        def step(carry, j):
+            H, Q = carry
+            col = jax.lax.dynamic_slice_in_dim(H, j, 1, axis=1)[:, 0]  # (N,)
+            tail = rows > j                  # support of the Householder vector
+            x = jnp.where(tail, col, 0.0)
+            normx = jnp.linalg.norm(x)
+            pivot = jnp.sum(jnp.where(rows == j + 1, x, 0.0))
+            # complex sign(pivot); 1 for zero pivot
+            absp = jnp.abs(pivot)
+            sign = jnp.where(absp > 0, pivot / jnp.maximum(absp, 1e-300),
+                             jnp.ones_like(pivot))
+            beta = -sign * normx.astype(dtype)
+            v = x - beta * (rows == j + 1).astype(dtype)
+            vn = jnp.linalg.norm(v)
+            ok = (vn.real > jnp.asarray(1e-30, rdt)) & \
+                 (normx.real > jnp.asarray(1e-30, rdt))
+            v = jnp.where(ok, v / jnp.maximum(vn, jnp.asarray(1e-300, rdt)
+                                              .astype(vn.dtype)), 0.0)
+            # similarity update H ← P H P, accumulate Q ← Q P  (P = I − 2vvᴴ)
+            w = jnp.conj(v) @ H                       # (N,)
+            H = H - 2.0 * jnp.outer(v, w)
+            u = H @ v
+            H = H - 2.0 * jnp.outer(u, jnp.conj(v))
+            qv = Q @ v
+            Q = Q - 2.0 * jnp.outer(qv, jnp.conj(v))
+            return (H, Q), None
+
+        Q0 = jnp.eye(N, dtype=dtype)
+        (H, Q), _ = jax.lax.scan(step, (A, Q0), jnp.arange(max(N - 2, 0)))
+        # clean sub-subdiagonal rounding dust so downstream code may rely on
+        # exact Hessenberg structure
+        r = rows[:, None]
+        c = rows[None, :]
+        H = jnp.where(r > c + 1, 0.0, H)
+        return HessCache(h=H, q=Q)
+
+
+def _pallas_dispatch_ok(K: int, N: int, dtype) -> bool:
+    """Use the single-kernel Pallas sweep on TPU when shapes allow (the scan
+    fallback pays ~2N fused-op launches; the kernel pays none)."""
+    if jax.default_backend() in ("cpu", "gpu"):
+        return False
+    if dtype != jnp.complex64 or N % 128 != 0 or N > 1024:
+        return False
+    from .pallas.hess_solve import _kc_for
+    return K % _kc_for(N) == 0
+
+
+@functools.partial(jax.jit)
+def solve_shifted_hessenberg(H: jax.Array, lams: jax.Array, B: jax.Array,
+                             psi: jax.Array | None = None) -> jax.Array:
+    """Solve ``(H − λ_k I + ψ_k I) w_k = b_k`` for K candidates at once.
+
+    Givens QR sweep down the subdiagonal (scan over columns, each step a
+    batched (K,·) row rotation) followed by back substitution — O(K·N²) total,
+    no pivoting needed. ``psi``: optional (K,) real regularization added to
+    the shifted diagonal (the Ψ ladder's rung, reference AMS:44).
+
+    On TPU at supported shapes the whole sweep runs as ONE Pallas kernel
+    (:mod:`maus_tpu.ops.pallas.hess_solve`) instead of a ~2N-step scan.
+    """
+    K, N = B.shape
+    if _pallas_dispatch_ok(K, N, B.dtype):
+        from .pallas.hess_solve import hess_solve_batched_pallas
+        shift = -lams
+        if psi is not None:
+            shift = shift + psi.astype(B.dtype)
+        return hess_solve_batched_pallas(H, shift, B)
+    dtype = B.dtype
+    rdt = jnp.finfo(dtype).dtype
+    cols = jnp.arange(N)
+
+    with jax.default_matmul_precision("highest"):
+        shift = -lams
+        if psi is not None:
+            shift = shift + psi.astype(dtype)
+        # R0: (K, N, N) shifted Hessenberg per candidate
+        R = jnp.broadcast_to(H[None], (K, N, N)) + \
+            shift[:, None, None] * jnp.eye(N, dtype=dtype)[None]
+        y = B
+
+        def fwd(carry, j):
+            R, y = carry
+            rj = jax.lax.dynamic_slice_in_dim(R, j, 2, axis=1)    # (K, 2, N)
+            a = jnp.sum(jnp.where(cols[None, :] == j, rj[:, 0], 0.0), axis=-1)
+            b = jnp.sum(jnp.where(cols[None, :] == j, rj[:, 1], 0.0), axis=-1)
+            # complex Givens: r = √(|a|²+|b|²), c = |a|/r, s = sign(a)·conj(b)/r
+            r2 = (jnp.abs(a) ** 2 + jnp.abs(b) ** 2).real
+            r = jnp.sqrt(jnp.maximum(r2, jnp.asarray(1e-300, rdt)))
+            nontrivial = jnp.abs(b) > 0
+            absa = jnp.abs(a)
+            signa = jnp.where(absa > 0, a / jnp.maximum(absa, 1e-300),
+                              jnp.ones_like(a))
+            c = (absa / r).astype(dtype)
+            s = signa * jnp.conj(b) / r.astype(dtype)
+            c = jnp.where(nontrivial, c, jnp.ones_like(c))
+            s = jnp.where(nontrivial, s, jnp.zeros_like(s))
+            row0 = c[:, None] * rj[:, 0] + s[:, None] * rj[:, 1]
+            row1 = -jnp.conj(s)[:, None] * rj[:, 0] + \
+                jnp.conj(c)[:, None] * rj[:, 1]
+            R = jax.lax.dynamic_update_slice_in_dim(
+                R, jnp.stack([row0, row1], axis=1), j, axis=1)
+            yj = jax.lax.dynamic_slice_in_dim(y, j, 2, axis=1)     # (K, 2)
+            y0 = c * yj[:, 0] + s * yj[:, 1]
+            y1 = -jnp.conj(s) * yj[:, 0] + jnp.conj(c) * yj[:, 1]
+            y = jax.lax.dynamic_update_slice_in_dim(
+                y, jnp.stack([y0, y1], axis=1), j, axis=1)
+            return (R, y), None
+
+        (R, y), _ = jax.lax.scan(fwd, (R, y), jnp.arange(max(N - 1, 0)))
+
+        def bwd(x, j):
+            Rj = jax.lax.dynamic_slice_in_dim(R, j, 1, axis=1)[:, 0]  # (K, N)
+            rjj = jnp.sum(jnp.where(cols[None, :] == j, Rj, 0.0), axis=-1)
+            dot = jnp.sum(jnp.where(cols[None, :] > j, Rj * x, 0.0), axis=-1)
+            yj = jnp.sum(jnp.where(cols[None, :] == j, y, 0.0), axis=-1)
+            safe = jnp.abs(rjj) > 0
+            xj = jnp.where(safe, (yj - dot) / jnp.where(safe, rjj, 1.0),
+                           jnp.asarray(jnp.inf, dtype))
+            x = x + xj[:, None] * (cols[None, :] == j).astype(dtype)
+            return x, None
+
+        x0 = jnp.zeros_like(B)
+        x, _ = jax.lax.scan(bwd, x0, jnp.arange(N - 1, -1, -1))
+        return x
+
+
+def solve_shifted_via_hessenberg(cache: HessCache, lams: jax.Array,
+                                 B: jax.Array,
+                                 psi: jax.Array | None = None) -> jax.Array:
+    """(A − λ_k I + ψ_k I)⁻¹ b_k given the shared Hessenberg form of A."""
+    with jax.default_matmul_precision("highest"):
+        Bh = B @ jnp.conj(cache.q)              # rows = Qᴴ b_k
+        W = solve_shifted_hessenberg(cache.h, lams, Bh, psi)
+        return W @ cache.q.T                    # rows = Q w_k

@@ -104,9 +104,17 @@ class MausSolver:
             if initial_num_candidates is None:
                 initial_num_candidates = min(3 * max(m, n), 64)
             # dtype-aware convergence floor: c64 relative residuals bottom out
-            # around sqrt(N)·eps_f32; the refinement pass recovers the rest
+            # around max(√N, κ)·eps_f32; the refinement pass recovers the rest.
+            # κ-awareness matters on hardware: a κ=1e3 system's best c64
+            # residual is ~1e-4 — a flat 50·eps floor would never be reached
+            # and the loop would stall to the limit instead of handing off to
+            # refinement (caught by the TPU test tier).
             dt = compute_dtype
-            floor = 0.0 if use_c128 else float(50 * np.finfo(np.float32).eps)
+            eps32 = float(np.finfo(np.float32).eps)
+            cond = self.knowledge.cond_estimate
+            cond = cond if np.isfinite(cond) else 1e15
+            floor = 0.0 if use_c128 else \
+                float(min(max(50.0, 2.0 * cond) * eps32, 1e-2))
             config = SolverConfig(problem_type=problem_type,
                                   num_candidates=int(initial_num_candidates),
                                   tol=float(global_convergence_tol),

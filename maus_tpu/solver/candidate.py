@@ -101,7 +101,8 @@ def init_population(cfg: SolverConfig, key: jax.Array, shape: tuple,
 
 def _adapt_and_classify(cfg: SolverConfig, pop: Population, new_residual: jax.Array,
                         solve_ok: jax.Array, strat: StrategyState,
-                        params_finite: jax.Array) -> Population:
+                        params_finite: jax.Array,
+                        floor_scale=1.0) -> Population:
     """Apply the α adaptation rule (AMS:306-316), failure handling (AMS:287-293) and
     convergence test (AMS:318-331) as masked updates. Frozen for CONVERGED/RETIRED."""
     frozen = (pop.status == CandidateStatus.CONVERGED) | \
@@ -137,8 +138,13 @@ def _adapt_and_classify(cfg: SolverConfig, pop: Population, new_residual: jax.Ar
 
     # convergence: residual under current threshold AND all params finite
     # (AMS:318-331). The threshold is floored at the compute dtype's reachable
-    # precision (cfg.convergence_floor); refinement closes the rest (ops/refine.py).
-    thresh_eff = jnp.maximum(strat.threshold, cfg.convergence_floor)
+    # precision (cfg.convergence_floor); refinement closes the rest
+    # (ops/refine.py). ``floor_scale`` maps the relative floor onto the
+    # problem's residual units: 1 for linear (already relative), ‖A‖-scale for
+    # eig/SVD (absolute residuals, AMS:297/301) — without it nothing converges
+    # on c64 hardware once ‖A‖ ≫ 1.
+    thresh_eff = jnp.maximum(strat.threshold,
+                             cfg.convergence_floor * floor_scale)
     conv = active & (new_residual < thresh_eff) & params_finite & solve_ok
     status = jnp.where(conv, jnp.int8(CandidateStatus.CONVERGED), status)
     weight = jnp.where(conv, jnp.ones_like(weight), weight)
@@ -235,9 +241,15 @@ def step_linear(cfg: SolverConfig, A: jax.Array, b: jax.Array, fac: LUFactors,
 # ---------------------------------------------------------------------------
 
 def step_eigen(cfg: SolverConfig, A: jax.Array, pop: Population,
-               strat: StrategyState) -> tuple[Population, StepStats]:
+               strat: StrategyState, hess_cache=None
+               ) -> tuple[Population, StepStats]:
     """One population step for Ax = λx: Rayleigh-quotient shift per candidate, then
     a *batched* regularized shifted solve ``(A − λ_k I + Ψ_k D) w_k = v_k``.
+
+    With ``hess_cache`` (the shared Hessenberg form A = Q H Qᴴ, built once per
+    evolve) the direct branch solves each shift in O(N²) via a batched Givens
+    QR on (H − λ_k I) instead of a per-candidate O(N³) LU — see
+    :mod:`maus_tpu.ops.hessenberg`. Without it, the vmapped-LU fallback runs.
 
     The Ψ rung here is intentionally larger than the linear path's: the Rayleigh
     shift drives (A − λI) toward exact singularity by design, and the Ψ jitter is
@@ -253,6 +265,19 @@ def step_eigen(cfg: SolverConfig, A: jax.Array, pop: Population,
                     jnp.sum(jnp.conj(pop.v) * Av, axis=-1) / vv, pop.lam)
 
     def direct(_):
+        if hess_cache is not None:
+            from ..ops.batched_solve import psi_ladder
+            from ..ops.hessenberg import solve_shifted_via_hessenberg
+            from ..ops.regularize import psi_magnitude
+
+            def solve_at(attempt_k):
+                psi = psi_magnitude(psi_scaled, strat.psi_aggression,
+                                    attempt_k, pop.stuck)
+                return solve_shifted_via_hessenberg(hess_cache, lam, pop.v,
+                                                    psi)
+
+            return psi_ladder(solve_at, pop.capacity,
+                              max_attempts=cfg.max_psi_attempts)
         W, attempts = batched_shifted_solve(
             A, lam, pop.stuck, psi_scaled, strat.psi_aggression, pop.v,
             max_attempts=cfg.max_psi_attempts)
@@ -319,7 +344,8 @@ def step_eigen(cfg: SolverConfig, A: jax.Array, pop: Population,
                               lam=jnp.where(frozen, pop.lam, lam_new))
     regress = _regress_frac(cfg, pop, resid.astype(cfg.real_dtype), frozen)
     pop = _adapt_and_classify(cfg, pop, resid.astype(cfg.real_dtype), solve_ok, strat,
-                              _finite_rows(v_new) & _finite_rows(lam_new[:, None]))
+                              _finite_rows(v_new) & _finite_rows(lam_new[:, None]),
+                              floor_scale=anorm.astype(cfg.real_dtype))
     active_f = (~frozen).astype(jnp.float32)
     nact = jnp.maximum(active_f.sum(), 1.0)
     return pop, StepStats(
@@ -424,7 +450,8 @@ def step_svd(cfg: SolverConfig, A: jax.Array, pop: Population,
     pop = dataclasses.replace(
         pop, residual=jnp.where(conv & solve_ok, resid, pop.residual))
     pop = _adapt_and_classify(cfg, pop, resid, solve_ok, strat,
-                              _finite_rows(v_new) & _finite_rows(u_new))
+                              _finite_rows(v_new) & _finite_rows(u_new),
+                              floor_scale=a_scale)
     active_f = (~frozen).astype(jnp.float32)
     nact = jnp.maximum(active_f.sum(), 1.0)
     return pop, StepStats(

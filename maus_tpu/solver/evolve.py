@@ -89,8 +89,11 @@ def _effective_psi(cfg: SolverConfig, strat: StrategyState,
 
 def make_iteration(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
                    b: Optional[jax.Array], eigh_cache: Optional[herm.EighCache],
-                   target_solutions: int):
-    """Build the single-iteration pure function ``carry → (carry, Metrics)``."""
+                   target_solutions: int, hess_cache=None):
+    """Build the single-iteration pure function ``carry → (carry, Metrics)``.
+
+    ``hess_cache``: shared Hessenberg form of A (non-Hermitian eig path) —
+    built once per evolve by the drivers below, like ``eigh_cache``."""
 
     n = knowledge.shape[-1]
     anorm = jnp.linalg.norm(A) / jnp.sqrt(jnp.asarray(float(n)))
@@ -136,7 +139,8 @@ def make_iteration(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
             else:   # large-N / sparse: per-candidate deflated Lanczos
                 pop, stats = herm.step_hermitian_lanczos(cfg, A, pop, strat)
         elif cfg.problem_type == ProblemType.EIGENVALUE:
-            pop, stats = cand.step_eigen(cfg, A, pop, strat)
+            pop, stats = cand.step_eigen(cfg, A, pop, strat,
+                                         hess_cache=hess_cache)
         else:
             pop, stats = cand.step_svd(cfg, A, pop, strat)
 
@@ -205,8 +209,11 @@ def make_iteration(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
     return iteration
 
 
+@partial(jax.jit, static_argnames=("cfg", "knowledge"))
 def init_carry(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
                key: jax.Array) -> EvolveCarry:
+    # jitted: population init runs eager complex ops otherwise, which this
+    # TPU runtime cannot execute outside a compiled program
     with jax.default_matmul_precision("highest"):
         return _init_carry_impl(cfg, knowledge, A, key)
 
@@ -239,6 +246,14 @@ def _init_carry_impl(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Arra
                        iteration=jnp.asarray(0, jnp.int32),
                        best_residual=jnp.asarray(jnp.inf, jnp.float32),
                        stall_count=jnp.asarray(0, jnp.int32))
+
+
+def _use_hessenberg(cfg: SolverConfig, knowledge: ProblemKnowledge) -> bool:
+    """Shared Hessenberg reduction for the non-Hermitian eig path: one O(N³)
+    setup turns every per-candidate shifted solve into O(N²) (ops/hessenberg).
+    Hermitian operands take the eigh/Lanczos fast paths instead."""
+    return cfg.problem_type == ProblemType.EIGENVALUE and \
+        not knowledge.is_hermitian and cfg.use_hessenberg
 
 
 def _use_shared_eigh(cfg: SolverConfig, knowledge: ProblemKnowledge) -> bool:
@@ -278,7 +293,12 @@ def evolve_while(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
     ``carry0`` resumes from a checkpointed state (max_iterations then bounds the
     TOTAL iteration count, consistent with the saved carry's counter)."""
     eigh_cache = herm.eigh_setup(A) if _use_shared_eigh(cfg, knowledge) else None
-    step = make_iteration(cfg, knowledge, A, b, eigh_cache, target_solutions)
+    hess_cache = None
+    if _use_hessenberg(cfg, knowledge):
+        from ..ops.hessenberg import reduce_hessenberg
+        hess_cache = reduce_hessenberg(A)
+    step = make_iteration(cfg, knowledge, A, b, eigh_cache, target_solutions,
+                          hess_cache=hess_cache)
     if carry0 is None:
         carry0 = init_carry(cfg, knowledge, A, key)
     _, m0 = jax.eval_shape(step, carry0)
@@ -306,7 +326,12 @@ def evolve_scan(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
     """Fixed-length run returning stacked per-iteration metrics (frozen once the
     stop condition hits, so trailing iterations are cheap no-ops)."""
     eigh_cache = herm.eigh_setup(A) if _use_shared_eigh(cfg, knowledge) else None
-    step = make_iteration(cfg, knowledge, A, b, eigh_cache, target_solutions)
+    hess_cache = None
+    if _use_hessenberg(cfg, knowledge):
+        from ..ops.hessenberg import reduce_hessenberg
+        hess_cache = reduce_hessenberg(A)
+    step = make_iteration(cfg, knowledge, A, b, eigh_cache, target_solutions,
+                          hess_cache=hess_cache)
     if carry0 is None:
         carry0 = init_carry(cfg, knowledge, A, key)
     _, m0 = jax.eval_shape(step, carry0)

@@ -66,6 +66,10 @@ def step_hermitian(cfg: SolverConfig, A: jax.Array, cache: EighCache,
     Av = v_new @ A.T
     resid = jnp.linalg.norm(Av - lam_new[:, None] * v_new, axis=-1) \
         .astype(cfg.real_dtype)
+    # convergence floor scales with ‖A‖ — eig residuals are absolute (AMS:297)
+    anorm = (jnp.linalg.norm(A) / jnp.sqrt(jnp.asarray(float(N)))).real \
+        .astype(cfg.real_dtype)
+    thresh_eff = jnp.maximum(strat.threshold, cfg.convergence_floor * anorm)
 
     take = active & any_unclaimed
     pop = dataclasses.replace(
@@ -76,8 +80,7 @@ def step_hermitian(cfg: SolverConfig, A: jax.Array, cache: EighCache,
         prev_residual=jnp.where(take, pop.residual, pop.prev_residual),
         weight=jnp.where(take, 1.0, pop.weight),
         stuck=jnp.where(take, 0, pop.stuck),
-        status=jnp.where(take & (resid < jnp.maximum(strat.threshold,
-                                                     cfg.convergence_floor)),
+        status=jnp.where(take & (resid < thresh_eff),
                          jnp.int8(CandidateStatus.CONVERGED),
                          jnp.where(take, jnp.int8(CandidateStatus.REFINING),
                                    pop.status)))
@@ -139,7 +142,10 @@ def step_hermitian_lanczos(cfg: SolverConfig, A: jax.Array, pop: Population,
     any_unclaimed = jnp.any(~is_claimed, axis=-1)                # (K,)
 
     take = active & any_unclaimed & jnp.isfinite(resid_new)
-    good = take & (resid_new < jnp.maximum(strat.threshold, cfg.convergence_floor))
+    anorm = (jnp.linalg.norm(A) / jnp.sqrt(jnp.asarray(float(N)))).real \
+        .astype(cfg.real_dtype)
+    good = take & (resid_new < jnp.maximum(strat.threshold,
+                                           cfg.convergence_floor * anorm))
     pop = dataclasses.replace(
         pop,
         v=jnp.where(take[:, None], v_new, pop.v),

@@ -78,3 +78,30 @@ class TestPallasBlockedLU:
         with pytest.raises(ValueError, match="128"):
             lu_factor_batched_blocked(jnp.zeros((1, 100, 100), jnp.complex64),
                                       interpret=True)
+
+
+class TestPallasHessSolve:
+    def test_matches_oracle_on_reduced_h(self):
+        """Batched shifted-Hessenberg Givens solve (interpret mode) against the
+        dense oracle, on an H from a real reduction (random triangular test
+        matrices are exponentially ill-conditioned — useless as fixtures)."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from maus_tpu.ops.hessenberg import reduce_hessenberg
+        from maus_tpu.ops.pallas.hess_solve import hess_solve_batched_pallas
+
+        rng = np.random.default_rng(0)
+        n, k = 128, 16
+        A = (rng.standard_normal((n, n))
+             + 1j * rng.standard_normal((n, n))) / np.sqrt(n)
+        H = np.asarray(reduce_hessenberg(jnp.asarray(A, jnp.complex128)).h)
+        lams = (rng.standard_normal(k) + 1j * rng.standard_normal(k)) * 0.3
+        B = rng.standard_normal((k, n)) + 1j * rng.standard_normal((k, n))
+        W = np.asarray(hess_solve_batched_pallas(
+            jnp.asarray(H, jnp.complex64), jnp.asarray(-lams, jnp.complex64),
+            jnp.asarray(B, jnp.complex64), interpret=True))
+        for lam, w, b in zip(lams, W, B):
+            r = np.linalg.norm((H - lam * np.eye(n)) @ w - b) \
+                / np.linalg.norm(b)
+            assert r < 5e-5

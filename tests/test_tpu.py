@@ -137,16 +137,23 @@ class TestCheckpointOnChip:
         s = maus_tpu.MausSolver(A, ProblemType.SOLVE_LINEAR_SYSTEM, b_vector=b,
                                 initial_num_candidates=K)
         cfg, kn = s.config, s.knowledge
-        step = jax.jit(ev.make_iteration(cfg, kn, s.A, s.b, None, 1))
+
+        # A/b must be jit ARGUMENTS: closing over complex device arrays embeds
+        # them as constants, which needs a complex host materialization this
+        # runtime cannot do
+        @jax.jit
+        def step(A_, b_, carry_):
+            return ev.make_iteration(cfg, kn, A_, b_, None, 1)(carry_)
+
         carry = ev.init_carry(cfg, kn, s.A, s._key)
-        carry, _ = step(carry)
+        carry, _ = step(s.A, s.b, carry)
         path = str(tmp_path / "tpu_ckpt.npz")
         n_leaves = checkpoint.save_state(path, carry)
         assert n_leaves > 5
         template = ev.init_carry(cfg, kn, s.A, s._key)
         loaded = checkpoint.load_state(path, template)
-        ref, _ = step(carry)
-        res, _ = step(loaded)
+        ref, _ = step(s.A, s.b, carry)
+        res, _ = step(s.A, s.b, loaded)
         # fence through a real-valued reduction computed inside jit
         d = jax.jit(lambda a, b: jnp.sum(jnp.abs(a.pop.v - b.pop.v)))(ref, res)
         assert float(d) == 0.0
