@@ -6,6 +6,14 @@ batched SoA pytree, Ψ-regularized shifted solves run as batched device kernels,
 the whole evolution loop is jitted ``lax`` control flow. See SURVEY.md at the repo
 root for the reference analysis this build follows.
 """
+import sys as _sys
+
+# JAX tracing is recursive; the evolve loop's nesting (jit → while_loop →
+# cond → Ψ-ladder while_loop → pallas_call → fori_loop) exceeds CPython's
+# default 1000-frame limit when the Pallas eig kernel traces inside the full
+# program.
+_sys.setrecursionlimit(max(_sys.getrecursionlimit(), 10_000))
+
 from .core.types import (CandidateStatus, ProblemKnowledge, ProblemType,
                          SolverConfig, SolverPreference, StabilityState)
 from .parallel.dist_qr import solve_distributed

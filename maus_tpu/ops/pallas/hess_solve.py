@@ -42,36 +42,30 @@ def _kernel(n: int, kc: int):
         # refs: H (n,n) shared; shift s (kc,1) re/im = −λ+ψ; b (kc,n);
         # outputs x (kc,n); scratch R planes (kc,n,n) + y (kc,n)
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)       # (1, n)
-        colsk = jax.lax.broadcasted_iota(jnp.int32, (kc, n), 1)     # (kc, n)
-        rows_n = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-
-        # ---- build R = H + diag(shift) per candidate -----------------------
         sre = sr_ref[:]                                             # (kc, 1)
         sim = si_ref[:]
-        def init_row(j, _):
-            hrow_r = hr_ref[pl.ds(j, 1), :]                         # (1, n)
-            hrow_i = hi_ref[pl.ds(j, 1), :]
-            on_diag = (cols == j).astype(jnp.float32)               # (1, n)
-            rr_ref[:, pl.ds(j, 1), :] = hrow_r[None] + (sre * on_diag)[:, None, :]
-            ri_ref[:, pl.ds(j, 1), :] = hrow_i[None] + (sim * on_diag)[:, None, :]
-            return 0
-        jax.lax.fori_loop(0, n, init_row, 0)
-        yr_ref[:] = br_ref[:]
-        yi_ref[:] = bi_ref[:]
 
-        # ---- forward Givens sweep ------------------------------------------
-        def fwd(j, _):
-            r0r = rr_ref[:, pl.ds(j, 1), :][:, 0]                   # (kc, n)
-            r0i = ri_ref[:, pl.ds(j, 1), :][:, 0]
-            r1r = rr_ref[:, pl.ds(j + 1, 1), :][:, 0]
-            r1i = ri_ref[:, pl.ds(j + 1, 1), :][:, 0]
-            jm = (colsk == j).astype(jnp.float32)                   # (kc, n)
-            ar = jnp.sum(r0r * jm, axis=1, keepdims=True)           # (kc, 1)
-            ai = jnp.sum(r0i * jm, axis=1, keepdims=True)
-            br_ = jnp.sum(r1r * jm, axis=1, keepdims=True)
-            bi_ = jnp.sum(r1i * jm, axis=1, keepdims=True)
+        # ---- forward Givens sweep -------------------------------------------
+        # Row j+1 of the working matrix is always a FRESH (never-rotated)
+        # H row + diagonal shift, and its pivot element H[j+1, j] is shared by
+        # all candidates — so the loop carries only the current (rotated) row
+        # and the current rhs element; R rows are written once, never re-read,
+        # and the only (kc, n)-wide extraction per step is the pivot a.
+        def fwd(j, carry):
+            cur_r, cur_i, ycr, yci = carry
+            hrow_r = hr_ref[pl.ds(j + 1, 1), :]                     # (1, n)
+            hrow_i = hi_ref[pl.ds(j + 1, 1), :]
+            jm = (cols == j).astype(jnp.float32)                    # (1, n)
+            jm1 = (cols == j + 1).astype(jnp.float32)
+            fresh_r = hrow_r + sre * jm1                            # (kc, n)
+            fresh_i = hrow_i + sim * jm1
+            ar = jnp.sum(cur_r * jm, axis=1, keepdims=True)         # (kc, 1)
+            ai = jnp.sum(cur_i * jm, axis=1, keepdims=True)
+            # shared subdiagonal pivot b = H[j+1, j]
+            br_ = jnp.sum(hrow_r * jm, axis=1, keepdims=True)       # (1, 1)
+            bi_ = jnp.sum(hrow_i * jm, axis=1, keepdims=True)
             a2 = ar * ar + ai * ai
-            b2 = br_ * br_ + bi_ * bi_
+            b2 = (br_ * br_ + bi_ * bi_) + jnp.zeros_like(a2)       # (kc, 1)
             rmag = jnp.sqrt(jnp.maximum(a2 + b2, 1e-37))
             absa = jnp.sqrt(jnp.maximum(a2, 1e-37))
             nontriv = b2 > 0.0
@@ -82,31 +76,40 @@ def _kernel(n: int, kc: int):
             sgi = jnp.where(zero_a, 0.0, ai / absa)
             sr = jnp.where(nontriv, (sgr * br_ + sgi * bi_) / rmag, 0.0)
             si = jnp.where(nontriv, (sgi * br_ - sgr * bi_) / rmag, 0.0)
-            # row0' = c·row0 + s·row1 ; row1' = −conj(s)·row0 + c·row1
-            n0r = c * r0r + sr * r1r - si * r1i
-            n0i = c * r0i + sr * r1i + si * r1r
-            n1r = -(sr * r0r + si * r0i) + c * r1r
-            n1i = -(sr * r0i - si * r0r) + c * r1i
+            # row0' = c·cur + s·fresh ; carry row1' = −conj(s)·cur + c·fresh
+            n0r = c * cur_r + sr * fresh_r - si * fresh_i
+            n0i = c * cur_i + sr * fresh_i + si * fresh_r
+            n1r = -(sr * cur_r + si * cur_i) + c * fresh_r
+            n1i = -(sr * cur_i - si * cur_r) + c * fresh_i
             rr_ref[:, pl.ds(j, 1), :] = n0r[:, None, :]
             ri_ref[:, pl.ds(j, 1), :] = n0i[:, None, :]
-            rr_ref[:, pl.ds(j + 1, 1), :] = n1r[:, None, :]
-            ri_ref[:, pl.ds(j + 1, 1), :] = n1i[:, None, :]
-            # same rotation on the rhs elements j, j+1
-            yr = yr_ref[:]
-            yi = yi_ref[:]
-            jm1 = (colsk == j + 1).astype(jnp.float32)
-            y0r = jnp.sum(yr * jm, axis=1, keepdims=True)
-            y0i = jnp.sum(yi * jm, axis=1, keepdims=True)
-            y1r = jnp.sum(yr * jm1, axis=1, keepdims=True)
-            y1i = jnp.sum(yi * jm1, axis=1, keepdims=True)
-            z0r = c * y0r + sr * y1r - si * y1i
-            z0i = c * y0i + sr * y1i + si * y1r
-            z1r = -(sr * y0r + si * y0i) + c * y1r
-            z1i = -(sr * y0i - si * y0r) + c * y1i
-            yr_ref[:] = yr + jm * (z0r - y0r) + jm1 * (z1r - y1r)
-            yi_ref[:] = yi + jm * (z0i - y0i) + jm1 * (z1i - y1i)
-            return 0
-        jax.lax.fori_loop(0, n - 1, fwd, 0)
+            # rhs: carry y[j] and pull the untouched original b[j+1]
+            ynr = jnp.sum(br_ref[:] * jm1, axis=1, keepdims=True)   # (kc, 1)
+            yni = jnp.sum(bi_ref[:] * jm1, axis=1, keepdims=True)
+            z0r = c * ycr + sr * ynr - si * yni
+            z0i = c * yci + sr * yni + si * ynr
+            z1r = -(sr * ycr + si * yci) + c * ynr
+            z1i = -(sr * yci - si * ycr) + c * yni
+            yr_ref[:] = jnp.where(jm > 0, z0r, yr_ref[:])
+            yi_ref[:] = jnp.where(jm > 0, z0i, yi_ref[:])
+            return n1r, n1i, z1r, z1i
+
+        on0 = (cols == 0).astype(jnp.float32)
+        cur_r0 = hr_ref[pl.ds(0, 1), :] + sre * on0                 # (kc, n)
+        cur_i0 = hi_ref[pl.ds(0, 1), :] + sim * on0
+        ycr0 = jnp.sum(br_ref[:] * on0, axis=1, keepdims=True)
+        yci0 = jnp.sum(bi_ref[:] * on0, axis=1, keepdims=True)
+        # i32 loop bounds: python-int bounds make the index i64 under x64,
+        # and Mosaic's i64→i32 handling recurses without bound at trace time
+        cur_r, cur_i, ycr, yci = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(n - 1), fwd,
+            (cur_r0, cur_i0, ycr0, yci0))
+        # flush the final carried row/rhs element (column n−1)
+        rr_ref[:, pl.ds(n - 1, 1), :] = cur_r[:, None, :]
+        ri_ref[:, pl.ds(n - 1, 1), :] = cur_i[:, None, :]
+        onl = (cols == n - 1).astype(jnp.float32)
+        yr_ref[:] = jnp.where(onl > 0, ycr, yr_ref[:])
+        yi_ref[:] = jnp.where(onl > 0, yci, yi_ref[:])
 
         # ---- backward substitution -----------------------------------------
         xr_ref[:] = jnp.zeros((kc, n), jnp.float32)
@@ -116,8 +119,8 @@ def _kernel(n: int, kc: int):
             j = n - 1 - i
             rjr = rr_ref[:, pl.ds(j, 1), :][:, 0]                   # (kc, n)
             rji = ri_ref[:, pl.ds(j, 1), :][:, 0]
-            jm = (colsk == j).astype(jnp.float32)
-            above = (colsk > j).astype(jnp.float32)
+            jm = (cols == j).astype(jnp.float32)
+            above = (cols > j).astype(jnp.float32)
             djr = jnp.sum(rjr * jm, axis=1, keepdims=True)          # R[j,j]
             dji = jnp.sum(rji * jm, axis=1, keepdims=True)
             xr = xr_ref[:]
@@ -140,8 +143,8 @@ def _kernel(n: int, kc: int):
                             jnp.float32(jnp.inf))
             xr_ref[:] = xr + jm * xjr
             xi_ref[:] = xi + jm * xji
-            return 0
-        jax.lax.fori_loop(0, n, bwd, 0)
+            return jnp.int32(0)
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), bwd, jnp.int32(0))
 
     return kernel
 
@@ -170,20 +173,29 @@ def hess_solve_batched_pallas(H: jax.Array, shifts: jax.Array, B: jax.Array,
     si = shifts.imag.astype(jnp.float32).reshape(K, 1)
     br = B.real.astype(jnp.float32)
     bi = B.imag.astype(jnp.float32)
+
+    # index-map zeros must inherit the grid index's dtype: under x64 a Python
+    # literal 0 traces as i64 and Mosaic refuses the (i64, i64) index tuple
+    def _fixed(g):
+        return (g - g, g - g)
+
+    def _chunk(g):
+        return (g, g - g)
+
     xr, xi = pl.pallas_call(
         _kernel(n, kc),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((n, n), lambda g: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, n), lambda g: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kc, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kc, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kc, n), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kc, n), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n), _fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n), _fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kc, 1), _chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kc, 1), _chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kc, n), _chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kc, n), _chunk, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((kc, n), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kc, n), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kc, n), _chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kc, n), _chunk, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((K, n), jnp.float32),

@@ -87,6 +87,32 @@ class TestEigFloor:
             assert np.min(np.abs(w_true - lam)) < 1e-6 * anorm
 
 
+class TestGeneralEig:
+    def test_nonhermitian_eig_hessenberg_path(self):
+        """Non-Hermitian eig through the production path: shared Hessenberg
+        reduction + the Pallas Givens kernel (N=128, K=16 hits the kernel's
+        dispatch window), finished to 1e-8 by the Newton refiner."""
+        import maus_tpu
+        from maus_tpu.core.types import ProblemType, SolverConfig
+
+        rng = np.random.default_rng(7)
+        n = 128
+        A = (rng.standard_normal((n, n))
+             + 1j * rng.standard_normal((n, n))) / np.sqrt(n)
+        cfg = SolverConfig(problem_type=ProblemType.EIGENVALUE,
+                           num_candidates=16, tol=1e-8, dtype=jnp.complex64,
+                           convergence_floor=5e-6,
+                           target_num_solutions=4)
+        s = maus_tpu.MausSolver(A, ProblemType.EIGENVALUE, config=cfg)
+        rep = s.evolve(max_iterations=60)
+        assert rep.num_distinct >= 4
+        w_true = np.linalg.eigvals(A)
+        anorm = float(np.abs(w_true).max())
+        assert max(rep.residuals) <= 1e-8 * max(anorm, 1.0) * 10
+        for lam, _v in rep.solutions:
+            assert np.min(np.abs(w_true - lam)) < 1e-5 * anorm
+
+
 class TestSvdFloor:
     def test_svd_reaches_1e6(self):
         import maus_tpu
