@@ -39,11 +39,16 @@ def _kc_for(n: int) -> int:
 def _kernel(n: int, kc: int):
     def kernel(hr_ref, hi_ref, sr_ref, si_ref, br_ref, bi_ref,
                xr_ref, xi_ref, rr_ref, ri_ref, yr_ref, yi_ref):
-        # refs: H (n,n) shared; shift s (kc,1) re/im = −λ+ψ; b (kc,n);
-        # outputs x (kc,n); scratch R planes (kc,n,n) + y (kc,n)
+        # refs: H (n,n) shared; shift s (1,kc,128) re/im = −λ+ψ tiled along
+        # lanes; b (1,kc,n); outputs x (1,kc,n); scratch R (kc,n,n) + y (kc,n).
+        # The candidate-chunked operands carry a leading grid axis so their
+        # BLOCK shapes' last two dims equal the array dims (Mosaic's tiling
+        # rule) for any kc.
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)       # (1, n)
-        sre = sr_ref[:]                                             # (kc, 1)
-        sim = si_ref[:]
+        sre = sr_ref[0, :, 0:1]                                     # (kc, 1)
+        sim = si_ref[0, :, 0:1]
+        br_full = br_ref[0]                                         # (kc, n)
+        bi_full = bi_ref[0]
 
         # ---- forward Givens sweep -------------------------------------------
         # Row j+1 of the working matrix is always a FRESH (never-rotated)
@@ -84,8 +89,8 @@ def _kernel(n: int, kc: int):
             rr_ref[:, pl.ds(j, 1), :] = n0r[:, None, :]
             ri_ref[:, pl.ds(j, 1), :] = n0i[:, None, :]
             # rhs: carry y[j] and pull the untouched original b[j+1]
-            ynr = jnp.sum(br_ref[:] * jm1, axis=1, keepdims=True)   # (kc, 1)
-            yni = jnp.sum(bi_ref[:] * jm1, axis=1, keepdims=True)
+            ynr = jnp.sum(br_full * jm1, axis=1, keepdims=True)     # (kc, 1)
+            yni = jnp.sum(bi_full * jm1, axis=1, keepdims=True)
             z0r = c * ycr + sr * ynr - si * yni
             z0i = c * yci + sr * yni + si * ynr
             z1r = -(sr * ycr + si * yci) + c * ynr
@@ -97,8 +102,8 @@ def _kernel(n: int, kc: int):
         on0 = (cols == 0).astype(jnp.float32)
         cur_r0 = hr_ref[pl.ds(0, 1), :] + sre * on0                 # (kc, n)
         cur_i0 = hi_ref[pl.ds(0, 1), :] + sim * on0
-        ycr0 = jnp.sum(br_ref[:] * on0, axis=1, keepdims=True)
-        yci0 = jnp.sum(bi_ref[:] * on0, axis=1, keepdims=True)
+        ycr0 = jnp.sum(br_full * on0, axis=1, keepdims=True)
+        yci0 = jnp.sum(bi_full * on0, axis=1, keepdims=True)
         # i32 loop bounds: python-int bounds make the index i64 under x64,
         # and Mosaic's i64→i32 handling recurses without bound at trace time
         cur_r, cur_i, ycr, yci = jax.lax.fori_loop(
@@ -112,8 +117,8 @@ def _kernel(n: int, kc: int):
         yi_ref[:] = jnp.where(onl > 0, yci, yi_ref[:])
 
         # ---- backward substitution -----------------------------------------
-        xr_ref[:] = jnp.zeros((kc, n), jnp.float32)
-        xi_ref[:] = jnp.zeros((kc, n), jnp.float32)
+        xr_ref[0] = jnp.zeros((kc, n), jnp.float32)
+        xi_ref[0] = jnp.zeros((kc, n), jnp.float32)
 
         def bwd(i, _):
             j = n - 1 - i
@@ -123,8 +128,8 @@ def _kernel(n: int, kc: int):
             above = (cols > j).astype(jnp.float32)
             djr = jnp.sum(rjr * jm, axis=1, keepdims=True)          # R[j,j]
             dji = jnp.sum(rji * jm, axis=1, keepdims=True)
-            xr = xr_ref[:]
-            xi = xi_ref[:]
+            xr = xr_ref[0]
+            xi = xi_ref[0]
             dotr = jnp.sum((rjr * xr - rji * xi) * above, axis=1,
                            keepdims=True)
             doti = jnp.sum((rjr * xi + rji * xr) * above, axis=1,
@@ -141,8 +146,8 @@ def _kernel(n: int, kc: int):
                             jnp.float32(jnp.inf))
             xji = jnp.where(den > 0.0, (numi * djr - numr * dji) / den_safe,
                             jnp.float32(jnp.inf))
-            xr_ref[:] = xr + jm * xjr
-            xi_ref[:] = xi + jm * xji
+            xr_ref[0] = xr + jm * xjr
+            xi_ref[0] = xi + jm * xji
             return jnp.int32(0)
         jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), bwd, jnp.int32(0))
 
@@ -166,13 +171,19 @@ def hess_solve_batched_pallas(H: jax.Array, shifts: jax.Array, B: jax.Array,
     if n % 128 != 0 or K % kc != 0:
         raise ValueError(f"unsupported shape: N={n} (needs %128==0), "
                          f"K={K} (needs %{kc}==0)")
-    grid = (K // kc,)
+    G = K // kc
+    grid = (G,)
     hr = H.real.astype(jnp.float32)
     hi = H.imag.astype(jnp.float32)
-    sr = shifts.real.astype(jnp.float32).reshape(K, 1)
-    si = shifts.imag.astype(jnp.float32).reshape(K, 1)
-    br = B.real.astype(jnp.float32)
-    bi = B.imag.astype(jnp.float32)
+    # candidate-chunked operands carry a leading grid axis so block shapes'
+    # last two dims equal the array dims (Mosaic tiling rule) for any kc;
+    # shifts are tiled along 128 lanes for the same reason
+    sr = jnp.broadcast_to(shifts.real.astype(jnp.float32)[:, None],
+                          (K, 128)).reshape(G, kc, 128)
+    si = jnp.broadcast_to(shifts.imag.astype(jnp.float32)[:, None],
+                          (K, 128)).reshape(G, kc, 128)
+    br = B.real.astype(jnp.float32).reshape(G, kc, n)
+    bi = B.imag.astype(jnp.float32).reshape(G, kc, n)
 
     # index-map zeros must inherit the grid index's dtype: under x64 a Python
     # literal 0 traces as i64 and Mosaic refuses the (i64, i64) index tuple
@@ -180,7 +191,7 @@ def hess_solve_batched_pallas(H: jax.Array, shifts: jax.Array, B: jax.Array,
         return (g - g, g - g)
 
     def _chunk(g):
-        return (g, g - g)
+        return (g, g - g, g - g)
 
     xr, xi = pl.pallas_call(
         _kernel(n, kc),
@@ -188,18 +199,18 @@ def hess_solve_batched_pallas(H: jax.Array, shifts: jax.Array, B: jax.Array,
         in_specs=[
             pl.BlockSpec((n, n), _fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((n, n), _fixed, memory_space=pltpu.VMEM),
-            pl.BlockSpec((kc, 1), _chunk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((kc, 1), _chunk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((kc, n), _chunk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((kc, n), _chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kc, 128), _chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kc, 128), _chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kc, n), _chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kc, n), _chunk, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((kc, n), _chunk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((kc, n), _chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kc, n), _chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kc, n), _chunk, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((K, n), jnp.float32),
-            jax.ShapeDtypeStruct((K, n), jnp.float32),
+            jax.ShapeDtypeStruct((G, kc, n), jnp.float32),
+            jax.ShapeDtypeStruct((G, kc, n), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((kc, n, n), jnp.float32),
@@ -209,4 +220,4 @@ def hess_solve_batched_pallas(H: jax.Array, shifts: jax.Array, B: jax.Array,
         ],
         interpret=interpret,
     )(hr, hi, sr, si, br, bi)
-    return jax.lax.complex(xr, xi).astype(B.dtype)
+    return jax.lax.complex(xr, xi).astype(B.dtype).reshape(K, n)
