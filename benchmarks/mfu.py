@@ -61,19 +61,27 @@ def _fence_time(fn, *args, reps: int = 3) -> float:
     return float(np.median(ts))
 
 
-# Inner repetition count: each kernel runs R times inside ONE jitted
+# Inner repetition counts: each kernel runs R times inside ONE jitted
 # fori_loop with data-dependent chaining (an εI nudge per iteration defeats
 # CSE/hoisting). This backend has a ~30 ms fixed dispatch+fetch RPC latency
 # per program call — measured per run via a trivial program and subtracted —
 # which would otherwise swamp every kernel under ~100 ms (first scorecard
-# attempt reported 8.7 GB/s HBM "bandwidth": pure dispatch latency).
-_R = 8
+# attempt reported 8.7 GB/s HBM "bandwidth": pure dispatch latency). R is
+# sized PER KERNEL so the loop total is ≥10× the overhead: subtracting a
+# noisy ~30 ms from a ~30 ms measurement produced garbage (negative times,
+# sol_frac > 400) for sub-millisecond kernels.
+_R_GEMM = 8
+_R_QR = 8
+_R_LU = 64
+_R_HESS = 512
+_R_MV = 2048
+_R_STREAM = 64
 
 
-def _timeit(fn, *args, overhead: float = 0.0) -> float:
-    """Per-iteration kernel time from an R-times-looped program."""
+def _timeit(fn, *args, overhead: float = 0.0, reps: int = 8) -> float:
+    """Per-iteration kernel time from a reps-times-looped program."""
     t = _fence_time(fn, *args)
-    return max((t - overhead) / _R, 1e-7)
+    return max((t - overhead) / reps, 1e-9)
 
 
 def scorecard(n_gemm: int = 4096, n_qr: int = 4096, k_lu: int = 32,
@@ -115,10 +123,10 @@ def scorecard(n_gemm: int = 4096, n_qr: int = 4096, k_lu: int = 32,
             a_ = a_ * (1.0 + 1e-7)      # data dependence defeats CSE/hoisting
             return acc + jnp.abs(jnp.sum(jnp.matmul(a_, b, precision=hi))) \
                 .real.astype(jnp.float32), a_
-        acc, _ = jax.lax.fori_loop(0, _R, body, (f32z, a))
+        acc, _ = jax.lax.fori_loop(0, _R_GEMM, body, (f32z, a))
         return acc
 
-    t = _timeit(gemm, A, B, overhead=overhead)
+    t = _timeit(gemm, A, B, overhead=overhead, reps=_R_GEMM)
     gemm_flops = 8.0 * n_gemm ** 3
     peak_c64 = gemm_flops / t            # measured c64-HIGHEST ceiling
     out["kernels"]["cgemm_calibration"] = {
@@ -135,14 +143,14 @@ def scorecard(n_gemm: int = 4096, n_qr: int = 4096, k_lu: int = 32,
     def stream(x):
         def body(i, x_):
             return x_ * 1.0000001 + 1e-9
-        y = jax.lax.fori_loop(0, _R, body, x)
+        y = jax.lax.fori_loop(0, _R_STREAM, body, x)
         return jnp.sum(y)                # full reduce: no slice propagation
 
     t_call = _fence_time(stream, big)
-    bytes_moved = big.size * 4 * (2 * _R + 1)   # R read+write passes + reduce
+    bytes_moved = big.size * 4 * (2 * _R_STREAM + 1)   # R rw passes + reduce
     bw_meas = bytes_moved / max(t_call - overhead, 1e-7)
     out["kernels"]["hbm_stream"] = {
-        "shape": f"256MB f32 x{_R} rw passes",
+        "shape": f"256MB f32 x{_R_STREAM} rw passes",
         "time_s": round(t_call - overhead, 4),
         "gbs": round(bw_meas / 1e9, 1),
         "sol_frac": round(bw_meas / bw, 4),
@@ -168,10 +176,10 @@ def scorecard(n_gemm: int = 4096, n_qr: int = 4096, k_lu: int = 32,
             a_ = a_ * (1.0 + 1e-7)
             q, r = jnp.linalg.qr(a_)
             return acc + jnp.abs(jnp.sum(r)).real.astype(jnp.float32), a_
-        acc, _ = jax.lax.fori_loop(0, _R, body, (f32z, a))
+        acc, _ = jax.lax.fori_loop(0, _R_QR, body, (f32z, a))
         return acc
 
-    t = _timeit(qr, Aq, overhead=overhead)
+    t = _timeit(qr, Aq, overhead=overhead, reps=_R_QR)
     entry("shared_qr_factor", f"{n_qr}x{n_qr} c64",
           t, (16.0 / 3.0) * n_qr ** 3, 2 * 8 * n_qr ** 2)
 
@@ -189,10 +197,10 @@ def scorecard(n_gemm: int = 4096, n_qr: int = 4096, k_lu: int = 32,
             W, _ = batched_shifted_solve(a, l_, stuck, 1e-12, 1.0, b,
                                          max_attempts=1)
             return acc + jnp.abs(jnp.sum(W)).real.astype(jnp.float32), l_
-        acc, _ = jax.lax.fori_loop(0, _R, body, (f32z, l))
+        acc, _ = jax.lax.fori_loop(0, _R_LU, body, (f32z, l))
         return acc
 
-    t = _timeit(blu, Al, lams, Bv, overhead=overhead)
+    t = _timeit(blu, Al, lams, Bv, overhead=overhead, reps=_R_LU)
     entry("batched_shifted_lu_solve", f"K={k_lu} n={n_lu} c64",
           t, k_lu * ((8.0 / 3.0) * n_lu ** 3 + 8.0 * n_lu ** 2),
           k_lu * 2 * 8 * n_lu ** 2)
@@ -216,10 +224,10 @@ def scorecard(n_gemm: int = 4096, n_qr: int = 4096, k_lu: int = 32,
             l_ = l_ * (1.0 + 1e-5)
             W = solve_shifted_via_hessenberg(c, l_, b)
             return acc + jnp.abs(jnp.sum(W)).real.astype(jnp.float32), l_
-        acc, _ = jax.lax.fori_loop(0, _R, body, (f32z, l))
+        acc, _ = jax.lax.fori_loop(0, _R_HESS, body, (f32z, l))
         return acc
 
-    t = _timeit(hss, cache.h, cache.q, lams, Bv, overhead=overhead)
+    t = _timeit(hss, cache.h, cache.q, lams, Bv, overhead=overhead, reps=_R_HESS)
     # flops: two K×n×n GEMMs + O(K n²) Givens sweep; bytes: the (K,n,n)
     # shifted copy written+swept ≈ 3·K·n²·8
     entry("hessenberg_shifted_solve", f"K={k_lu} n={n_lu} c64",
@@ -237,10 +245,10 @@ def scorecard(n_gemm: int = 4096, n_qr: int = 4096, k_lu: int = 32,
             x_ = x_ * (1.0 + 1e-7)
             y = jnp.matmul(x_, a.T, precision=hi)
             return acc + jnp.abs(jnp.sum(y)).real.astype(jnp.float32), x_
-        acc, _ = jax.lax.fori_loop(0, _R, body, (f32z, x))
+        acc, _ = jax.lax.fori_loop(0, _R_MV, body, (f32z, x))
         return acc
 
-    t = _timeit(mv, Am, Xm, overhead=overhead)
+    t = _timeit(mv, Am, Xm, overhead=overhead, reps=_R_MV)
     entry("population_matvec", f"K={k_mv} N={n_mv} c64",
           t, 8.0 * k_mv * n_mv ** 2, 8 * n_mv ** 2 + 2 * 8 * k_mv * n_mv)
 

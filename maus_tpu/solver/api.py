@@ -392,7 +392,37 @@ class MausSolver:
 
 def solve(A, b, tol: float = 1e-8, max_iterations: int = 100,
           num_candidates: Optional[int] = None, seed: int = 0,
-          config: Optional[SolverConfig] = None) -> SolutionReport:
+          config: Optional[SolverConfig] = None,
+          mesh=None) -> SolutionReport:
+    """Solve Ax = b.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``model`` axis of size > 1 —
+    routes to the distributed column-sharded QR path
+    (:func:`maus_tpu.parallel.dist_qr.solve_distributed`) so operands larger
+    than one device's factorization memory solve in place. The report then
+    carries the single refined solution (the population meta-heuristic runs on
+    the single-device path only).
+    """
+    if mesh is not None and dict(zip(mesh.axis_names, mesh.devices.shape)) \
+            .get("model", 1) > 1:
+        from ..parallel.dist_qr import solve_distributed
+
+        n = np.asarray(A).shape[0] if not hasattr(A, "sharding") else A.shape[0]
+        m = dict(zip(mesh.axis_names, mesh.devices.shape))["model"]
+        if n % m != 0:
+            raise ValueError(f"distributed solve needs N divisible by the "
+                             f"model axis: N={n}, model={m}")
+        local = n // m
+        block = max(b_ for b_ in (128, 64, 32, 16, 8, 4, 2, 1)
+                    if local % b_ == 0)
+        xre, xim, rel = solve_distributed(mesh, A, b, tol=tol, block=block)
+        x = np.asarray(xre, np.float64) + 1j * np.asarray(xim, np.float64)
+        kn = ProblemKnowledge(shape=(n, n))
+        return SolutionReport(
+            problem_type=ProblemType.SOLVE_LINEAR_SYSTEM,
+            solutions=[(x,)], residuals=[float(rel)], iterations=0,
+            num_distinct=1 if float(rel) <= tol else 0, target_solutions=1,
+            landscape_energy=0.0, knowledge=kn)
     s = MausSolver(A, ProblemType.SOLVE_LINEAR_SYSTEM, b_vector=b,
                    initial_num_candidates=num_candidates,
                    global_convergence_tol=tol, config=config, seed=seed)

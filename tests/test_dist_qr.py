@@ -82,3 +82,17 @@ class TestSolveDistributed:
         x = np.asarray(xre, np.float64) + 1j * np.asarray(xim, np.float64)
         resid = np.linalg.norm(A @ x - b) / np.linalg.norm(b)
         assert resid < 1e-8
+
+
+class TestApiMeshRouting:
+    def test_solve_with_mesh_routes_distributed(self, mesh):
+        """maus_tpu.solve(A, b, mesh=...) reaches 1e-8 via the distributed QR
+        (STATUS gap 4)."""
+        import maus_tpu
+
+        A, b = _problem(seed=5, cond=100.0)
+        rep = maus_tpu.solve(A, b, tol=1e-9, mesh=mesh)
+        assert rep.converged
+        x = rep.solutions[0][0]
+        rel = np.linalg.norm(A @ x - b) / np.linalg.norm(b)
+        assert rel < 1e-8
