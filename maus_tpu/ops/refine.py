@@ -113,29 +113,36 @@ def _refine_split_impl(A64, fac, b64, x0, steps, tol):
 
     # a REAL early-exit while_loop: a masked fori_loop still executes every
     # step's O(N²) work after convergence — measured as 4.3 of the 4.4 s of the
-    # 4096² bench before this change
+    # 4096² bench before this change.
+    # ONE split-f64 matvec per step: the residual of the accepted iterate is
+    # carried into the next step as both the correction RHS and the acceptance
+    # measure (emulated-f64 matvecs are the dominant refinement cost on TPU —
+    # the previous two-matvec body measured as most of the 4096² bench time).
     def cond(carry):
-        _, rel, prev_rel, it = carry
+        _, _, rel, prev_rel, it = carry
         return (it < steps) & (rel > tol) & (rel <= 0.9 * prev_rel)
 
     def body(carry):
-        x64, rel, _, it = carry
-        r64 = split_residual(A64, x64, b64)
+        x64, r64, rel, _, it = carry
         # correction in working precision against the same factorization
         d = _solve_any(fac, r64.to_complex(x0.dtype))
         d64 = SplitComplex.from_complex(d)
         x_new = SplitComplex(x64.re + d64.re, x64.im + d64.im)
-        rel_new = split_residual(A64, x_new, b64).norm() / bnorm
-        # keep the better iterate
+        r_new = split_residual(A64, x_new, b64)
+        rel_new = r_new.norm() / bnorm
+        # keep the better iterate (and ITS residual — already computed)
         better = rel_new < rel
         x_out = jax.tree.map(
             lambda new, old: jnp.where(better, new, old), x_new, x64)
-        return x_out, jnp.minimum(rel_new, rel), rel, it + 1
+        r_out = jax.tree.map(
+            lambda new, old: jnp.where(better, new, old), r_new, r64)
+        return x_out, r_out, jnp.minimum(rel_new, rel), rel, it + 1
 
     x64 = SplitComplex.from_complex(x0)
-    rel0 = split_residual(A64, x64, b64).norm() / bnorm
-    x64, rel, _, _ = jax.lax.while_loop(
-        cond, body, (x64, rel0, jnp.asarray(jnp.inf, rel0.dtype),
+    r0 = split_residual(A64, x64, b64)
+    rel0 = r0.norm() / bnorm
+    x64, _, rel, _, _ = jax.lax.while_loop(
+        cond, body, (x64, r0, rel0, jnp.asarray(jnp.inf, rel0.dtype),
                      jnp.asarray(0, jnp.int32)))
     return x64, rel
 
@@ -186,27 +193,30 @@ def _refine_gmres_impl(A64, fac, b64, x0, steps, tol, restart, gmres_batched):
         return (Ac @ y)[None, :]
 
     def cond(carry):
-        _, rel, prev_rel, it = carry
+        _, _, rel, prev_rel, it = carry
         return (it < steps) & (rel > tol) & (rel <= 0.95 * prev_rel)
 
     def body(carry):
-        x64, rel, _, it = carry
-        r64 = split_residual(A64, x64, b64)
+        x64, r64, rel, _, it = carry
         r = r64.to_complex(x0.dtype)
         res = gmres_batched(matvec, r[None, :], tol=1e-6, restart=restart,
                             max_restarts=2)
         d = _solve_any(fac, res.x[0])          # un-precondition: x = P⁻¹ y
         d64 = SplitComplex.from_complex(d)
         x_new = SplitComplex(x64.re + d64.re, x64.im + d64.im)
-        rel_new = split_residual(A64, x_new, b64).norm() / bnorm
+        r_new = split_residual(A64, x_new, b64)
+        rel_new = r_new.norm() / bnorm
         better = rel_new < rel
         x_out = jax.tree.map(lambda new, old: jnp.where(better, new, old),
                              x_new, x64)
-        return x_out, jnp.minimum(rel_new, rel), rel, it + 1
+        r_out = jax.tree.map(lambda new, old: jnp.where(better, new, old),
+                             r_new, r64)
+        return x_out, r_out, jnp.minimum(rel_new, rel), rel, it + 1
 
     x64 = SplitComplex.from_complex(x0)
-    rel0 = split_residual(A64, x64, b64).norm() / bnorm
-    x64, rel, _, _ = jax.lax.while_loop(
-        cond, body, (x64, rel0, jnp.asarray(jnp.inf, rel0.dtype),
+    r0 = split_residual(A64, x64, b64)
+    rel0 = r0.norm() / bnorm
+    x64, _, rel, _, _ = jax.lax.while_loop(
+        cond, body, (x64, r0, rel0, jnp.asarray(jnp.inf, rel0.dtype),
                      jnp.asarray(0, jnp.int32)))
     return x64, rel
