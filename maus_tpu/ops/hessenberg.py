@@ -21,6 +21,13 @@ of K LU factorizations.
 rule not found"), so the reduction is implemented here as N−2 masked
 Householder similarity steps under ``lax.scan`` — fixed shapes, O(N³) total,
 GEMV-bound, one-time.
+
+Context in the multi-shift solver literature (PAPERS.md): shifted-system
+Krylov methods (multiple-mass solvers, multipreconditioned GMRES for shifted
+systems) share one Krylov space across shifts but require a COMMON rhs; the
+population's systems have per-candidate rhs v_k, which is exactly the case the
+shared-Hessenberg factorization handles — one O(N³) reduction amortized over
+arbitrary (shift, rhs) pairs at O(N²) each.
 """
 from __future__ import annotations
 

@@ -75,6 +75,25 @@ def test_evolve_eigen_sharded(mesh8):
     assert int(carry.strat.num_distinct) == 8
 
 
+def test_evolve_general_eig_sharded(mesh8):
+    """Non-Hermitian path under GSPMD: the Hessenberg reduction + shifted
+    Givens solves must compile and converge with A row-sharded."""
+    A_h = gen.laplace_like_complex(8, make_hermitian=False)
+    s = maus_tpu.MausSolver(A_h, ProblemType.EIGENVALUE,
+                            initial_num_candidates=24,
+                            global_convergence_tol=1e-6)
+    A_s, _ = placement.place_operands(mesh8, s.A)
+    carry, _ = ev.evolve_while(s.config, s.knowledge, A_s, None, s._key, 40,
+                               s.target_solutions)
+    nd = int(carry.strat.num_distinct)
+    assert nd >= 4
+    conv = np.asarray(carry.pop.status) == int(maus_tpu.CandidateStatus.CONVERGED)
+    lam = np.asarray(carry.pop.lam)[conv]
+    w_true = np.linalg.eigvals(A_h)
+    for l in lam:
+        assert np.min(np.abs(w_true - l)) < 1e-4
+
+
 def test_population_placement_preserves_values(mesh8):
     from maus_tpu.solver import candidate as cand
     cfg = maus_tpu.SolverConfig(num_candidates=8, dtype=jnp.complex128)
