@@ -16,6 +16,7 @@ _sys.setrecursionlimit(max(_sys.getrecursionlimit(), 10_000))
 
 from .core.types import (CandidateStatus, ProblemKnowledge, ProblemType,
                          SolverConfig, SolverPreference, StabilityState)
+from .parallel.dist_hessenberg import eig_distributed
 from .parallel.dist_qr import solve_distributed
 from .solver.api import MausSolver, SolutionReport, eig, solve, svd
 
@@ -24,5 +25,6 @@ __version__ = "0.2.0"
 __all__ = [
     "CandidateStatus", "MausSolver", "ProblemKnowledge", "ProblemType",
     "SolutionReport", "SolverConfig", "SolverPreference", "StabilityState",
-    "eig", "solve", "solve_distributed", "svd", "__version__",
+    "eig", "eig_distributed", "solve", "solve_distributed", "svd",
+    "__version__",
 ]

@@ -1,1 +1,1 @@
-from . import collectives, mesh, placement
+from . import collectives, dist_hessenberg, dist_qr, mesh, placement

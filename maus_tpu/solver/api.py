@@ -431,7 +431,41 @@ def solve(A, b, tol: float = 1e-8, max_iterations: int = 100,
 
 def eig(A, tol: float = 1e-8, max_iterations: int = 200,
         num_candidates: Optional[int] = None, seed: int = 0,
-        config: Optional[SolverConfig] = None) -> SolutionReport:
+        config: Optional[SolverConfig] = None, mesh=None) -> SolutionReport:
+    """Eigenpairs of A.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``model`` axis of size > 1
+    — routes to the distributed column-sharded Hessenberg path
+    (:func:`maus_tpu.parallel.dist_hessenberg.eig_distributed`): A, its
+    Hessenberg form, and the per-candidate factors all shard over the mesh, so
+    eig operands larger than one device's memory iterate in place.
+    """
+    if mesh is not None and dict(zip(mesh.axis_names, mesh.devices.shape)) \
+            .get("model", 1) > 1:
+        from ..parallel.dist_hessenberg import eig_distributed
+
+        n = np.asarray(A).shape[0] if not hasattr(A, "sharding") else A.shape[0]
+        k = num_candidates or min(max(8, 2 * int(np.sqrt(n))), 32)
+        lam, X, res = eig_distributed(mesh, A, num_candidates=k,
+                                      iterations=max_iterations, seed=seed)
+        # distinct-solution dedup, reference similarity rules (AMS:435-437)
+        anorm = float(np.linalg.norm(np.asarray(lam))) / max(len(lam), 1)
+        order = np.argsort(res)
+        sols, resids = [], []
+        for i in order:
+            if res[i] > tol * max(anorm, 1.0) * 10:
+                continue
+            dup = any(abs(lam[i] - s_[0]) < 1e-5 + abs(lam[i]) * 1e-6 and
+                      abs(np.vdot(X[i], s_[1])) > 0.999 for s_ in sols)
+            if not dup:
+                sols.append((lam[i], X[i]))
+                resids.append(float(res[i]))
+        kn = ProblemKnowledge(shape=(n, n))
+        return SolutionReport(
+            problem_type=ProblemType.EIGENVALUE, solutions=sols,
+            residuals=resids, iterations=max_iterations,
+            num_distinct=len(sols), target_solutions=min(n, k),
+            landscape_energy=0.0, knowledge=kn)
     s = MausSolver(A, ProblemType.EIGENVALUE,
                    initial_num_candidates=num_candidates,
                    global_convergence_tol=tol, config=config, seed=seed)
