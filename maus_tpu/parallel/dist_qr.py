@@ -169,9 +169,12 @@ def dist_qr_solve(mesh: Mesh, fac: DistQR, b: jax.Array,
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("mesh", "block", "steps"))
-def _dist_solve_refined(mesh, A, b, Are, Aim, bre, bim, block, steps, tol):
-    fac = dist_qr(mesh, A, block=block)
-    x0 = dist_qr_solve(mesh, fac, b, block=block)
+def refine_distributed(mesh, fac: DistQR, Are, Aim, bre, bim, x0,
+                       block: int, steps: int, tol):
+    """Split-f64 iterative refinement of ``x0`` against the full-precision
+    split planes, with every correction solve reusing the column-sharded
+    factors (the distributed analogue of ``ops.refine.refine_split``).
+    Returns ``(x_re, x_im, rel)``."""
     rdt = Are.dtype
     bnorm = jnp.maximum(jnp.sqrt(jnp.sum(bre * bre + bim * bim)),
                         jnp.asarray(1e-300, rdt))
@@ -186,7 +189,7 @@ def _dist_solve_refined(mesh, A, b, Are, Aim, bre, bim, block, steps, tol):
 
     def to_c(re_, im_):
         return jax.lax.complex(re_.astype(jnp.float32),
-                               im_.astype(jnp.float32)).astype(A.dtype)
+                               im_.astype(jnp.float32)).astype(fac.q.dtype)
 
     def body(carry):
         xre, xim, rel, _, it = carry
@@ -213,6 +216,14 @@ def _dist_solve_refined(mesh, A, b, Are, Aim, bre, bim, block, steps, tol):
         cond, body, (xre, xim, rel0, jnp.asarray(jnp.inf, rdt),
                      jnp.asarray(0, jnp.int32)))
     return xre, xim, rel
+
+
+@partial(jax.jit, static_argnames=("mesh", "block", "steps"))
+def _dist_solve_refined(mesh, A, b, Are, Aim, bre, bim, block, steps, tol):
+    fac = dist_qr(mesh, A, block=block)
+    x0 = dist_qr_solve(mesh, fac, b, block=block)
+    return refine_distributed(mesh, fac, Are, Aim, bre, bim, x0, block,
+                              steps, tol)
 
 
 def solve_distributed(mesh: Mesh, A, b, tol: float = 1e-8, block: int = 128,

@@ -397,15 +397,20 @@ def solve(A, b, tol: float = 1e-8, max_iterations: int = 100,
     """Solve Ax = b.
 
     ``mesh``: optional ``jax.sharding.Mesh`` with a ``model`` axis of size > 1 —
-    routes to the distributed column-sharded QR path
-    (:func:`maus_tpu.parallel.dist_qr.solve_distributed`) so operands larger
-    than one device's factorization memory solve in place. The report then
-    carries the single refined solution (the population meta-heuristic runs on
-    the single-device path only).
+    the FULL population meta-heuristic (Ψ ladder, α adaptation, strategy
+    regimes, retire/respawn) then runs with the shared factorization
+    column-sharded over the mesh (:func:`maus_tpu.parallel.dist_qr.dist_qr`
+    inside the evolve carry), followed by split-f64 refinement whose
+    correction solves reuse the sharded factors — operands larger than one
+    device's factorization memory solve in place with the same engine.
     """
     if mesh is not None and dict(zip(mesh.axis_names, mesh.devices.shape)) \
             .get("model", 1) > 1:
-        from ..parallel.dist_qr import solve_distributed
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.dist_qr import refine_distributed
+        from . import evolve as evolve_mod_
 
         n = np.asarray(A).shape[0] if not hasattr(A, "sharding") else A.shape[0]
         m = dict(zip(mesh.axis_names, mesh.devices.shape))["model"]
@@ -415,14 +420,62 @@ def solve(A, b, tol: float = 1e-8, max_iterations: int = 100,
         local = n // m
         block = max(b_ for b_ in (128, 64, 32, 16, 8, 4, 2, 1)
                     if local % b_ == 0)
-        xre, xim, rel = solve_distributed(mesh, A, b, tol=tol, block=block)
-        x = np.asarray(xre, np.float64) + 1j * np.asarray(xim, np.float64)
+        rdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        col_shard = NamedSharding(mesh, P(None, "model"))
+        if not hasattr(A, "sharding"):
+            A_h = np.asarray(A)
+            Are = jax.device_put(jnp.asarray(A_h.real.astype(rdt)), col_shard)
+            Aim = jax.device_put(jnp.asarray(A_h.imag.astype(rdt)), col_shard)
+            A_dev = jax.device_put(to_device_complex(A_h, jnp.complex64),
+                                   col_shard)
+        else:
+            Are = jax.device_put(A.real.astype(rdt), col_shard)
+            Aim = jax.device_put(A.imag.astype(rdt), col_shard)
+            A_dev = jax.device_put(A.astype(jnp.complex64), col_shard)
+        b_h = np.asarray(b) if not hasattr(b, "sharding") else None
+        if b_h is not None:
+            bre = jnp.asarray(b_h.real.astype(rdt))
+            bim = jnp.asarray(b_h.imag.astype(rdt))
+            b_dev = jax.device_put(to_device_complex(b_h, jnp.complex64),
+                                   NamedSharding(mesh, P()))
+        else:
+            bre = b.real.astype(rdt)
+            bim = b.imag.astype(rdt)
+            b_dev = jax.device_put(b.astype(jnp.complex64),
+                                   NamedSharding(mesh, P()))
+
+        eps32 = float(np.finfo(np.float32).eps)
+        cfg = config or SolverConfig(
+            problem_type=ProblemType.SOLVE_LINEAR_SYSTEM,
+            num_candidates=num_candidates or 16, tol=tol,
+            dtype=jnp.complex64, convergence_floor=50 * eps32,
+            refine=True)
         kn = ProblemKnowledge(shape=(n, n))
+        carry, metrics = evolve_mod_.evolve_while(
+            cfg, kn, A_dev, b_dev, jax.random.PRNGKey(seed), max_iterations,
+            1, mesh=mesh, dist_block=block)
+        pop = carry.pop
+
+        # jitted best-candidate extraction (eager complex gathers crash the
+        # TPU runtime)
+        @jax.jit
+        def _best(v, res):
+            i = jnp.argmin(jnp.where(jnp.isfinite(res), res, jnp.inf))
+            return v[i]
+
+        x0 = _best(pop.v, pop.residual)
+        xre, xim, rel = refine_distributed(
+            mesh, carry.fac, Are, Aim, bre, bim, x0, block,
+            cfg.max_refine_steps, tol * 0.3)
+        x = np.asarray(xre, np.float64) + 1j * np.asarray(xim, np.float64)
+        rel_f = float(rel)
         return SolutionReport(
             problem_type=ProblemType.SOLVE_LINEAR_SYSTEM,
-            solutions=[(x,)], residuals=[float(rel)], iterations=0,
-            num_distinct=1 if float(rel) <= tol else 0, target_solutions=1,
-            landscape_energy=0.0, knowledge=kn)
+            solutions=[(x,)], residuals=[rel_f],
+            iterations=int(carry.iteration),
+            num_distinct=1 if rel_f <= tol else 0, target_solutions=1,
+            landscape_energy=float(metrics.landscape_energy),
+            knowledge=kn)
     s = MausSolver(A, ProblemType.SOLVE_LINEAR_SYSTEM, b_vector=b,
                    initial_num_candidates=num_candidates,
                    global_convergence_tol=tol, config=config, seed=seed)

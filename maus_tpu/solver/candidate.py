@@ -172,8 +172,8 @@ def _finite_rows(x: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def step_linear(cfg: SolverConfig, A: jax.Array, b: jax.Array, fac: LUFactors,
-                pop: Population, strat: StrategyState
-                ) -> tuple[Population, StepStats]:
+                pop: Population, strat: StrategyState,
+                direct_solve=None) -> tuple[Population, StepStats]:
     """One population step for Ax=b.
 
     TPU-native restructure: every candidate solves the *same* regularized system, so
@@ -181,10 +181,17 @@ def step_linear(cfg: SolverConfig, A: jax.Array, b: jax.Array, fac: LUFactors,
     reference refactorizes per candidate per iteration, AMS:224-225/59) and only the
     damped per-candidate mixing ``x_k ← (1−α_k)x_k + α_k x̂`` (AMS:284-285) plus the
     residual/α/state bookkeeping is per-candidate work.
+
+    ``direct_solve``: optional ``(fac, b) → x̂`` override for the direct branch —
+    the distributed evolve passes the column-sharded
+    :func:`maus_tpu.parallel.dist_qr.dist_qr_solve` here so the population
+    meta-heuristic runs unchanged over a mesh-sharded factorization.
     """
     bnorm = jnp.maximum(jnp.linalg.norm(b), jnp.finfo(cfg.real_dtype).tiny)
 
     def direct(_):
+        if direct_solve is not None:
+            return direct_solve(fac, b)
         if isinstance(fac, CholFactors):
             return solve_chol(fac, b)
         if isinstance(fac, QRFactors):

@@ -89,11 +89,19 @@ def _effective_psi(cfg: SolverConfig, strat: StrategyState,
 
 def make_iteration(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
                    b: Optional[jax.Array], eigh_cache: Optional[herm.EighCache],
-                   target_solutions: int, hess_cache=None):
+                   target_solutions: int, hess_cache=None, mesh=None,
+                   dist_block: int = 128):
     """Build the single-iteration pure function ``carry → (carry, Metrics)``.
 
     ``hess_cache``: shared Hessenberg form of A (non-Hermitian eig path) —
-    built once per evolve by the drivers below, like ``eigh_cache``."""
+    built once per evolve by the drivers below, like ``eigh_cache``.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a model axis — the linear
+    path's shared factorization then runs as the COLUMN-SHARDED distributed QR
+    (parallel/dist_qr.py) and candidate solves go through
+    ``dist_qr_solve``, so the full population meta-heuristic (Ψ ladder,
+    α adaptation, retire/respawn, strategy regimes) operates on an operand
+    larger than one device's factorization memory (STATUS round-2 gap 4)."""
 
     n = knowledge.shape[-1]
     anorm = jnp.linalg.norm(A) / jnp.sqrt(jnp.asarray(float(n)))
@@ -126,13 +134,27 @@ def make_iteration(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
             need = psi_eff != psi_cached
             hpd = knowledge.is_positive_definite
 
-            def refactor(_):
-                return shared_factor_hpd(A, psi_eff) if hpd \
-                    else shared_factor_qr(A, psi_eff)
+            if mesh is not None:
+                from ..ops.regularize import apply_shift
+                from ..parallel.dist_qr import dist_qr, dist_qr_solve
+
+                def refactor(_):
+                    return dist_qr(mesh, apply_shift(A, psi_eff),
+                                   block=dist_block)
+
+                def direct_solve(fac_, b_):
+                    return dist_qr_solve(mesh, fac_, b_, block=dist_block)
+            else:
+                def refactor(_):
+                    return shared_factor_hpd(A, psi_eff) if hpd \
+                        else shared_factor_qr(A, psi_eff)
+
+                direct_solve = None
 
             fac = jax.lax.cond(need, refactor, lambda _: fac, operand=None)
             psi_cached = psi_eff
-            pop, stats = cand.step_linear(cfg, A, b, fac, pop, strat)
+            pop, stats = cand.step_linear(cfg, A, b, fac, pop, strat,
+                                          direct_solve=direct_solve)
         elif cfg.problem_type == ProblemType.EIGENVALUE and knowledge.is_hermitian:
             if eigh_cache is not None:
                 pop, stats = herm.step_hermitian(cfg, A, eigh_cache, pop, strat)
@@ -209,17 +231,19 @@ def make_iteration(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
     return iteration
 
 
-@partial(jax.jit, static_argnames=("cfg", "knowledge"))
+@partial(jax.jit, static_argnames=("cfg", "knowledge", "mesh", "dist_block"))
 def init_carry(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
-               key: jax.Array) -> EvolveCarry:
+               key: jax.Array, mesh=None, dist_block: int = 128
+               ) -> EvolveCarry:
     # jitted: population init runs eager complex ops otherwise, which this
     # TPU runtime cannot execute outside a compiled program
     with jax.default_matmul_precision("highest"):
-        return _init_carry_impl(cfg, knowledge, A, key)
+        return _init_carry_impl(cfg, knowledge, A, key, mesh, dist_block)
 
 
 def _init_carry_impl(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
-                     key: jax.Array) -> EvolveCarry:
+                     key: jax.Array, mesh=None, dist_block: int = 128
+                     ) -> EvolveCarry:
     n = knowledge.shape[-1]
     if A.shape[0] == A.shape[1]:
         lam_center = (jnp.trace(A) / n).astype(A.dtype)
@@ -237,8 +261,15 @@ def _init_carry_impl(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Arra
         anorm = (jnp.linalg.norm(A) / jnp.sqrt(jnp.asarray(float(n)))).real \
             .astype(jnp.float32)
         psi0 = _effective_psi(cfg, strat, anorm)
-        fac = shared_factor_hpd(A, psi0) if knowledge.is_positive_definite \
-            else shared_factor_qr(A, psi0)
+        if mesh is not None:
+            from ..ops.regularize import apply_shift
+            from ..parallel.dist_qr import dist_qr
+
+            fac = dist_qr(mesh, apply_shift(A, psi0), block=dist_block)
+        elif knowledge.is_positive_definite:
+            fac = shared_factor_hpd(A, psi0)
+        else:
+            fac = shared_factor_qr(A, psi0)
     else:
         fac, psi0 = None, jnp.asarray(0.0, jnp.float32)
     return EvolveCarry(pop=pop, strat=strat, fac=fac,
@@ -283,24 +314,28 @@ def _stop_condition(cfg: SolverConfig, target_solutions: int, carry: EvolveCarry
 
 
 @partial(jax.jit, static_argnames=("cfg", "knowledge", "max_iterations",
-                                   "target_solutions"))
+                                   "target_solutions", "mesh", "dist_block"))
 def evolve_while(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
                  b: Optional[jax.Array], key: jax.Array, max_iterations: int,
                  target_solutions: int,
-                 carry0: Optional[EvolveCarry] = None
-                 ) -> tuple[EvolveCarry, Metrics]:
+                 carry0: Optional[EvolveCarry] = None, mesh=None,
+                 dist_block: int = 128) -> tuple[EvolveCarry, Metrics]:
     """Run until the distinct-solution target is met or ``max_iterations``.
     ``carry0`` resumes from a checkpointed state (max_iterations then bounds the
-    TOTAL iteration count, consistent with the saved carry's counter)."""
+    TOTAL iteration count, consistent with the saved carry's counter).
+    ``mesh``: run the linear path's factorization column-sharded (see
+    :func:`make_iteration`)."""
     eigh_cache = herm.eigh_setup(A) if _use_shared_eigh(cfg, knowledge) else None
     hess_cache = None
     if _use_hessenberg(cfg, knowledge):
         from ..ops.hessenberg import reduce_hessenberg
         hess_cache = reduce_hessenberg(A)
     step = make_iteration(cfg, knowledge, A, b, eigh_cache, target_solutions,
-                          hess_cache=hess_cache)
+                          hess_cache=hess_cache, mesh=mesh,
+                          dist_block=dist_block)
     if carry0 is None:
-        carry0 = init_carry(cfg, knowledge, A, key)
+        carry0 = init_carry(cfg, knowledge, A, key, mesh=mesh,
+                            dist_block=dist_block)
     _, m0 = jax.eval_shape(step, carry0)
     zero_metrics = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), m0)
 
@@ -317,12 +352,12 @@ def evolve_while(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("cfg", "knowledge", "num_iterations",
-                                   "target_solutions"))
+                                   "target_solutions", "mesh", "dist_block"))
 def evolve_scan(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
                 b: Optional[jax.Array], key: jax.Array, num_iterations: int,
                 target_solutions: int,
-                carry0: Optional[EvolveCarry] = None
-                ) -> tuple[EvolveCarry, Metrics]:
+                carry0: Optional[EvolveCarry] = None, mesh=None,
+                dist_block: int = 128) -> tuple[EvolveCarry, Metrics]:
     """Fixed-length run returning stacked per-iteration metrics (frozen once the
     stop condition hits, so trailing iterations are cheap no-ops)."""
     eigh_cache = herm.eigh_setup(A) if _use_shared_eigh(cfg, knowledge) else None
@@ -331,9 +366,11 @@ def evolve_scan(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
         from ..ops.hessenberg import reduce_hessenberg
         hess_cache = reduce_hessenberg(A)
     step = make_iteration(cfg, knowledge, A, b, eigh_cache, target_solutions,
-                          hess_cache=hess_cache)
+                          hess_cache=hess_cache, mesh=mesh,
+                          dist_block=dist_block)
     if carry0 is None:
-        carry0 = init_carry(cfg, knowledge, A, key)
+        carry0 = init_carry(cfg, knowledge, A, key, mesh=mesh,
+                            dist_block=dist_block)
     _, m0 = jax.eval_shape(step, carry0)
     zero_metrics = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), m0)
 

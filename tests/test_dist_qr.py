@@ -96,3 +96,48 @@ class TestApiMeshRouting:
         x = rep.solutions[0][0]
         rel = np.linalg.norm(A @ x - b) / np.linalg.norm(b)
         assert rel < 1e-8
+
+
+class TestDistributedEvolve:
+    """The FULL population meta-heuristic over a mesh-sharded factorization
+    (STATUS round-2 gap 4): evolve's carry holds the column-sharded DistQR,
+    candidate solves go through dist_qr_solve, refinement reuses the factors."""
+
+    def test_population_evolve_with_sharded_factorization(self, mesh):
+        import maus_tpu
+
+        A, b = _problem(seed=3, cond=1e6)
+        rep = maus_tpu.solve(A, b, tol=1e-8, max_iterations=40,
+                             num_candidates=8, mesh=mesh)
+        assert rep.converged
+        assert rep.iterations > 0          # the evolve loop actually ran
+        x = rep.solutions[0][0]
+        rel = np.linalg.norm(A @ x - b) / np.linalg.norm(b)
+        assert rel <= 1e-8
+
+    def test_carry_factor_is_sharded(self, mesh):
+        """The factorization inside the evolve carry is genuinely
+        column-sharded: per-device shard is 1/m of each factor."""
+        import jax.numpy as jnp
+
+        from maus_tpu.core.types import (ProblemKnowledge, ProblemType,
+                                         SolverConfig)
+        from maus_tpu.parallel.dist_qr import DistQR
+        from maus_tpu.solver import evolve as ev
+
+        A, b = _problem(seed=4)
+        Ad = _place(mesh, A)
+        bd = jnp.asarray(b, jnp.complex64)
+        cfg = SolverConfig(problem_type=ProblemType.SOLVE_LINEAR_SYSTEM,
+                           num_candidates=8, tol=1e-6, dtype=jnp.complex64,
+                           convergence_floor=1e-5, refine=False)
+        kn = ProblemKnowledge(shape=(N, N))
+        carry = ev.init_carry(cfg, kn, Ad, jax.random.PRNGKey(0), mesh=mesh,
+                              dist_block=BLOCK)
+        assert isinstance(carry.fac, DistQR)
+        assert carry.fac.q.addressable_shards[0].data.shape == (N, N // M_DEV)
+        carry2, _ = ev.evolve_while(cfg, kn, Ad, bd, jax.random.PRNGKey(0),
+                                    3, 1, mesh=mesh, dist_block=BLOCK)
+        assert carry2.fac.q.addressable_shards[0].data.shape == \
+            (N, N // M_DEV)
+        assert bool(jnp.isfinite(carry2.best_residual))
