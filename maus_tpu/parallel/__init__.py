@@ -1,1 +1,2 @@
-from . import collectives, dist_hessenberg, dist_qr, mesh, placement
+from . import (collectives, dist_hessenberg, dist_qr, dist_svd, mesh,
+               placement)

@@ -527,7 +527,65 @@ def eig(A, tol: float = 1e-8, max_iterations: int = 200,
 
 def svd(A, tol: float = 1e-6, max_iterations: int = 300,
         num_candidates: Optional[int] = None, seed: int = 0,
-        config: Optional[SolverConfig] = None) -> SolutionReport:
+        config: Optional[SolverConfig] = None, mesh=None) -> SolutionReport:
+    """Singular triplets of A.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``model`` axis of size > 1
+    — routes to the distributed column-sharded block subspace iteration
+    (:func:`maus_tpu.parallel.dist_svd.svd_distributed`): the A shard is the
+    only O(M·N) object per device, so operands wider than one chip's HBM
+    iterate in place.
+    """
+    if mesh is not None and dict(zip(mesh.axis_names, mesh.devices.shape)) \
+            .get("model", 1) > 1:
+        from ..parallel.dist_svd import svd_distributed
+
+        mr, n = A.shape[-2], A.shape[-1]
+        k = num_candidates or min(max(4, min(mr, n) // 2), 16)
+        sig, U, V, res = svd_distributed(
+            mesh, A, num_candidates=k,
+            iterations=min(max_iterations, 60), seed=seed)
+        finite = np.isfinite(sig)
+        smax = float(np.max(sig[finite])) if finite.any() else 0.0
+        kn0 = ProblemKnowledge(shape=(mr, n), effective_rank=1)
+        if smax <= 1e-12:
+            # effectively-zero operand: one zero triplet (AMS:243-247); the
+            # Ritz basis is meaningless (QR of a zero subspace) — use e₁
+            u0 = np.zeros(mr, complex); u0[0] = 1.0
+            v0 = np.zeros(n, complex); v0[0] = 1.0
+            return SolutionReport(
+                problem_type=ProblemType.SVD, solutions=[(0.0, u0, v0)],
+                residuals=[0.0], iterations=min(max_iterations, 60),
+                num_distinct=1, target_solutions=1, landscape_energy=0.0,
+                knowledge=kn0)
+        # effective rank from the Ritz spectrum (AMS:463-470 convention)
+        rank = int(np.sum(sig[finite] / smax > 1e-4)) or 1
+        scale = max(smax, 1.0)
+        sols, resids = [], []
+        for i in np.argsort(res):
+            if not finite[i] or res[i] > tol * scale * 10:
+                continue
+            # below the effective-rank cut → null-space Ritz triplet, not a
+            # distinct solution (reference's σ<1e-8 "zero singular value"
+            # candidates converge but don't enlarge the distinct set)
+            if sig[i] <= smax * 1e-4:
+                continue
+            # dedup: σ abs/rel similarity + u,v overlap (M5d, AMS:441-452)
+            dup = any(abs(sig[i] - s_[0]) < 1e-6 + abs(s_[0]) * 1e-4 and
+                      abs(np.vdot(U[:, i], s_[1])) > 0.999 and
+                      abs(np.vdot(V[i], s_[2])) > 0.999 for s_ in sols)
+            if not dup:
+                sols.append((float(sig[i]), U[:, i], V[i]))
+                resids.append(float(res[i]))
+        if not sols and smax <= tol:
+            # effectively-zero operand: report one zero triplet (AMS:243-247)
+            i0 = int(np.argmin(res))
+            sols, resids = [(0.0, U[:, i0], V[i0])], [float(res[i0])]
+        kn = ProblemKnowledge(shape=(mr, n), effective_rank=rank)
+        return SolutionReport(
+            problem_type=ProblemType.SVD, solutions=sols, residuals=resids,
+            iterations=min(max_iterations, 60), num_distinct=len(sols),
+            target_solutions=min(rank, k), landscape_energy=0.0, knowledge=kn)
     s = MausSolver(A, ProblemType.SVD,
                    initial_num_candidates=num_candidates,
                    global_convergence_tol=tol, config=config, seed=seed)
