@@ -402,10 +402,39 @@ def step_svd(cfg: SolverConfig, A: jax.Array, pop: Population,
         V_ritz = Qv @ jnp.conj(Vsh).T                            # (N, r)
 
         idx = jnp.arange(K) % r          # K > r: extra slots duplicate (dedup'd)
-        v_new = V_ritz.T[idx]                                    # (K, N)
-        u_new = U_ritz.T[idx]
-        sigma = S[idx].astype(cfg.real_dtype)
-        s_u = sigma                       # σ estimate doubles as the Av norm here
+        v_ritz = V_ritz.T[idx]                                   # (K, N)
+        u_ritz = U_ritz.T[idx]
+
+        # per-candidate MAUS dynamics (M4h parity, VERDICT r1 weak-7): each
+        # candidate takes a DAMPED step toward its Ritz triplet, v ← (1−α)v +
+        # α·v_ritz (AMS:280-285 semantics), with α adapted per candidate by
+        # _adapt_and_classify below. Improving candidates drive α → 1, which
+        # recovers the pure block update exactly; regressing/stuck candidates
+        # damp their step instead of being teleported.
+        def _align(new, old):
+            ph = jnp.sum(jnp.conj(new) * old, axis=-1)
+            ph = jnp.where(jnp.abs(ph) > 1e-12, ph / jnp.abs(ph),
+                           jnp.ones_like(ph))
+            return new * ph[:, None]
+
+        tiny = jnp.finfo(cfg.real_dtype).tiny
+        alpha_c = pop.alpha.astype(cfg.dtype)[:, None]
+        v_mix = (1.0 - alpha_c) * V + alpha_c * _align(v_ritz, V)
+        v_new = v_mix / jnp.maximum(
+            jnp.linalg.norm(v_mix, axis=-1, keepdims=True), tiny)
+        u_mix = (1.0 - alpha_c) * pop.u + alpha_c * _align(u_ritz, pop.u)
+        u_new = u_mix / jnp.maximum(
+            jnp.linalg.norm(u_mix, axis=-1, keepdims=True), tiny)
+        # σ of the mixed triplet: phase-absorbed Rayleigh quotient uᴴAv
+        # (equals the Ritz value S when α = 1); XLA CSEs this GEMM with the
+        # residual computation's identical v_new @ A.T below
+        Avm = v_new @ A.T                                        # (K, M)
+        rq = jnp.sum(jnp.conj(u_new) * Avm, axis=-1)
+        rq_ph = jnp.where(jnp.abs(rq) > 1e-30, rq / jnp.abs(rq),
+                          jnp.ones_like(rq))
+        u_new = u_new * rq_ph[:, None]    # make uᴴAv real ≥ 0 ⇒ σ = |rq|
+        sigma = jnp.abs(rq).astype(cfg.real_dtype)
+        s_u = jnp.linalg.norm(Avm, axis=-1).astype(cfg.real_dtype)
         solve_ok = _finite_rows(u_new) & _finite_rows(v_new)
     else:
         # reference-parity per-candidate alternating power iteration
