@@ -124,15 +124,24 @@ def main():
     A64 = SplitComplex(A.real.astype(jnp.float64), A.imag.astype(jnp.float64))
     b64 = SplitComplex(b.real.astype(jnp.float64), b.imag.astype(jnp.float64))
 
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def _select_and_refine(A64_, fac, pop_v, pop_resid, b64_, steps, tol_):
+        # ONE program for best-candidate selection + refinement: each eager op
+        # costs a ~30 ms dispatch RPC on this backend (measured — the eager
+        # argmin/where/slice chain was most of the refine phase's wall time)
+        best = jnp.argmin(jnp.where(jnp.isfinite(pop_resid), pop_resid,
+                                    jnp.inf))
+        return refine_split(A64_, fac, b64_, pop_v[best], steps=steps,
+                            tol=tol_)
+
     def full_solve():
         """evolve to the c64 floor, then split-f64 refinement to tol."""
         carry, _ = ev.evolve_while(cfg, kn, A, b, key, max_iters, 1)
         pop = carry.pop
-        best = jnp.argmin(jnp.where(jnp.isfinite(pop.residual), pop.residual,
-                                    jnp.inf))
-        x0 = pop.v[best]
-        xs, rel = refine_split(A64, carry.fac, b64, x0,
-                               steps=cfg.max_refine_steps, tol=tol * 0.3)
+        xs, rel = _select_and_refine(A64, carry.fac, pop.v, pop.residual, b64,
+                                     cfg.max_refine_steps, tol * 0.3)
         return xs, rel, carry.iteration
 
     # warmup (compile); then timed run. NOTE: timing fences with a host value

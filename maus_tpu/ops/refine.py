@@ -86,6 +86,124 @@ def _residual_3m(A: SplitComplex, Asum: jax.Array, x: SplitComplex,
     return SplitComplex(b.re - (t1 - t2), b.im - (t3 - t1 - t2))
 
 
+# ---------------------------------------------------------------------------
+# Exact-slicing (Ozaki-scheme) f64 residual on the MXU.
+#
+# XLA's emulated-f64 GEMV runs ~50× below HBM bandwidth on TPU (measured
+# 11.7 ms for a 4096² plane vs 0.22 ms of streaming). This computes the SAME
+# f64 residual with error-free bf16 MXU passes instead: decompose each
+# operand into base-2^w integer slices under a global power-of-two scale —
+# every slice is integer-valued with |s| ≤ 2^w, hence EXACT in bf16; every
+# product is ≤ 2^{2w} and every length-N f32 accumulation stays ≤ 2^{2w}·N
+# < 2^24, hence EXACT on the MXU (bf16 inputs, f32 accumulation). Slicing
+# itself is exact f64 arithmetic (power-of-2 scaling + round-to-int
+# subtraction), and with enough slices (⌈53/w⌉ absolute bits below the
+# global plane maximum — see slice_split_matrix's docstring) the
+# reconstruction in f64 is exact to f64-ADDITION roundoff — i.e. this is
+# MORE accurate than the emulated-f64 GEMV it replaces, at the cost of a
+# few extra bf16 streaming passes. See e.g. Ozaki et al., "Error-free
+# transformations of matrix multiplication" (Numer. Algorithms 59, 2012);
+# Ootomo & Yokota apply the same idea to tensor cores.
+# ---------------------------------------------------------------------------
+
+class SlicedMatrix(NamedTuple):
+    """Base-2^w integer-sliced split-complex matrix for exact MXU matvecs."""
+
+    sl_re: jax.Array     # (sA, N, N) bf16, integer-valued
+    sl_im: jax.Array
+    sigma: jax.Array     # f64 power-of-two global scale
+
+
+def _pow2_ceil(m):
+    """Smallest power of two ≥ m, as exact f64, floored at ~2^-99.
+
+    The floor must sit inside FLOAT32's exponent range: TPU's emulated f64
+    carries f64 precision but f32 RANGE (probed: log2(1e-300) → nan,
+    exp2(-997) → 0 on v5e), so a 1e-300-style guard silently produces
+    nan/zero scales for all-zero inputs there."""
+    return jnp.exp2(jnp.ceil(jnp.log2(jnp.maximum(m, 1e-30))))
+
+
+def _slice_array(P: jax.Array, s: int, w: int):
+    """Exact slicing P = sigma · Σ_k slices[k]·2^{−w(k+1)} (+ tail below the
+    covered mantissa width). All arithmetic exact: power-of-2 scaling and
+    x − round(x) subtractions."""
+    sigma = _pow2_ceil(jnp.max(jnp.abs(P)))
+    z = P / sigma
+    scale = jnp.asarray(2.0 ** w, P.dtype)
+    outs = []
+    for _ in range(s):
+        zi = jnp.round(z * scale)
+        outs.append(zi.astype(jnp.bfloat16))
+        z = z * scale - zi
+    return jnp.stack(outs), sigma
+
+
+def slice_split_matrix(A64: SplitComplex, mant_bits: int = 53,
+                       w: int = 5) -> SlicedMatrix:
+    """One-time slicing of the split-f64 operand (per refinement call).
+
+    ``mant_bits`` counts ABSOLUTE bits below the joint plane maximum (the
+    slicing grid is global, not per-entry): entries far below the max are
+    truncated at 2^{−mant_bits}·max|A|, an absolute error that enters the
+    residual as ≲ N·2^{−mant_bits}·max|A|·‖x‖ — with the default 53 that is
+    below f64 addition roundoff for any N this library targets. (Note a
+    complex64-widened operand still needs the full ladder: its entries'
+    mantissas sit at their OWN exponents, not the global one.)"""
+    s = -(-mant_bits // w)
+    # joint power-of-two scale so both planes share one recombination ladder
+    sigma = _pow2_ceil(jnp.maximum(jnp.max(jnp.abs(A64.re)),
+                                   jnp.max(jnp.abs(A64.im))))
+    z_re = A64.re / sigma
+    z_im = A64.im / sigma
+    scale = jnp.asarray(2.0 ** w, A64.re.dtype)
+    outs_re, outs_im = [], []
+    for _ in range(s):
+        zi = jnp.round(z_re * scale)
+        outs_re.append(zi.astype(jnp.bfloat16))
+        z_re = z_re * scale - zi
+        zi = jnp.round(z_im * scale)
+        outs_im.append(zi.astype(jnp.bfloat16))
+        z_im = z_im * scale - zi
+    return SlicedMatrix(jnp.stack(outs_re), jnp.stack(outs_im), sigma)
+
+
+def _sliced_residual(sp: SlicedMatrix, x: SplitComplex, b: SplitComplex,
+                     w: int = 5, sx: int = 12) -> SplitComplex:
+    """r = b − A x via exact bf16 slice GEMMs (see module comment above).
+
+    ``sx = 12`` slices of ``w = 5`` bits cover 60 ≥ 52 mantissa bits, so the
+    x-slicing is exact; per A-plane-slice one (N,N)@(N,2·sx) bf16→f32 GEMM.
+    Bandwidth: sA passes over bf16 A-slices (half the bytes of one f32 A)."""
+    f64 = jnp.float64
+    sxr, sig_xr = _slice_array(x.re, sx, w)          # (sx, N) bf16
+    sxi, sig_xi = _slice_array(x.im, sx, w)
+    X = jnp.concatenate([sxr, sxi], axis=0).T        # (N, 2sx) bf16
+    jpow = jnp.exp2(-w * (jnp.arange(sx, dtype=f64) + 1.0))
+    colscale = jnp.concatenate([sig_xr * jpow, sig_xi * jpow])   # (2sx,)
+
+    n = x.re.shape[0]
+    arxr = jnp.zeros((n,), f64)
+    arxi = jnp.zeros((n,), f64)
+    aixr = jnp.zeros((n,), f64)
+    aixi = jnp.zeros((n,), f64)
+    sA = sp.sl_re.shape[0]
+    dn = (((1,), (0,)), ((), ()))
+    for k in range(sA):
+        kscale = sp.sigma * (2.0 ** (-w * (k + 1)))
+        Yr = jax.lax.dot_general(sp.sl_re[k], X, dn,
+                                 preferred_element_type=jnp.float32)
+        Yi = jax.lax.dot_general(sp.sl_im[k], X, dn,
+                                 preferred_element_type=jnp.float32)
+        cr = Yr.astype(f64) * (colscale * kscale)[None, :]
+        ci = Yi.astype(f64) * (colscale * kscale)[None, :]
+        arxr = arxr + jnp.sum(cr[:, :sx], axis=-1)
+        arxi = arxi + jnp.sum(cr[:, sx:], axis=-1)
+        aixr = aixr + jnp.sum(ci[:, :sx], axis=-1)
+        aixi = aixi + jnp.sum(ci[:, sx:], axis=-1)
+    return SplitComplex(b.re - (arxr - aixi), b.im - (arxi + aixr))
+
+
 def refine(A: jax.Array, fac: LUFactors, b: jax.Array, x0: jax.Array,
            steps: int = 3) -> tuple[jax.Array, jax.Array]:
     """Iteratively refine ``x0`` (solution of the Ψ-shifted proxy system) toward the
@@ -101,9 +219,10 @@ def refine(A: jax.Array, fac: LUFactors, b: jax.Array, x0: jax.Array,
     return xs.to_complex(x0.dtype), rel
 
 
-@functools.partial(jax.jit, static_argnames=("steps",))
+@functools.partial(jax.jit, static_argnames=("steps", "a_mant_bits"))
 def refine_split(A, fac: LUFactors, b, x0: jax.Array,
-                 steps: int = 3, tol: float = 0.0) -> tuple[SplitComplex, jax.Array]:
+                 steps: int = 3, tol: float = 0.0,
+                 a_mant_bits: int = 53) -> tuple[SplitComplex, jax.Array]:
     """As :func:`refine` but returns the split-f64 iterate.
 
     ``A`` / ``b`` may be passed as :class:`SplitComplex` built from the *original*
@@ -118,33 +237,54 @@ def refine_split(A, fac: LUFactors, b, x0: jax.Array,
     A64 = A if isinstance(A, SplitComplex) else SplitComplex.from_complex(A)
     b64 = b if isinstance(b, SplitComplex) else SplitComplex.from_complex(b)
     with jax.default_matmul_precision("highest"):
-        return _refine_split_impl(A64, fac, b64, x0, steps, tol)
+        return _refine_split_impl(A64, fac, b64, x0, steps, tol, a_mant_bits)
 
 
-def _refine_split_impl(A64, fac, b64, x0, steps, tol):
+def _refine_split_impl(A64, fac, b64, x0, steps, tol, a_mant_bits=53):
     bnorm = jnp.maximum(b64.norm(), jnp.asarray(1e-300, jnp.float64))
-    Asum = A64.re + A64.im              # one-time plane sum for the 3M matvec
+    if jax.default_backend() == "cpu":
+        # native f64 BLAS — the 3M-trick GEMV path is already bandwidth-fast
+        Asum = A64.re + A64.im          # one-time plane sum for the 3M matvec
+        true_resid = lambda x64: _residual_3m(A64, Asum, x64, b64)
+    else:
+        # emulated-f64 GEMVs run ~50× below bandwidth on TPU; exact-slicing
+        # bf16 MXU residual instead (identical f64 result, see SlicedMatrix)
+        spA = slice_split_matrix(A64, mant_bits=a_mant_bits)
+        true_resid = lambda x64: _sliced_residual(spA, x64, b64)
 
-    # a REAL early-exit while_loop: a masked fori_loop still executes every
-    # step's O(N²) work after convergence — measured as 4.3 of the 4.4 s of the
-    # 4096² bench before this change.
-    # ONE split-f64 matvec per step: the residual of the accepted iterate is
-    # carried into the next step as both the correction RHS and the acceptance
-    # measure (emulated-f64 matvecs are the dominant refinement cost on TPU —
-    # the previous two-matvec body measured as most of the 4096² bench time).
-    def cond(carry):
+    # Certified-incremental refinement. The emulated-f64 residual matvec is the
+    # dominant TPU cost (measured 35 ms/step at 4096² vs 2.8 ms for the
+    # correction solve), so the inner loop carries the residual INCREMENTALLY
+    # in the working dtype — r ← r − A·d costs one c64 GEMV (~0.3 ms), with
+    # relative error ε_f32·κ·‖r‖/‖r‖ ≈ ε·κ per step (< 1 whenever c64 IR can
+    # converge at all; it only slows the contraction, never fakes it). Every
+    # INNER steps (or on apparent convergence/stall) the outer loop CERTIFIES
+    # with a true split-f64 residual and keeps the best certified iterate —
+    # the returned ``rel`` is always a true f64 measurement, and a round whose
+    # drifted inner estimate lied is simply rejected and iteration stops on
+    # the no-improvement guard (caller may then engage GMRES-IR).
+    INNER = 8
+    Ac = A64.to_complex(x0.dtype)       # fast-matvec copy (exact when A64 was
+    #                                     widened from a working-dtype operand)
+
+    def inner_cond(carry):
         _, _, rel, prev_rel, it = carry
-        return (it < steps) & (rel > tol) & (rel <= 0.9 * prev_rel)
+        # push past the certify target by 4×: the carried estimate drifts by
+        # ~ε·κ per step, and overshooting costs ~3 ms/step while a failed
+        # certification costs a full 35 ms f64 residual round
+        return (it < INNER) & (rel > 0.25 * tol) & (rel <= 0.9 * prev_rel)
 
-    def body(carry):
+    def inner_body(carry):
         x64, r64, rel, _, it = carry
         # correction in working precision against the same factorization
         d = _solve_any(fac, r64.to_complex(x0.dtype))
         d64 = SplitComplex.from_complex(d)
         x_new = SplitComplex(x64.re + d64.re, x64.im + d64.im)
-        r_new = _residual_3m(A64, Asum, x_new, b64)
+        Ad = Ac @ d
+        r_new = SplitComplex(r64.re - Ad.real.astype(r64.re.dtype),
+                             r64.im - Ad.imag.astype(r64.im.dtype))
         rel_new = r_new.norm() / bnorm
-        # keep the better iterate (and ITS residual — already computed)
+        # keep the better iterate (and ITS carried residual)
         better = rel_new < rel
         x_out = jax.tree.map(
             lambda new, old: jnp.where(better, new, old), x_new, x64)
@@ -152,12 +292,34 @@ def _refine_split_impl(A64, fac, b64, x0, steps, tol):
             lambda new, old: jnp.where(better, new, old), r_new, r64)
         return x_out, r_out, jnp.minimum(rel_new, rel), rel, it + 1
 
+    def outer_cond(carry):
+        _, _, rel, prev_rel, total = carry
+        return (total < steps) & (rel > tol) & (rel <= 0.9 * prev_rel)
+
+    def outer_body(carry):
+        x64, r64, rel_cert, _, total = carry
+        xi, _, _, _, it_i = jax.lax.while_loop(
+            inner_cond, inner_body,
+            (x64, r64, rel_cert, jnp.asarray(jnp.inf, rel_cert.dtype),
+             jnp.asarray(0, jnp.int32)))
+        # certify: true split-f64 residual of the inner result
+        r_true = true_resid(xi)
+        rel_true = r_true.norm() / bnorm
+        better = rel_true < rel_cert
+        x_out = jax.tree.map(
+            lambda new, old: jnp.where(better, new, old), xi, x64)
+        r_out = jax.tree.map(
+            lambda new, old: jnp.where(better, new, old), r_true, r64)
+        return (x_out, r_out, jnp.minimum(rel_true, rel_cert), rel_cert,
+                total + jnp.maximum(it_i, 1))
+
     x64 = SplitComplex.from_complex(x0)
-    r0 = _residual_3m(A64, Asum, x64, b64)
+    r0 = true_resid(x64)
     rel0 = r0.norm() / bnorm
     x64, _, rel, _, _ = jax.lax.while_loop(
-        cond, body, (x64, r0, rel0, jnp.asarray(jnp.inf, rel0.dtype),
-                     jnp.asarray(0, jnp.int32)))
+        outer_cond, outer_body,
+        (x64, r0, rel0, jnp.asarray(jnp.inf, rel0.dtype),
+         jnp.asarray(0, jnp.int32)))
     return x64, rel
 
 
@@ -198,7 +360,14 @@ def refine_gmres(A, fac, b, x0: jax.Array, steps: int = 3, tol: float = 0.0,
 
 def _refine_gmres_impl(A64, fac, b64, x0, steps, tol, restart, gmres_batched):
     bnorm = jnp.maximum(b64.norm(), jnp.asarray(1e-300, jnp.float64))
-    Asum = A64.re + A64.im              # one-time plane sum for the 3M matvec
+    if jax.default_backend() == "cpu":
+        Asum = A64.re + A64.im          # one-time plane sum for the 3M matvec
+        true_resid = lambda x64: _residual_3m(A64, Asum, x64, b64)
+    else:
+        # same exact-slicing MXU residual as _refine_split_impl (the emulated
+        # f64 GEMV is the dominant outer-step cost here too)
+        spA = slice_split_matrix(A64)
+        true_resid = lambda x64: _sliced_residual(spA, x64, b64)
     Ac = SplitComplex(A64.re.astype(jnp.float32),
                       A64.im.astype(jnp.float32)).to_complex(x0.dtype)
 
@@ -219,7 +388,7 @@ def _refine_gmres_impl(A64, fac, b64, x0, steps, tol, restart, gmres_batched):
         d = _solve_any(fac, res.x[0])          # un-precondition: x = P⁻¹ y
         d64 = SplitComplex.from_complex(d)
         x_new = SplitComplex(x64.re + d64.re, x64.im + d64.im)
-        r_new = _residual_3m(A64, Asum, x_new, b64)
+        r_new = true_resid(x_new)
         rel_new = r_new.norm() / bnorm
         better = rel_new < rel
         x_out = jax.tree.map(lambda new, old: jnp.where(better, new, old),
@@ -229,7 +398,7 @@ def _refine_gmres_impl(A64, fac, b64, x0, steps, tol, restart, gmres_batched):
         return x_out, r_out, jnp.minimum(rel_new, rel), rel, it + 1
 
     x64 = SplitComplex.from_complex(x0)
-    r0 = _residual_3m(A64, Asum, x64, b64)
+    r0 = true_resid(x64)
     rel0 = r0.norm() / bnorm
     x64, _, rel, _, _ = jax.lax.while_loop(
         cond, body, (x64, r0, rel0, jnp.asarray(jnp.inf, rel0.dtype),
