@@ -204,6 +204,71 @@ def _sliced_residual(sp: SlicedMatrix, x: SplitComplex, b: SplitComplex,
     return SplitComplex(b.re - (arxr - aixi), b.im - (arxi + aixr))
 
 
+def _slice_rows(X: jax.Array, s: int, w: int):
+    """Per-row exact slicing of a (K, N) f64 array: (s, K, N) bf16 integer
+    slices + per-row power-of-two scales (K,). Same exactness argument as
+    :func:`_slice_array`; per-row scales keep candidates with very different
+    magnitudes fully resolved."""
+    sigma = _pow2_ceil(jnp.max(jnp.abs(X), axis=-1, keepdims=True))   # (K, 1)
+    z = X / sigma
+    scale = jnp.asarray(2.0 ** w, X.dtype)
+    outs = []
+    for _ in range(s):
+        zi = jnp.round(z * scale)
+        outs.append(zi.astype(jnp.bfloat16))
+        z = z * scale - zi
+    return jnp.stack(outs), sigma[:, 0]
+
+
+def sliced_matvec_batch(sp: SlicedMatrix, X: SplitComplex,
+                        adjoint: bool = False, w: int = 5,
+                        sx: int = 12) -> SplitComplex:
+    """Batched f64 matvec via exact bf16 slice GEMMs: rows are ``A @ x_k``
+    (X: (K, N) against the sliced (M, N) operand), or ``Aᴴ @ x_k``
+    (X: (K, M)) when ``adjoint``. Accuracy identical to
+    :func:`_sliced_residual` (exact to f64-addition roundoff); cost is the
+    same sA bf16 passes over the A slices regardless of K."""
+    f64 = jnp.float64
+    K = X.re.shape[0]
+    sxr, sig_r = _slice_rows(X.re, sx, w)            # (sx, K, N), (K,)
+    sxi, sig_i = _slice_rows(X.im, sx, w)
+    n_in = X.re.shape[1]
+    Xs = jnp.concatenate([sxr.reshape(sx * K, n_in),
+                          sxi.reshape(sx * K, n_in)], axis=0)   # (2·sx·K, n)
+    jpow = jnp.exp2(-w * (jnp.arange(sx, dtype=f64) + 1.0))     # (sx,)
+    # per-block scale for the (2, sx, K) row blocks of Xs
+    blk_scale = jnp.stack([jpow[:, None] * sig_r[None, :],
+                           jpow[:, None] * sig_i[None, :]])     # (2, sx, K)
+
+    # contraction without materializing a transpose: A @ x contracts A's
+    # axis 1; Aᴴ @ x contracts A's axis 0 (and conjugates ⇒ sign flips below)
+    dn = (((1,), (1,)), ((), ())) if not adjoint else (((1,), (0,)), ((), ()))
+    m_out = sp.sl_re.shape[2] if adjoint else sp.sl_re.shape[1]
+    rexr = jnp.zeros((K, m_out), f64)     # Re-plane of A × {xr, xi} results
+    rexi = jnp.zeros((K, m_out), f64)
+    imxr = jnp.zeros((K, m_out), f64)
+    imxi = jnp.zeros((K, m_out), f64)
+    sA = sp.sl_re.shape[0]
+    for k in range(sA):
+        kscale = sp.sigma * (2.0 ** (-w * (k + 1)))
+        Yr = jax.lax.dot_general(Xs, sp.sl_re[k], dn,
+                                 preferred_element_type=jnp.float32)
+        Yi = jax.lax.dot_general(Xs, sp.sl_im[k], dn,
+                                 preferred_element_type=jnp.float32)
+        cr = (Yr.astype(f64).reshape(2, sx, K, m_out)
+              * (blk_scale * kscale)[..., None]).sum(axis=1)    # (2, K, m)
+        ci = (Yi.astype(f64).reshape(2, sx, K, m_out)
+              * (blk_scale * kscale)[..., None]).sum(axis=1)
+        rexr = rexr + cr[0]
+        rexi = rexi + cr[1]
+        imxr = imxr + ci[0]
+        imxi = imxi + ci[1]
+    if adjoint:
+        # Aᴴ x = (Ar − i·Ai)ᵀ (xr + i·xi)
+        return SplitComplex(rexr + imxi, rexi - imxr)
+    return SplitComplex(rexr - imxi, rexi + imxr)
+
+
 def refine(A: jax.Array, fac: LUFactors, b: jax.Array, x0: jax.Array,
            steps: int = 3) -> tuple[jax.Array, jax.Array]:
     """Iteratively refine ``x0`` (solution of the Ψ-shifted proxy system) toward the

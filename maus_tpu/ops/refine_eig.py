@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsla
 
-from .refine import SplitComplex
+from .refine import SplitComplex, slice_split_matrix, sliced_matvec_batch
 
 
 # ---------------------------------------------------------------------------
@@ -49,6 +49,17 @@ def _smatvec_adj(A: SplitComplex, X: SplitComplex) -> SplitComplex:
     """Rows of the result are Aᴴ @ x_k (X: (K, M) against A: (M, N))."""
     return SplitComplex(X.re @ A.re + X.im @ A.im,
                         X.im @ A.re - X.re @ A.im)
+
+
+def _matvec_fns(A64: SplitComplex):
+    """(A·x, Aᴴ·x) batched-row f64 matvecs: native-f64 GEMMs on CPU,
+    exact-slicing bf16 MXU GEMMs on TPU (emulated-f64 GEMMs run ~50× below
+    bandwidth there — see refine.SlicedMatrix)."""
+    if jax.default_backend() == "cpu":
+        return (lambda X: _smatvec(A64, X)), (lambda X: _smatvec_adj(A64, X))
+    sp = slice_split_matrix(A64)
+    return (lambda X: sliced_matvec_batch(sp, X),
+            lambda X: sliced_matvec_batch(sp, X, adjoint=True))
 
 
 def _sdot(a: SplitComplex, b: SplitComplex) -> SplitComplex:
@@ -109,6 +120,7 @@ def refine_eigenpairs(A64: SplitComplex, lam0: jax.Array, V0: jax.Array,
                          / N).astype(rdt)
         psi = (psi_rel * anorm).astype(jnp.float32)
 
+        smv, _ = _matvec_fns(A64)
         # one batched c64 LU of H_k = A − λ_k I + ψ I
         Ac = _to_c(A64, cdtype)
         idx = jnp.arange(N)
@@ -128,7 +140,7 @@ def refine_eigenpairs(A64: SplitComplex, lam0: jax.Array, V0: jax.Array,
 
         def body(_, carry):
             V, lam, resid = carry
-            W = _smatvec(A64, V)                          # A v (f64)
+            W = smv(V)                                    # A v (f64)
             lam_new = _sdiv(_sdot(V, W), _sdot(V, V))     # f64 Rayleigh quotient
             r = SplitComplex(W.re - (lam_new.re[:, None] * V.re
                                      - lam_new.im[:, None] * V.im),
@@ -148,7 +160,7 @@ def refine_eigenpairs(A64: SplitComplex, lam0: jax.Array, V0: jax.Array,
             V_new = SplitComplex(V_new.re / nn[:, None], V_new.im / nn[:, None])
             # keep the better iterate per candidate (guards divergent steps on
             # defective/clustered eigenvalues)
-            W2 = _smatvec(A64, V_new)
+            W2 = smv(V_new)
             lam2 = _sdiv(_sdot(V_new, W2), _sdot(V_new, V_new))
             r2 = SplitComplex(W2.re - (lam2.re[:, None] * V_new.re
                                        - lam2.im[:, None] * V_new.im),
@@ -196,6 +208,7 @@ def refine_svd_triplets(A64: SplitComplex, sig0: jax.Array, U0: jax.Array,
         anorm = jnp.sqrt(jnp.sum(A64.re * A64.re + A64.im * A64.im)
                          / min(A64.re.shape)).astype(rdt)
         psi = (psi_rel * anorm).astype(jnp.float32)
+        smv, smva = _matvec_fns(A64)
         Ac = _to_c(A64, cdtype)
         G = jnp.conj(Ac.T) @ Ac                            # (N, N) c64 Gram
         idx = jnp.arange(N)
@@ -220,8 +233,8 @@ def refine_svd_triplets(A64: SplitComplex, sig0: jax.Array, U0: jax.Array,
         sig = sig0.real.astype(rdt)
 
         def resid_of(sig, U, V):
-            Av = _smatvec(A64, V)
-            Ahu = _smatvec_adj(A64, U)
+            Av = smv(V)
+            Ahu = smva(U)
             r1 = SplitComplex(Av.re - sig[:, None] * U.re,
                               Av.im - sig[:, None] * U.im)
             r2 = SplitComplex(Ahu.re - sig[:, None] * V.re,
@@ -231,18 +244,18 @@ def refine_svd_triplets(A64: SplitComplex, sig0: jax.Array, U0: jax.Array,
         def body(_, carry):
             sig, U, V, rbest = carry
             # f64 σ update: σ = Re⟨u, Av⟩ for unit u, v
-            Av = _smatvec(A64, V)
+            Av = smv(V)
             sig_new = _sdot(U, Av).re
             r1, r2, rn = resid_of(sig_new, U, V)
             # Newton with dσ folded into the RQ update: A dv − σ du = −r1,
             # Aᴴ du − σ dv = −r2  ⇒  (AᴴA − σ²) dv = −(σ r2 + Aᴴ r1),
             # du = (A dv + r1)/σ  (σ ≈ 0 candidates are masked out entirely)
-            Ahr1 = _smatvec_adj(A64, r1)
+            Ahr1 = smva(r1)
             rhs = SplitComplex(-(sig_new[:, None] * r2.re + Ahr1.re),
                                -(sig_new[:, None] * r2.im + Ahr1.im))
             dv = solve(_to_c(rhs, cdtype))
             dv64 = _from_c(dv, rdt)
-            Adv = _smatvec(A64, dv64)
+            Adv = smv(dv64)
             sig_safe = jnp.where(small, 1.0, sig_new)[:, None]
             du = SplitComplex((Adv.re + r1.re) / sig_safe,
                               (Adv.im + r1.im) / sig_safe)
@@ -252,7 +265,7 @@ def refine_svd_triplets(A64: SplitComplex, sig0: jax.Array, U0: jax.Array,
             V_new = SplitComplex(V_new.re / nn[:, None], V_new.im / nn[:, None])
             nn = jnp.maximum(_snorm(U_new), 1e-300)
             U_new = SplitComplex(U_new.re / nn[:, None], U_new.im / nn[:, None])
-            Av2 = _smatvec(A64, V_new)
+            Av2 = smv(V_new)
             sig2 = _sdot(U_new, Av2).re
             _, _, rn2 = resid_of(sig2, U_new, V_new)
             better = (rn2 < rn) & ~small
