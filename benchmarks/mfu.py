@@ -76,6 +76,7 @@ _R_LU = 64
 _R_HESS = 512
 _R_MV = 2048
 _R_STREAM = 64
+_R_SLICED = 128
 
 
 def _timeit(fn, *args, overhead: float = 0.0, reps: int = 8) -> float:
@@ -251,6 +252,46 @@ def scorecard(n_gemm: int = 4096, n_qr: int = 4096, k_lu: int = 32,
     t = _timeit(mv, Am, Xm, overhead=overhead, reps=_R_MV)
     entry("population_matvec", f"K={k_mv} N={n_mv} c64",
           t, 8.0 * k_mv * n_mv ** 2, 8 * n_mv ** 2 + 2 * 8 * k_mv * n_mv)
+
+    # ---- exact-slicing f64 residual (refinement's certification kernel,
+    # ops/refine.py::SlicedMatrix — replaces the emulated-f64 GEMV) ----------
+    jax.config.update("jax_enable_x64", True)
+    from maus_tpu.ops.refine import (SplitComplex, _sliced_residual,
+                                     slice_split_matrix)
+
+    n_sr = n_mv
+    kr = jax.random.fold_in(key, 7)
+    A64 = SplitComplex(
+        jax.random.normal(jax.random.fold_in(kr, 0), (n_sr, n_sr),
+                          jnp.float32).astype(jnp.float64),
+        jax.random.normal(jax.random.fold_in(kr, 1), (n_sr, n_sr),
+                          jnp.float32).astype(jnp.float64))
+    x64 = SplitComplex(
+        jax.random.normal(jax.random.fold_in(kr, 2), (n_sr,),
+                          jnp.float32).astype(jnp.float64),
+        jax.random.normal(jax.random.fold_in(kr, 3), (n_sr,),
+                          jnp.float32).astype(jnp.float64))
+    spA = jax.jit(slice_split_matrix)(A64)
+    jax.block_until_ready(spA.sl_re)
+
+    @jax.jit
+    def sres(sl_re, sl_im, sigma, xr, xi):
+        sp_ = type(spA)(sl_re, sl_im, sigma)
+        x_ = SplitComplex(xr, xi)
+
+        def body(i, acc):
+            xk = SplitComplex(x_.re * (1.0 + 1e-13 * i), x_.im)
+            r = _sliced_residual(sp_, xk, x_)
+            return acc + r.norm().astype(jnp.float32)
+        return jax.lax.fori_loop(0, _R_SLICED, body, f32z)
+
+    t = _timeit(sres, spA.sl_re, spA.sl_im, spA.sigma, x64.re, x64.im,
+                overhead=overhead, reps=_R_SLICED)
+    s_a = int(spA.sl_re.shape[0])
+    # bytes: 2 planes × sA bf16 slice passes; flops: 2·sA GEMMs of N²×(2·12)
+    entry("sliced_f64_residual",
+          f"N={n_sr} f64-exact via {2 * s_a} bf16 slice-GEMMs",
+          t, 2.0 * s_a * 2 * 24 * n_sr ** 2, 2 * s_a * 2 * n_sr ** 2)
 
     return out
 
