@@ -127,22 +127,21 @@ def main():
     import functools
 
     @functools.partial(jax.jit, static_argnames=("steps",))
-    def _select_and_refine(A64_, fac, pop_v, pop_resid, b64_, steps, tol_):
-        # ONE program for best-candidate selection + refinement: each eager op
-        # costs a ~30 ms dispatch RPC on this backend (measured — the eager
-        # argmin/where/slice chain was most of the refine phase's wall time)
-        best = jnp.argmin(jnp.where(jnp.isfinite(pop_resid), pop_resid,
+    def _solve_fused(A_, b_, key_, A64_, b64_, steps, tol_):
+        # the ENTIRE solve — evolve to the c64 floor, best-candidate
+        # selection, split-f64 refinement — as ONE device program: every
+        # separate program call costs a ~30 ms dispatch RPC on this backend
+        carry, _ = ev.evolve_while(cfg, kn, A_, b_, key_, max_iters, 1)
+        pop = carry.pop
+        best = jnp.argmin(jnp.where(jnp.isfinite(pop.residual), pop.residual,
                                     jnp.inf))
-        return refine_split(A64_, fac, b64_, pop_v[best], steps=steps,
-                            tol=tol_)
+        xs, rel = refine_split(A64_, carry.fac, b64_, pop.v[best],
+                               steps=steps, tol=tol_)
+        return xs, rel, carry.iteration
 
     def full_solve():
-        """evolve to the c64 floor, then split-f64 refinement to tol."""
-        carry, _ = ev.evolve_while(cfg, kn, A, b, key, max_iters, 1)
-        pop = carry.pop
-        xs, rel = _select_and_refine(A64, carry.fac, pop.v, pop.residual, b64,
-                                     cfg.max_refine_steps, tol * 0.3)
-        return xs, rel, carry.iteration
+        return _solve_fused(A, b, key, A64, b64, cfg.max_refine_steps,
+                            tol * 0.3)
 
     # warmup (compile); then timed run. NOTE: timing fences with a host value
     # fetch (float()) — on this backend block_until_ready alone does not
