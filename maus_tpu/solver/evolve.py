@@ -328,8 +328,8 @@ def evolve_while(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
     eigh_cache = herm.eigh_setup(A) if _use_shared_eigh(cfg, knowledge) else None
     hess_cache = None
     if _use_hessenberg(cfg, knowledge):
-        from ..ops.hessenberg import reduce_hessenberg
-        hess_cache = reduce_hessenberg(A)
+        from ..ops.hessenberg import reduce_hessenberg_auto
+        hess_cache = reduce_hessenberg_auto(A)
     step = make_iteration(cfg, knowledge, A, b, eigh_cache, target_solutions,
                           hess_cache=hess_cache, mesh=mesh,
                           dist_block=dist_block)
@@ -363,8 +363,8 @@ def evolve_scan(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
     eigh_cache = herm.eigh_setup(A) if _use_shared_eigh(cfg, knowledge) else None
     hess_cache = None
     if _use_hessenberg(cfg, knowledge):
-        from ..ops.hessenberg import reduce_hessenberg
-        hess_cache = reduce_hessenberg(A)
+        from ..ops.hessenberg import reduce_hessenberg_auto
+        hess_cache = reduce_hessenberg_auto(A)
     step = make_iteration(cfg, knowledge, A, b, eigh_cache, target_solutions,
                           hess_cache=hess_cache, mesh=mesh,
                           dist_block=dist_block)

