@@ -114,6 +114,15 @@ class SlicedMatrix(NamedTuple):
     sigma: jax.Array     # f64 power-of-two global scale
 
 
+def _slices_fit(A64: SplitComplex, budget_bytes: float = 6e9) -> bool:
+    """Whether the full bf16 slice ladder of this operand fits the slice
+    budget (~24 bf16 planes). 6 GB leaves room for the operand planes, the
+    c64 factorization, and workspace inside a 16 GB-HBM chip — at
+    N = 16384 the ladder alone would be ~13 GB."""
+    nelem = A64.re.size
+    return 24 * 2 * nelem <= budget_bytes
+
+
 def _pow2_ceil(m):
     """Smallest power of two ≥ m, as exact f64, floored at ~2^-99.
 
@@ -327,8 +336,12 @@ def refine_split(A, fac: LUFactors, b, x0: jax.Array,
 
 def _refine_split_impl(A64, fac, b64, x0, steps, tol, a_mant_bits=53):
     bnorm = jnp.maximum(b64.norm(), jnp.asarray(1e-300, jnp.float64))
-    if jax.default_backend() == "cpu":
-        # native f64 BLAS — the 3M-trick GEMV path is already bandwidth-fast
+    n_side = A64.re.shape[-1]
+    if jax.default_backend() == "cpu" or not _slices_fit(A64):
+        # native f64 BLAS on CPU — the 3M-trick GEMV path is already
+        # bandwidth-fast there; at very large N the bf16 slice ladder
+        # (~24 planes) no longer fits HBM and the emulated-f64 path is the
+        # safe fallback (slow, but O(N²) and memory-light)
         Asum = A64.re + A64.im          # one-time plane sum for the 3M matvec
         true_resid = lambda x64: _residual_3m(A64, Asum, x64, b64)
     else:
@@ -445,7 +458,7 @@ def refine_gmres(A, fac, b, x0: jax.Array, steps: int = 3, tol: float = 0.0,
 
 def _refine_gmres_impl(A64, fac, b64, x0, steps, tol, restart, gmres_batched):
     bnorm = jnp.maximum(b64.norm(), jnp.asarray(1e-300, jnp.float64))
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() == "cpu" or not _slices_fit(A64):
         Asum = A64.re + A64.im          # one-time plane sum for the 3M matvec
         true_resid = lambda x64: _residual_3m(A64, Asum, x64, b64)
     else:

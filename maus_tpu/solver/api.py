@@ -67,7 +67,10 @@ class MausSolver:
                  config: Optional[SolverConfig] = None, seed: int = 0,
                  knowledge: Optional[ProblemKnowledge] = None):
         problem_type = ProblemType(problem_type)
-        A_host = _to_dense_numpy(matrix).astype(np.complex128)
+        # copy=False: a complex128 input is used as-is (no 268 MB host copy at
+        # 4096²); the operand is consumed during construction (device planes
+        # cached immediately), so later user mutation cannot corrupt a run
+        A_host = _to_dense_numpy(matrix).astype(np.complex128, copy=False)
         if not (np.all(np.isfinite(A_host.real)) and
                 np.all(np.isfinite(A_host.imag))):
             raise ValueError("matrix contains non-finite entries")
@@ -88,8 +91,22 @@ class MausSolver:
         else:
             compute_dtype = jnp.complex128 if use_c128 else jnp.complex64
         # complex transfers must go through the split-plane shim: this TPU
-        # runtime cannot device_put/readback complex dtypes (utils/xfer.py)
-        A_dev = to_device_complex(A_host, compute_dtype)
+        # runtime cannot device_put/readback complex dtypes (utils/xfer.py).
+        # The tunnel runs at ~70 MB/s, so a full-precision operand crosses it
+        # ONCE as f64 planes (the c64 compute copy is derived on device and
+        # the refinement planes are pre-cached); float32/complex64 inputs
+        # transfer 4× less and widen on device instead.
+        input_c64_exact = np.dtype(getattr(matrix, "dtype", A_host.dtype)) \
+            in (np.dtype(np.float32), np.dtype(np.complex64))
+        _prefetched_A64 = None
+        if jax.default_backend() != "cpu" and not input_c64_exact \
+                and compute_dtype == jnp.complex64:
+            from ..utils.xfer import c64_from_split_f64, to_device_split_f64
+            re64, im64 = to_device_split_f64(A_host)
+            A_dev = c64_from_split_f64(re64, im64)
+            _prefetched_A64 = (re64, im64)
+        else:
+            A_dev = to_device_complex(A_host, compute_dtype)
         # callers who already know the operand's structure (e.g. the bench harness
         # generating a matrix with prescribed κ) may skip the O(N³-ish) diagnosis.
         # Diagnose the ORIGINAL operand — densifying first would lose the
@@ -148,6 +165,12 @@ class MausSolver:
             self.b = to_device_complex(self.b_host, config.dtype)
         self._key = jax.random.PRNGKey(seed)
         self._fac_cache = None
+        # float32/complex64 user input: the c64 device copy already carries
+        # every bit — refinement planes can be derived on device, no transfer
+        self._input_c64_exact = input_c64_exact
+        self._A64_cache = None
+        if _prefetched_A64 is not None and jax.config.jax_enable_x64:
+            self._A64_cache = SplitComplex(*_prefetched_A64)
 
     # -- reference parity: allow swapping the operand mid-run (scenario 1 does
     # this, AMS:645-652) ---------------------------------------------------------
@@ -155,6 +178,9 @@ class MausSolver:
         if matrix is not None:
             self.A_host = _to_dense_numpy(matrix).astype(np.complex128)
             self.A = to_device_complex(self.A_host, self.config.dtype)
+            self._input_c64_exact = np.dtype(
+                getattr(matrix, "dtype", self.A_host.dtype)) \
+                in (np.dtype(np.float32), np.dtype(np.complex64))
             self.knowledge = diagnose(matrix, self.config.problem_type,
                                       device_operand=self.A)
             self.target_solutions = min(
@@ -164,6 +190,7 @@ class MausSolver:
             self.b_host = np.asarray(b_vector).astype(np.complex128)
             self.b = to_device_complex(self.b_host, self.config.dtype)
         self._fac_cache = None
+        self._A64_cache = None
 
     def evolve(self, max_iterations: int = 100,
                collect_metrics: bool = False,
@@ -301,6 +328,30 @@ class MausSolver:
             return carry, stacked
         return carry, None
 
+    def _get_A64(self) -> SplitComplex:
+        """Device-resident full-precision split planes of the ORIGINAL operand,
+        built once and cached. The host→device tunnel runs at ~70 MB/s on this
+        runtime, so re-transferring the f64 planes per refinement call was the
+        dominant cost of report assembly at large N (measured ~8 s at 4096²)."""
+        if self._A64_cache is None:
+            rdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+            if jax.default_backend() == "cpu":
+                self._A64_cache = SplitComplex(
+                    jnp.asarray(self.A_host.real.astype(rdt)),
+                    jnp.asarray(self.A_host.imag.astype(rdt)))
+            elif self._input_c64_exact:
+                # widen the existing c64 device copy — exact, zero transfer
+                widen = jax.jit(lambda a: (a.real.astype(rdt),
+                                           a.imag.astype(rdt)))
+                re64, im64 = widen(self.A)
+                self._A64_cache = SplitComplex(re64, im64)
+            else:
+                from ..utils.xfer import to_device_split_f64
+                re64, im64 = to_device_split_f64(self.A_host)
+                self._A64_cache = SplitComplex(re64.astype(rdt),
+                                               im64.astype(rdt))
+        return self._A64_cache
+
     # chunk size for batched spectral refinement: fixed so each distinct
     # (chunk, N) shape compiles once; 8 shifted c64 LUs of N² stay well under
     # HBM limits up to N=4096 (8·4096²·8 B = 1 GiB)
@@ -314,9 +365,7 @@ class MausSolver:
         not improve it."""
         from ..ops.refine_eig import refine_eigenpairs, refine_svd_triplets
         cfg = self.config
-        rdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-        A64 = SplitComplex(jnp.asarray(self.A_host.real.astype(rdt)),
-                           jnp.asarray(self.A_host.imag.astype(rdt)))
+        A64 = self._get_A64()
         out = {}
         CH = self._REFINE_CHUNK
         for i in range(0, len(ks), CH):
@@ -363,10 +412,10 @@ class MausSolver:
         x_j = to_device_complex(x, cfg.dtype)
         # refine against the ORIGINAL full-precision operands (split f64 — the only
         # f64 complex representation TPUs can hold), so the result solves the user's
-        # system, not its c64 rounding
+        # system, not its c64 rounding. The A planes are transferred once and
+        # cached (_get_A64); b is small.
         rdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-        A_split = SplitComplex(jnp.asarray(self.A_host.real.astype(rdt)),
-                               jnp.asarray(self.A_host.imag.astype(rdt)))
+        A_split = self._get_A64()
         b_split = SplitComplex(jnp.asarray(self.b_host.real.astype(rdt)),
                                jnp.asarray(self.b_host.imag.astype(rdt)))
         xs, rel = refine_split_ir(A_split, self._fac_cache, b_split, x_j,

@@ -119,11 +119,31 @@ def _cond_probe_device(Ac, Are, Aim, key, power_iters: int = 16,
         def qr_solve_adj(b):                # Aᴴ x = b
             return q @ jsla.solve_triangular(r, b, lower=False, trans=2)
 
-        def mv(xre, xim):                   # A x, split f64
-            return Are @ xre - Aim @ xim, Aim @ xre + Are @ xim
+        from ..ops.refine import (SplitComplex, _slices_fit,
+                                  slice_split_matrix, sliced_matvec_batch)
 
-        def mv_adj(xre, xim):               # Aᴴ x, split f64
-            return Are.T @ xre + Aim.T @ xim, Are.T @ xim - Aim.T @ xre
+        A64sp = SplitComplex(Are, Aim)
+        if jax.default_backend() == "cpu" or not _slices_fit(A64sp) or \
+                f64 != jnp.float64:
+            def mv(xre, xim):               # A x, split f64 (native GEMVs)
+                return Are @ xre - Aim @ xim, Aim @ xre + Are @ xim
+
+            def mv_adj(xre, xim):           # Aᴴ x, split f64
+                return Are.T @ xre + Aim.T @ xim, Are.T @ xim - Aim.T @ xre
+        else:
+            # emulated-f64 GEMVs are ~50× below bandwidth on TPU; the probe's
+            # ~80 IR matvecs were most of MausSolver's construction time at
+            # 4096² — exact-slicing bf16 MXU matvecs instead (refine.py)
+            sp = slice_split_matrix(A64sp)
+
+            def mv(xre, xim):
+                Y = sliced_matvec_batch(sp, SplitComplex(xre[None], xim[None]))
+                return Y.re[0], Y.im[0]
+
+            def mv_adj(xre, xim):
+                Y = sliced_matvec_batch(sp, SplitComplex(xre[None], xim[None]),
+                                        adjoint=True)
+                return Y.re[0], Y.im[0]
 
         def _ir(bre, bim, matvec, solve):
             """Solve to f64 accuracy with the c64 factorization; returns
@@ -197,16 +217,22 @@ def estimate_cond_device(A_dev) -> float:
     import jax.numpy as jnp
 
     if _cond_probe_jit is None:
-        _cond_probe_jit = jax.jit(_cond_probe_device)
+        def _stacked(Ac, key):
+            # derive the f64 planes INSIDE the program and stack the scalar
+            # outputs: separate eager ops + per-scalar readbacks each pay the
+            # full dispatch/fence RPC (measured ~1 s each at 4096²)
+            f64_ = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+            Are_ = Ac.real.astype(f64_)
+            Aim_ = Ac.imag.astype(f64_)
+            smax_, g_, rf_, rl_ = _cond_probe_device(Ac, Are_, Aim_, key)
+            return jnp.stack([smax_.astype(jnp.float64),
+                              g_.astype(jnp.float64),
+                              rf_.astype(jnp.float64),
+                              rl_.astype(jnp.float64)])
+        _cond_probe_jit = jax.jit(_stacked)
 
-    f64 = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    Are = A_dev.real.astype(f64)
-    Aim = A_dev.imag.astype(f64)
-    key = jax.random.PRNGKey(0)
-    smax, g, rel_first, rel_final = _cond_probe_jit(A_dev, Are, Aim, key)
-    smax = float(smax)
-    g = float(g)
-    rel_final = float(rel_final)
+    out = np.asarray(_cond_probe_jit(A_dev, jax.random.PRNGKey(0)), np.float64)
+    smax, g, rel_final = float(out[0]), float(out[1]), float(out[3])
     if not (np.isfinite(smax) and np.isfinite(g)) or g <= 0:
         return np.inf
     cond_lo = smax * np.sqrt(g)      # √g → 1/σ_min as inverse power converges
@@ -217,10 +243,51 @@ def estimate_cond_device(A_dev) -> float:
     # singular (all probes saturate at ≈ n/ε), so the honest answer is ∞:
     # Critical regime + iterative/GMRES-IR handling, which is also the only
     # machinery that can actually solve such a system in this precision.
-    eps_res = float(jnp.finfo(Are.dtype).eps)
+    eps_res = float(np.finfo(np.float64 if jax.config.jax_enable_x64
+                             else np.float32).eps)
     if rel_final <= max(1e-6, 100.0 * eps_res):
         return cond_lo
     return np.inf
+
+
+# module-level jit caches: a fresh jax.jit wrapper per call would recompile
+# every diagnose() (measured 4.5 s of silent recompiles per constructor call)
+_structure_jit = None
+_chol_jit = None
+
+
+def _structure_probe(Ad):
+    """(hermitian defect, symmetric defect, nnz) in ONE program / ONE fetch —
+    each separate scalar readback pays the full dispatch+fence RPC."""
+    global _structure_jit
+    import jax
+    import jax.numpy as jnp
+
+    if _structure_jit is None:
+        @jax.jit
+        def probe(a):
+            return jnp.stack([
+                jnp.max(jnp.abs(a - jnp.conj(a).T)).astype(jnp.float32),
+                jnp.max(jnp.abs(a - a.T)).astype(jnp.float32),
+                jnp.sum((jnp.abs(a) > 1e-12).astype(jnp.int32))
+                .astype(jnp.float32)])
+        _structure_jit = probe
+    out = np.asarray(_structure_jit(Ad), np.float64)
+    return float(out[0]), float(out[1]), int(out[2])
+
+
+def _chol_ok_dev(Ad) -> bool:
+    global _chol_jit
+    import jax
+    import jax.numpy as jnp
+
+    if _chol_jit is None:
+        @jax.jit
+        def probe(a):
+            L = jnp.linalg.cholesky(a)
+            return jnp.all(jnp.isfinite(L.real) & jnp.isfinite(L.imag))
+        _chol_jit = probe
+    return bool(_chol_jit(Ad))
 
 
 def diagnose(A, problem_type: ProblemType,
@@ -237,23 +304,36 @@ def diagnose(A, problem_type: ProblemType,
     if Ad.ndim != 2:
         raise ValueError(f"expected a 2-D operand, got shape {Ad.shape}")
     m, n = Ad.shape
-    nnz = int(np.count_nonzero(np.abs(Ad) > 1e-12))
-    density = nnz / max(1, m * n)
-    is_sparse = was_sparse or density < sparse_density_threshold
-
+    big = m * n > 10_000_000
     is_hermitian = False
     is_complex_symmetric = False
     is_positive_definite = False
-    if m == n and m * n <= 10_000_000:          # densify guard (AMS:390-395)
-        is_hermitian = bool(np.allclose(Ad, Ad.conj().T, atol=1e-9))
-        if not is_hermitian and np.iscomplexobj(Ad):
-            is_complex_symmetric = bool(np.allclose(Ad, Ad.T, atol=1e-9))
+    if m == n and device_operand is not None:
+        # structure + density in ONE device program / ONE fetch. Beyond the
+        # reference's densify guard this also covers large operands — the c64
+        # copy preserves Hermitian-ness exactly (per-entry rounding commutes
+        # with conjugation), so large Hermitian operands now reach the
+        # shared-eigh fast path instead of being silently classified general
+        dh, ds, nnz = _structure_probe(device_operand)
+        is_hermitian = dh <= 1e-9
+        if not is_hermitian:
+            is_complex_symmetric = ds <= 1e-9
         if is_hermitian:
-            try:
-                np.linalg.cholesky(Ad)
-                is_positive_definite = True
-            except np.linalg.LinAlgError:
-                is_positive_definite = False
+            is_positive_definite = bool(_chol_ok_dev(device_operand))
+    else:
+        nnz = int(np.count_nonzero(np.abs(Ad) > 1e-12))
+        if m == n and not big:                  # densify guard (AMS:390-395)
+            is_hermitian = bool(np.allclose(Ad, Ad.conj().T, atol=1e-9))
+            if not is_hermitian and np.iscomplexobj(Ad):
+                is_complex_symmetric = bool(np.allclose(Ad, Ad.T, atol=1e-9))
+            if is_hermitian:
+                try:
+                    np.linalg.cholesky(Ad)
+                    is_positive_definite = True
+                except np.linalg.LinAlgError:
+                    is_positive_definite = False
+    density = nnz / max(1, m * n)
+    is_sparse = was_sparse or density < sparse_density_threshold
 
     if device_operand is not None and max(m, n) > 512 and m == n:
         cond = estimate_cond_device(device_operand)

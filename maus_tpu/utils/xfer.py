@@ -43,6 +43,43 @@ def to_device_complex(x_host, dtype) -> jax.Array:
     return _combine(re, im).astype(dtype)
 
 
+@jax.jit
+def _c64_from_f64_planes(re64: jax.Array, im64: jax.Array) -> jax.Array:
+    return jax.lax.complex(re64.astype(jnp.float32), im64.astype(jnp.float32))
+
+
+@jax.jit
+def _deinterleave(packed: jax.Array) -> tuple[jax.Array, jax.Array]:
+    return packed[..., 0], packed[..., 1]
+
+
+def to_device_split_f64(x_host) -> tuple[jax.Array, jax.Array]:
+    """Move a host complex array to device as full-precision (re, im) float64
+    planes — REAL f64 crosses this runtime's host boundary fine; only complex
+    dtypes cannot. One 2·8·size-byte transfer; callers derive the complex64
+    compute copy on device via :func:`c64_from_split_f64` so the operand
+    crosses the (slow, ~70 MB/s) tunnel exactly once.
+
+    A C-contiguous complex128 input is transferred as its raw interleaved-f64
+    view and de-interleaved on device — zero host-side plane copies (the
+    strided ``.real``/``.imag`` extractions cost ~1.2 s each at 4096² on
+    host)."""
+    x_host = np.asarray(x_host)
+    if x_host.dtype == np.complex128 and x_host.flags.c_contiguous:
+        packed = jnp.asarray(x_host.view(np.float64)
+                             .reshape(x_host.shape + (2,)))
+        return _deinterleave(packed)
+    re = jnp.asarray(np.ascontiguousarray(x_host.real, np.float64))
+    im = jnp.asarray(np.ascontiguousarray(x_host.imag, np.float64))
+    return re, im
+
+
+def c64_from_split_f64(re64: jax.Array, im64: jax.Array) -> jax.Array:
+    """complex64 compute copy of split-f64 planes (device-side rounding —
+    identical to transferring astype(complex64) directly)."""
+    return _c64_from_f64_planes(re64, im64)
+
+
 def to_host_complex(x_dev) -> np.ndarray:
     """Read back a device array (complex-safe) as numpy."""
     if not jnp.issubdtype(x_dev.dtype, jnp.complexfloating) or not _needs_split():
