@@ -1,2 +1,3 @@
-from . import diffusion, engine, interp, tape
+from . import diffusion, engine, interp, islands, tape
 from .engine import AgeConfig, GenesisEngine, Genome
+from .islands import IslandAGE

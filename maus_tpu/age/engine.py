@@ -132,19 +132,26 @@ class GenesisEngine:
         return out
 
     # -- stage III (K:405-461) — batched on device ---------------------------
-    def stage_III_test(self, candidates: List[Genome]) -> List[Genome]:
+    def stage_III_test(self, candidates: List[Genome],
+                       fitness=None) -> List[Genome]:
+        """``fitness``: optional precomputed per-candidate diffusion fitness —
+        the island driver (age/islands.py) evaluates ALL islands' candidates
+        in one mesh-sharded device batch and feeds each island its slice."""
         c = self.conf
         if not candidates:
             self.D = logistic_growth(self.D, 1.0, c.rate_d, 0.0)
             self.G = logistic_growth(self.G, 1.0, c.rate_g, 0.0)
             return []
 
-        tapes = stack_tapes([compile_tree(g.tree, c.variables)
-                             for g in candidates])
-        tapes = {k: jnp.asarray(v) for k, v in tapes.items()}
-        final, ok = diffusion.run_diffusion_population(
-            tapes, c.diffusion_n, c.diffusion_t, self._base_kernel)
-        fitness = np.asarray(diffusion.spread_fitness(final, ok))
+        if fitness is None:
+            tapes = stack_tapes([compile_tree(g.tree, c.variables)
+                                 for g in candidates])
+            tapes = {k: jnp.asarray(v) for k, v in tapes.items()}
+            final, ok = diffusion.run_diffusion_population(
+                tapes, c.diffusion_n, c.diffusion_t, self._base_kernel)
+            fitness = np.asarray(diffusion.spread_fitness(final, ok))
+        else:
+            fitness = np.asarray(fitness)
 
         survivors = []
         found_emergent = False
@@ -213,7 +220,13 @@ class GenesisEngine:
         self.cycle_count += 1
         self.stage_I_ingest_primitives()
         candidates = self.stage_II_weave()
-        survivors = self.stage_III_test(candidates)
+        return self.complete_cycle(candidates)
+
+    def complete_cycle(self, candidates: List[Genome],
+                       fitness=None) -> dict:
+        """Stages III–IV + summary for already-woven candidates (used by the
+        island driver, which evaluates fitness for all islands at once)."""
+        survivors = self.stage_III_test(candidates, fitness=fitness)
         archived = self.stage_IV_synthesize(survivors)
         best = max((g.stability for g in candidates), default=0.0)
         summary = {

@@ -133,9 +133,21 @@ def cmd_bench(args):
 
 
 def cmd_age(args):
-    from maus_tpu.age import AgeConfig, GenesisEngine
+    from maus_tpu.age import AgeConfig, GenesisEngine, IslandAGE
 
     conf = AgeConfig(candidates_per_cycle=args.cands)
+    if args.islands > 1:
+        isl = IslandAGE(n_islands=args.islands, config=conf, seed=args.seed,
+                        verbose=not args.json)
+        summaries = isl.run(args.cycles)
+        if args.json:
+            for s in summaries:
+                print(json.dumps(s))
+        else:
+            best = max(s["best_fitness"] for s in summaries)
+            print(f"best fitness {best:.3f} across {args.islands} islands, "
+                  f"library {summaries[-1]['library_total']}")
+        return 0
     eng = GenesisEngine(conf, seed=args.seed, verbose=not args.json)
     summaries = eng.run(args.cycles)
     if args.json:
@@ -193,6 +205,9 @@ def main(argv=None):
     p.add_argument("--cycles", type=int, default=5)
     p.add_argument("--cands", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--islands", type=int, default=1,
+                   help="island-model run: N independent populations, one "
+                        "batched device evaluation, ring migration")
     p.add_argument("--json", action="store_true")
     p.set_defaults(fn=cmd_age)
 
