@@ -115,12 +115,24 @@ class SlicedMatrix(NamedTuple):
 
 
 def _slices_fit(A64: SplitComplex, budget_bytes: float = 6e9) -> bool:
-    """Whether the full bf16 slice ladder of this operand fits the slice
-    budget (~24 bf16 planes). 6 GB leaves room for the operand planes, the
-    c64 factorization, and workspace inside a 16 GB-HBM chip — at
-    N = 16384 the ladder alone would be ~13 GB."""
+    """Whether the exact-slicing scheme applies to this operand: the full
+    bf16 slice ladder (~24 planes) must fit the slice budget (6 GB leaves
+    room for the operand planes, the c64 factorization, and workspace inside
+    a 16 GB-HBM chip — at N = 16384 the ladder alone would be ~13 GB), AND
+    every contraction must stay exactly accumulable in f32: products ≤ 2^{2w}
+    times a contraction length ≤ 2^{24−2w} = 16384 for w = 5 — the bound is
+    on the LONGEST axis because the adjoint matvec contracts the other one."""
     nelem = A64.re.size
-    return 24 * 2 * nelem <= budget_bytes
+    return 24 * 2 * nelem <= budget_bytes and max(A64.re.shape) <= 16384
+
+
+def use_sliced_matvecs(A64: SplitComplex) -> bool:
+    """Single dispatch rule for every f64-matvec site (refinement, GMRES-IR,
+    eig/SVD finishers, the diagnose cond probe): exact-slicing bf16 MXU
+    matvecs on TPU when the ladder fits and the planes are f64; the native
+    (CPU) or emulated-f64 path otherwise."""
+    return jax.default_backend() != "cpu" and \
+        A64.re.dtype == jnp.float64 and _slices_fit(A64)
 
 
 def _pow2_ceil(m):
@@ -336,8 +348,7 @@ def refine_split(A, fac: LUFactors, b, x0: jax.Array,
 
 def _refine_split_impl(A64, fac, b64, x0, steps, tol, a_mant_bits=53):
     bnorm = jnp.maximum(b64.norm(), jnp.asarray(1e-300, jnp.float64))
-    n_side = A64.re.shape[-1]
-    if jax.default_backend() == "cpu" or not _slices_fit(A64):
+    if not use_sliced_matvecs(A64):
         # native f64 BLAS on CPU — the 3M-trick GEMV path is already
         # bandwidth-fast there; at very large N the bf16 slice ladder
         # (~24 planes) no longer fits HBM and the emulated-f64 path is the
@@ -458,7 +469,7 @@ def refine_gmres(A, fac, b, x0: jax.Array, steps: int = 3, tol: float = 0.0,
 
 def _refine_gmres_impl(A64, fac, b64, x0, steps, tol, restart, gmres_batched):
     bnorm = jnp.maximum(b64.norm(), jnp.asarray(1e-300, jnp.float64))
-    if jax.default_backend() == "cpu" or not _slices_fit(A64):
+    if not use_sliced_matvecs(A64):
         Asum = A64.re + A64.im          # one-time plane sum for the 3M matvec
         true_resid = lambda x64: _residual_3m(A64, Asum, x64, b64)
     else:

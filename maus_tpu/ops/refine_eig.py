@@ -55,9 +55,9 @@ def _matvec_fns(A64: SplitComplex):
     """(A·x, Aᴴ·x) batched-row f64 matvecs: native-f64 GEMMs on CPU,
     exact-slicing bf16 MXU GEMMs on TPU (emulated-f64 GEMMs run ~50× below
     bandwidth there — see refine.SlicedMatrix)."""
-    from .refine import _slices_fit
+    from .refine import use_sliced_matvecs
 
-    if jax.default_backend() == "cpu" or not _slices_fit(A64):
+    if not use_sliced_matvecs(A64):
         return (lambda X: _smatvec(A64, X)), (lambda X: _smatvec_adj(A64, X))
     sp = slice_split_matrix(A64)
     return (lambda X: sliced_matvec_batch(sp, X),

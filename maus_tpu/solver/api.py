@@ -67,17 +67,6 @@ class MausSolver:
                  config: Optional[SolverConfig] = None, seed: int = 0,
                  knowledge: Optional[ProblemKnowledge] = None):
         problem_type = ProblemType(problem_type)
-        # copy=False: a complex128 input is used as-is (no 268 MB host copy at
-        # 4096²); the operand is consumed during construction (device planes
-        # cached immediately), so later user mutation cannot corrupt a run
-        A_host = _to_dense_numpy(matrix).astype(np.complex128, copy=False)
-        if not (np.all(np.isfinite(A_host.real)) and
-                np.all(np.isfinite(A_host.imag))):
-            raise ValueError("matrix contains non-finite entries")
-        if problem_type != ProblemType.SVD and A_host.ndim == 2 and \
-                A_host.shape[0] != A_host.shape[1]:
-            raise ValueError(
-                f"{problem_type.name} requires a square matrix, got {A_host.shape}")
         # Compute dtype is decided before diagnosis so the operand can move to
         # the device first — the condition estimate then runs on device for
         # large N (estimate_cond_device) instead of stalling on host LAPACK.
@@ -90,17 +79,33 @@ class MausSolver:
             compute_dtype = config.dtype
         else:
             compute_dtype = jnp.complex128 if use_c128 else jnp.complex64
+        input_c64_exact = np.dtype(
+            getattr(matrix, "dtype", np.complex128)) \
+            in (np.dtype(np.float32), np.dtype(np.complex64))
+        # The prefetch path transfers the operand's f64 planes ONCE during
+        # construction and never reads A_host afterwards (x64 required so the
+        # planes can be cached as the refinement operand) — only then is a
+        # complex128 input safe to use WITHOUT a defensive host copy
+        will_prefetch = jax.default_backend() != "cpu" and \
+            not input_c64_exact and compute_dtype == jnp.complex64 and \
+            jax.config.jax_enable_x64
+        A_host = _to_dense_numpy(matrix).astype(np.complex128,
+                                                copy=not will_prefetch)
+        if not (np.all(np.isfinite(A_host.real)) and
+                np.all(np.isfinite(A_host.imag))):
+            raise ValueError("matrix contains non-finite entries")
+        if problem_type != ProblemType.SVD and A_host.ndim == 2 and \
+                A_host.shape[0] != A_host.shape[1]:
+            raise ValueError(
+                f"{problem_type.name} requires a square matrix, got {A_host.shape}")
         # complex transfers must go through the split-plane shim: this TPU
         # runtime cannot device_put/readback complex dtypes (utils/xfer.py).
         # The tunnel runs at ~70 MB/s, so a full-precision operand crosses it
         # ONCE as f64 planes (the c64 compute copy is derived on device and
         # the refinement planes are pre-cached); float32/complex64 inputs
         # transfer 4× less and widen on device instead.
-        input_c64_exact = np.dtype(getattr(matrix, "dtype", A_host.dtype)) \
-            in (np.dtype(np.float32), np.dtype(np.complex64))
         _prefetched_A64 = None
-        if jax.default_backend() != "cpu" and not input_c64_exact \
-                and compute_dtype == jnp.complex64:
+        if will_prefetch:
             from ..utils.xfer import c64_from_split_f64, to_device_split_f64
             re64, im64 = to_device_split_f64(A_host)
             A_dev = c64_from_split_f64(re64, im64)
@@ -112,7 +117,9 @@ class MausSolver:
         # Diagnose the ORIGINAL operand — densifying first would lose the
         # sparse-input classification (AMS:380 semantics).
         self.knowledge = knowledge if knowledge is not None \
-            else diagnose(matrix, problem_type, device_operand=A_dev)
+            else diagnose(matrix, problem_type, device_operand=A_dev,
+                          device_planes=_prefetched_A64,
+                          device_exact=input_c64_exact)
         m, n = self.knowledge.shape
 
         if config is None:
@@ -595,8 +602,16 @@ def svd(A, tol: float = 1e-6, max_iterations: int = 300,
             mesh, A, num_candidates=k,
             iterations=min(max_iterations, 60), seed=seed)
         finite = np.isfinite(sig)
-        smax = float(np.max(sig[finite])) if finite.any() else 0.0
         kn0 = ProblemKnowledge(shape=(mr, n), effective_rank=1)
+        if not finite.any():
+            # iteration blew up (non-finite Ritz values): report FAILURE —
+            # fabricating a "zero operand" answer here would return a
+            # converged σ=0 triplet for an operand whose σ₁ may be large
+            return SolutionReport(
+                problem_type=ProblemType.SVD, solutions=[], residuals=[],
+                iterations=min(max_iterations, 60), num_distinct=0,
+                target_solutions=1, landscape_energy=1.0, knowledge=kn0)
+        smax = float(np.max(sig[finite]))
         if smax <= 1e-12:
             # effectively-zero operand: one zero triplet (AMS:243-247); the
             # Ritz basis is meaningless (QR of a zero subspace) — use e₁
@@ -610,9 +625,18 @@ def svd(A, tol: float = 1e-6, max_iterations: int = 300,
         # effective rank from the Ritz spectrum (AMS:463-470 convention)
         rank = int(np.sum(sig[finite] / smax > 1e-4)) or 1
         scale = max(smax, 1.0)
+        # acceptance floor: the sharded path computes residuals in the mesh
+        # compute dtype (c64 on TPU) and has no split-f64 finisher yet
+        # (STATUS gap 4), so a user tol below that dtype's floor must not
+        # silently return an empty report — accept down to the floor and
+        # report the achieved residuals honestly
+        eps_c = float(np.finfo(np.float32).eps)
+        if jax.default_backend() == "cpu" and jax.config.jax_enable_x64:
+            eps_c = float(np.finfo(np.float64).eps)
+        accept = max(tol * 10, 50.0 * eps_c * np.sqrt(max(mr, n))) * scale
         sols, resids = [], []
         for i in np.argsort(res):
-            if not finite[i] or res[i] > tol * scale * 10:
+            if not finite[i] or res[i] > accept:
                 continue
             # below the effective-rank cut → null-space Ritz triplet, not a
             # distinct solution (reference's σ<1e-8 "zero singular value"

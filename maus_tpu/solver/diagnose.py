@@ -119,12 +119,11 @@ def _cond_probe_device(Ac, Are, Aim, key, power_iters: int = 16,
         def qr_solve_adj(b):                # Aᴴ x = b
             return q @ jsla.solve_triangular(r, b, lower=False, trans=2)
 
-        from ..ops.refine import (SplitComplex, _slices_fit,
-                                  slice_split_matrix, sliced_matvec_batch)
+        from ..ops.refine import (SplitComplex, slice_split_matrix,
+                                  sliced_matvec_batch, use_sliced_matvecs)
 
         A64sp = SplitComplex(Are, Aim)
-        if jax.default_backend() == "cpu" or not _slices_fit(A64sp) or \
-                f64 != jnp.float64:
+        if not use_sliced_matvecs(A64sp):
             def mv(xre, xim):               # A x, split f64 (native GEMVs)
                 return Are @ xre - Aim @ xim, Aim @ xre + Are @ xim
 
@@ -290,15 +289,45 @@ def _chol_ok_dev(Ad) -> bool:
     return bool(_chol_jit(Ad))
 
 
+_structure64_jit = None
+
+
+def _structure_probe_f64(re64, im64):
+    """Structure + density from the FULL-PRECISION device planes: the defects
+    are measured on the user's own f64 data, so the reference's absolute
+    1e-9 threshold applies verbatim even for matrices a c64 copy could not
+    resolve (entrywise c64 rounding is ~6e-8·|a|)."""
+    global _structure64_jit
+    import jax
+    import jax.numpy as jnp
+
+    if _structure64_jit is None:
+        @jax.jit
+        def probe(re, im):
+            herm2 = (re - re.T) ** 2 + (im + im.T) ** 2
+            sym2 = (re - re.T) ** 2 + (im - im.T) ** 2
+            nnz = jnp.sum((re * re + im * im > 1e-24).astype(jnp.int32))
+            return jnp.stack([jnp.sqrt(jnp.max(herm2)).astype(jnp.float32),
+                              jnp.sqrt(jnp.max(sym2)).astype(jnp.float32),
+                              nnz.astype(jnp.float32)])
+        _structure64_jit = probe
+    out = np.asarray(_structure64_jit(re64, im64), np.float64)
+    return float(out[0]), float(out[1]), int(out[2])
+
+
 def diagnose(A, problem_type: ProblemType,
              sparse_density_threshold: float = 0.25,
-             device_operand=None) -> ProblemKnowledge:
+             device_operand=None, device_planes=None,
+             device_exact: bool = False) -> ProblemKnowledge:
     """Classify the operand: density, Hermitian / complex-symmetric structure,
     conditioning, singularity (AMS:374-404 semantics, estimation fixed).
 
     ``device_operand``: optional device-resident copy of A. When provided and
     the operand is large, the condition estimate runs on device
-    (:func:`estimate_cond_device`) instead of host LAPACK."""
+    (:func:`estimate_cond_device`) instead of host LAPACK.
+    ``device_planes``: optional (re64, im64) full-precision device planes —
+    structure checks then run on the exact data. ``device_exact``: the c64
+    device copy IS the user's exact data (float32/complex64 input)."""
     was_sparse = hasattr(A, "toarray")
     Ad = _to_dense_numpy(A)
     if Ad.ndim != 2:
@@ -308,18 +337,49 @@ def diagnose(A, problem_type: ProblemType,
     is_hermitian = False
     is_complex_symmetric = False
     is_positive_definite = False
-    if m == n and device_operand is not None:
-        # structure + density in ONE device program / ONE fetch. Beyond the
-        # reference's densify guard this also covers large operands — the c64
-        # copy preserves Hermitian-ness exactly (per-entry rounding commutes
-        # with conjugation), so large Hermitian operands now reach the
-        # shared-eigh fast path instead of being silently classified general
-        dh, ds, nnz = _structure_probe(device_operand)
+    if m == n and device_planes is not None:
+        # structure + density in ONE device program / ONE fetch, on the
+        # FULL-PRECISION planes — the reference's absolute 1e-9 threshold
+        # applies verbatim, and (beyond its 1e7-element densify guard) large
+        # Hermitian operands now reach the shared-eigh fast path
+        dh, ds, nnz = _structure_probe_f64(*device_planes)
         is_hermitian = dh <= 1e-9
         if not is_hermitian:
             is_complex_symmetric = ds <= 1e-9
         if is_hermitian:
             is_positive_definite = bool(_chol_ok_dev(device_operand))
+    elif m == n and device_operand is not None and (device_exact or not big):
+        # exact c64 input (the device copy IS the data), or a small operand
+        # where a misclassification risk from c64 rounding does not arise
+        # because the host check below would see the same values anyway —
+        # prefer the device probe (one program, no 0.3 s host scans)
+        if device_exact:
+            dh, ds, nnz = _structure_probe(device_operand)
+            is_hermitian = dh <= 1e-9
+            if not is_hermitian:
+                is_complex_symmetric = ds <= 1e-9
+            if is_hermitian:
+                is_positive_definite = bool(_chol_ok_dev(device_operand))
+        else:
+            # small + possibly-rounded device copy: use the host data
+            nnz = int(np.count_nonzero(np.abs(Ad) > 1e-12))
+            is_hermitian = bool(np.allclose(Ad, Ad.conj().T, atol=1e-9))
+            if not is_hermitian and np.iscomplexobj(Ad):
+                is_complex_symmetric = bool(np.allclose(Ad, Ad.T, atol=1e-9))
+            if is_hermitian:
+                try:
+                    np.linalg.cholesky(Ad)
+                    is_positive_definite = True
+                except np.linalg.LinAlgError:
+                    is_positive_definite = False
+    elif m == n and device_operand is not None:
+        # big operand, only a (possibly rounded) c64 copy: the 1e-9 absolute
+        # test is not resolvable at c64 precision in either direction (a
+        # truly non-Hermitian matrix with defect ~5e-8 can round to a zero
+        # measured defect), and a wrong Hermitian classification would force
+        # real eigenvalues — classify as general (correct, just not
+        # fast-pathed). Density still comes from the device count.
+        _, _, nnz = _structure_probe(device_operand)
     else:
         nnz = int(np.count_nonzero(np.abs(Ad) > 1e-12))
         if m == n and not big:                  # densify guard (AMS:390-395)
