@@ -560,9 +560,17 @@ def eig(A, tol: float = 1e-8, max_iterations: int = 200,
         # distinct-solution dedup, reference similarity rules (AMS:435-437)
         anorm = float(np.linalg.norm(np.asarray(lam))) / max(len(lam), 1)
         order = np.argsort(res)
+        # dtype-aware acceptance floor (same rationale as the svd mesh
+        # branch): the sharded path computes in the mesh dtype (c64 on TPU)
+        # with no split-f64 finisher yet — a tol below the dtype floor must
+        # not silently return an empty report
+        eps_c = float(np.finfo(np.float32).eps)
+        if jax.default_backend() == "cpu" and jax.config.jax_enable_x64:
+            eps_c = float(np.finfo(np.float64).eps)
+        accept = max(tol * 10, 50.0 * eps_c * np.sqrt(n)) * max(anorm, 1.0)
         sols, resids = [], []
         for i in order:
-            if res[i] > tol * max(anorm, 1.0) * 10:
+            if not np.isfinite(res[i]) or res[i] > accept:
                 continue
             dup = any(abs(lam[i] - s_[0]) < 1e-5 + abs(lam[i]) * 1e-6 and
                       abs(np.vdot(X[i], s_[1])) > 0.999 for s_ in sols)
