@@ -65,6 +65,12 @@ class StabilityState(enum.IntEnum):
 # Static configuration
 # ---------------------------------------------------------------------------
 
+# effective-rank cut σ/σ_max (AMS:463-470) — module-level so host-side rank
+# estimation (solver/diagnose.py, which runs BEFORE a config exists) and the
+# config default cannot drift apart
+RANK_REL_CUT = 1e-4
+
+
 @dataclasses.dataclass(frozen=True)
 class SolverConfig:
     """Static solver configuration (hashable; safe as a jit static argument).
@@ -107,6 +113,10 @@ class SolverConfig:
     lambda_similarity_tol: float = 1e-5
     sigma_similarity_abs: float = 1e-6
     sigma_similarity_rel: float = 1e-4
+    # σ/σ_max below this counts as outside the effective rank (AMS:463-470);
+    # a DEDICATED knob — reusing sigma_similarity_rel (the duplicate-σ
+    # tolerance) would couple dedup tightening to rank detection
+    rank_rel_cut: float = RANK_REL_CUT
     # --- numerics ---
     dtype: Any = jnp.complex64       # device compute dtype
     convergence_floor: float = 0.0   # dtype precision floor for the convergence
@@ -160,7 +170,8 @@ class SolverConfig:
                      self.max_stuck_for_retirement, self.max_stuck_for_pruning,
                      self.min_weight, self.vector_similarity_tol,
                      self.lambda_similarity_tol, self.sigma_similarity_abs,
-                     self.sigma_similarity_rel, str(self.dtype),
+                     self.sigma_similarity_rel, self.rank_rel_cut,
+                     str(self.dtype),
                      self.use_hessenberg,
                      self.convergence_floor, self.refine,
                      self.max_refine_steps, self.eigh_max_n, self.orthogonalize,

@@ -312,8 +312,23 @@ def _eig_iterate(mesh: Mesh, hess: DistHess, key: jax.Array, k: int,
 
     psi_v = jnp.full((k,), 1.0, rdt) * psi0
 
-    def body(i, carry):
-        V, lam, _ = carry
+    # ``iterations`` is an upper BOUND (consistent with evolve_while's
+    # semantics): each distributed iteration costs a 2N-step latency-bound
+    # collective scan, so running a fixed count after convergence would waste
+    # minutes of ICI wall-clock at large N. Stop when the worst candidate
+    # residual falls below the dtype floor or stalls.
+    eps = jnp.asarray(jnp.finfo(rdt).eps, rdt)
+    scale = (jnp.abs(lam_center) + lam_scale).real.astype(rdt)
+    floor = 5.0 * eps * jnp.sqrt(jnp.asarray(float(n), rdt)) * \
+        jnp.maximum(scale, jnp.asarray(1e-30, rdt))
+
+    def cond(carry):
+        _, _, resid, it, _, stall = carry
+        mx = jnp.max(resid)
+        return (it < iterations) & (mx > floor) & (stall < 6)
+
+    def body(carry):
+        V, lam, resid, it, best_max, stall = carry
         W = dist_hess_solve(mesh, hess.h, lam, V, psi=psi_v)
         Wn = W / jnp.maximum(jnp.linalg.norm(W, axis=-1, keepdims=True),
                              jnp.finfo(rdt).tiny)
@@ -323,10 +338,17 @@ def _eig_iterate(mesh: Mesh, hess: DistHess, key: jax.Array, k: int,
         HV = _dist_matvec_rows(mesh, hess.h, V)
         lam = jnp.sum(jnp.conj(V) * HV, axis=-1)
         resid = jnp.linalg.norm(HV - lam[:, None] * V, axis=-1).real
-        return V, lam, resid
+        mx = jnp.max(resid)
+        improved = mx < 0.97 * best_max
+        stall = jnp.where(improved, 0, stall + 1)
+        best_max = jnp.minimum(mx, best_max)
+        return V, lam, resid, it + 1, best_max, stall
 
     resid0 = jnp.full((k,), jnp.inf, rdt)
-    return jax.lax.fori_loop(0, iterations, body, (V, lam, resid0))
+    V, lam, resid, _, _, _ = jax.lax.while_loop(
+        cond, body, (V, lam, resid0, jnp.asarray(0, jnp.int32),
+                     jnp.asarray(jnp.inf, rdt), jnp.asarray(0, jnp.int32)))
+    return V, lam, resid
 
 
 @partial(jax.jit, static_argnames=("mesh",))
@@ -366,7 +388,7 @@ def eig_distributed(mesh: Mesh, A, num_candidates: int = 16,
     """
     import numpy as np
 
-    from ..utils.xfer import to_device_complex
+    from ..utils.xfer import to_device_complex, to_host_complex
 
     n = A.shape[0]
     m = mesh.shape[MODEL_AXIS]
@@ -390,8 +412,6 @@ def eig_distributed(mesh: Mesh, A, num_candidates: int = 16,
     X = _back_map_normalize(mesh, hess.q, V)
     res = _resid_against_A(mesh, A, X, lam)
 
-    lam_host = np.asarray(jax.jit(lambda z: z.real)(lam), np.float64) + \
-        1j * np.asarray(jax.jit(lambda z: z.imag)(lam), np.float64)
-    xr = np.asarray(jax.jit(lambda z: z.real)(X), np.float64)
-    xi = np.asarray(jax.jit(lambda z: z.imag)(X), np.float64)
-    return lam_host, xr + 1j * xi, np.asarray(res, np.float64)
+    return (to_host_complex(lam).astype(np.complex128),
+            to_host_complex(X).astype(np.complex128),
+            np.asarray(res, np.float64))

@@ -226,13 +226,14 @@ def _dist_solve_refined(mesh, A, b, Are, Aim, bre, bim, block, steps, tol):
                               steps, tol)
 
 
-def solve_distributed(mesh: Mesh, A, b, tol: float = 1e-8, block: int = 128,
-                      refine_steps: int = 30):
-    """Solve Ax = b with A column-sharded over the mesh's model axis.
+def stage_operands(mesh: Mesh, A, b):
+    """Shared staging for the distributed solve paths (``solve_distributed``
+    and ``maus_tpu.solve(mesh=)``): c64 compute copies (A column-sharded, b
+    replicated) PLUS full-precision split planes built from the ORIGINAL
+    operands — refinement must target the user's system, not its c64
+    rounding. Accepts host arrays or already-device/sharded arrays.
 
-    A and b may be host arrays (placed here) or already-sharded device arrays.
-    Returns ``(x_re, x_im, rel)`` split-f64 (f32 without x64) so the refined
-    digits survive; ``rel`` is the achieved relative residual.
+    Returns ``(A_dev, b_dev, Are, Aim, bre, bim)``.
     """
     import numpy as np
 
@@ -241,8 +242,6 @@ def solve_distributed(mesh: Mesh, A, b, tol: float = 1e-8, block: int = 128,
     rdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     col_shard = NamedSharding(mesh, P(None, MODEL_AXIS))
     if not hasattr(A, "sharding"):
-        # refinement must target the ORIGINAL full-precision operand, not its
-        # c64 rounding — build the split planes from the host array directly
         A_host = np.asarray(A)
         Are = jax.device_put(jnp.asarray(A_host.real.astype(rdt)), col_shard)
         Aim = jax.device_put(jnp.asarray(A_host.imag.astype(rdt)), col_shard)
@@ -250,6 +249,7 @@ def solve_distributed(mesh: Mesh, A, b, tol: float = 1e-8, block: int = 128,
     else:
         Are = jax.device_put(A.real.astype(rdt), col_shard)
         Aim = jax.device_put(A.imag.astype(rdt), col_shard)
+        A = A.astype(jnp.complex64)
     if not hasattr(b, "sharding"):
         b_host = np.asarray(b)
         bre = jnp.asarray(b_host.real.astype(rdt))
@@ -258,7 +258,20 @@ def solve_distributed(mesh: Mesh, A, b, tol: float = 1e-8, block: int = 128,
     else:
         bre = b.real.astype(rdt)
         bim = b.imag.astype(rdt)
-    A = jax.device_put(A, col_shard)
-    b = jax.device_put(b, NamedSharding(mesh, P()))
-    return _dist_solve_refined(mesh, A, b, Are, Aim, bre, bim, block,
+        b = b.astype(jnp.complex64)
+    A_dev = jax.device_put(A, col_shard)
+    b_dev = jax.device_put(b, NamedSharding(mesh, P()))
+    return A_dev, b_dev, Are, Aim, bre, bim
+
+
+def solve_distributed(mesh: Mesh, A, b, tol: float = 1e-8, block: int = 128,
+                      refine_steps: int = 30):
+    """Solve Ax = b with A column-sharded over the mesh's model axis.
+
+    A and b may be host arrays (placed here) or already-sharded device arrays.
+    Returns ``(x_re, x_im, rel)`` split-f64 (f32 without x64) so the refined
+    digits survive; ``rel`` is the achieved relative residual.
+    """
+    A_dev, b_dev, Are, Aim, bre, bim = stage_operands(mesh, A, b)
+    return _dist_solve_refined(mesh, A_dev, b_dev, Are, Aim, bre, bim, block,
                                refine_steps, tol)

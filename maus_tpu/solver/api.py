@@ -324,8 +324,12 @@ class MausSolver:
                     cfg, kn, self.A, self.b, self._key, bound,
                     self.target_solutions, carry0=carry)
             save_state(checkpoint_path, carry)
-            if int(carry.strat.num_distinct) >= self.target_solutions or \
-                    int(carry.stall_count) >= cfg.stall_limit:
+            # mirror the in-loop stop: SVD runs re-derive the distinct target
+            # dynamically from the converged σ spectrum (AMS:463-470)
+            tgt = int(carry.strat.target_dynamic) \
+                if cfg.problem_type == ProblemType.SVD else self.target_solutions
+            if int(carry.strat.num_distinct) >= min(tgt, self.target_solutions) \
+                    or int(carry.stall_count) >= cfg.stall_limit:
                 break
         if carry is None:   # max_iterations == 0 degenerate case
             carry = evolve_mod.init_carry(cfg, kn, self.A, self._key)
@@ -462,10 +466,7 @@ def solve(A, b, tol: float = 1e-8, max_iterations: int = 100,
     """
     if mesh is not None and dict(zip(mesh.axis_names, mesh.devices.shape)) \
             .get("model", 1) > 1:
-        import jax.numpy as jnp
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from ..parallel.dist_qr import refine_distributed
+        from ..parallel.dist_qr import refine_distributed, stage_operands
         from . import evolve as evolve_mod_
 
         n = np.asarray(A).shape[0] if not hasattr(A, "sharding") else A.shape[0]
@@ -476,29 +477,7 @@ def solve(A, b, tol: float = 1e-8, max_iterations: int = 100,
         local = n // m
         block = max(b_ for b_ in (128, 64, 32, 16, 8, 4, 2, 1)
                     if local % b_ == 0)
-        rdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-        col_shard = NamedSharding(mesh, P(None, "model"))
-        if not hasattr(A, "sharding"):
-            A_h = np.asarray(A)
-            Are = jax.device_put(jnp.asarray(A_h.real.astype(rdt)), col_shard)
-            Aim = jax.device_put(jnp.asarray(A_h.imag.astype(rdt)), col_shard)
-            A_dev = jax.device_put(to_device_complex(A_h, jnp.complex64),
-                                   col_shard)
-        else:
-            Are = jax.device_put(A.real.astype(rdt), col_shard)
-            Aim = jax.device_put(A.imag.astype(rdt), col_shard)
-            A_dev = jax.device_put(A.astype(jnp.complex64), col_shard)
-        b_h = np.asarray(b) if not hasattr(b, "sharding") else None
-        if b_h is not None:
-            bre = jnp.asarray(b_h.real.astype(rdt))
-            bim = jnp.asarray(b_h.imag.astype(rdt))
-            b_dev = jax.device_put(to_device_complex(b_h, jnp.complex64),
-                                   NamedSharding(mesh, P()))
-        else:
-            bre = b.real.astype(rdt)
-            bim = b.imag.astype(rdt)
-            b_dev = jax.device_put(b.astype(jnp.complex64),
-                                   NamedSharding(mesh, P()))
+        A_dev, b_dev, Are, Aim, bre, bim = stage_operands(mesh, A, b)
 
         eps32 = float(np.finfo(np.float32).eps)
         cfg = config or SolverConfig(
@@ -631,7 +610,8 @@ def svd(A, tol: float = 1e-6, max_iterations: int = 300,
                 num_distinct=1, target_solutions=1, landscape_energy=0.0,
                 knowledge=kn0)
         # effective rank from the Ritz spectrum (AMS:463-470 convention)
-        rank = int(np.sum(sig[finite] / smax > 1e-4)) or 1
+        from ..core.types import RANK_REL_CUT
+        rank = int(np.sum(sig[finite] / smax > RANK_REL_CUT)) or 1
         scale = max(smax, 1.0)
         # acceptance floor: the sharded path computes residuals in the mesh
         # compute dtype (c64 on TPU) and has no split-f64 finisher yet
@@ -649,7 +629,7 @@ def svd(A, tol: float = 1e-6, max_iterations: int = 300,
             # below the effective-rank cut → null-space Ritz triplet, not a
             # distinct solution (reference's σ<1e-8 "zero singular value"
             # candidates converge but don't enlarge the distinct set)
-            if sig[i] <= smax * 1e-4:
+            if sig[i] <= smax * RANK_REL_CUT:
                 continue
             # dedup: σ abs/rel similarity + u,v overlap (M5d, AMS:441-452)
             dup = any(abs(sig[i] - s_[0]) < 1e-6 + abs(s_[0]) * 1e-4 and

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core.types import ProblemKnowledge, ProblemType
+from ..core.types import RANK_REL_CUT, ProblemKnowledge, ProblemType
 
 
 def _to_dense_numpy(A) -> np.ndarray:
@@ -413,7 +413,7 @@ def diagnose(A, problem_type: ProblemType,
             Q = np.linalg.qr(Ad @ rng_.standard_normal((n, min(64, k))))[0]
             s = np.linalg.svd(Q.conj().T @ Ad, compute_uv=False)
         smax = s[0] if len(s) else 1.0
-        effective_rank = int(np.sum(s / max(smax, 1e-300) > 1e-4)) or 1
+        effective_rank = int(np.sum(s / max(smax, 1e-300) > RANK_REL_CUT)) or 1
 
     return ProblemKnowledge(
         shape=(m, n), is_hermitian=is_hermitian,

@@ -313,7 +313,7 @@ def _stop_condition(cfg: SolverConfig, target_solutions: int, carry: EvolveCarry
         (carry.stall_count >= cfg.stall_limit)
 
 
-@partial(jax.jit, static_argnames=("cfg", "knowledge", "max_iterations",
+@partial(jax.jit, static_argnames=("cfg", "knowledge",
                                    "target_solutions", "mesh", "dist_block"))
 def evolve_while(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
                  b: Optional[jax.Array], key: jax.Array, max_iterations: int,
@@ -323,6 +323,9 @@ def evolve_while(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
     """Run until the distinct-solution target is met or ``max_iterations``.
     ``carry0`` resumes from a checkpointed state (max_iterations then bounds the
     TOTAL iteration count, consistent with the saved carry's counter).
+    ``max_iterations`` is a TRACED operand (it only feeds the while-loop
+    condition), so chunked checkpointing and resumed runs with different
+    bounds reuse ONE compiled program.
     ``mesh``: run the linear path's factorization column-sharded (see
     :func:`make_iteration`)."""
     eigh_cache = herm.eigh_setup(A) if _use_shared_eigh(cfg, knowledge) else None

@@ -95,7 +95,7 @@ def compute_diagnostics(cfg: SolverConfig, pop: Population, strat: StrategyState
         sig = pop.lam.real
         smax_l = jnp.max(jnp.where(leader, sig, 0.0))
         have = smax_l > 0.0
-        cut = smax_l * cfg.sigma_similarity_rel
+        cut = smax_l * cfg.rank_rel_cut
         rank_det = jnp.sum(leader & (sig > cut)).astype(jnp.int32)
         floor_found = jnp.any(conv & (sig < cut))
         tgt = jnp.where(floor_found, rank_det,
