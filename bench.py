@@ -182,12 +182,14 @@ def main():
         # load the committed measured artifact for this chip (numbers are
         # stable run-to-run; provenance stamped inside).
         sc = None
+        from_cache = False
         cache_path = pathlib.Path(__file__).parent / "benchmarks" / \
             "mfu_v5e.json"
         if os.environ.get("MAUS_BENCH_MFU") != "1" and cache_path.exists():
             cached = json.loads(cache_path.read_text())
             if cached.get("device_kind") == jax.devices()[0].device_kind:
                 sc = cached
+                from_cache = True
         if sc is None:
             from benchmarks.mfu import scorecard
 
@@ -195,12 +197,31 @@ def main():
         result["mfu"] = {
             "device": sc["device_kind"],
             "peak_bf16_tflops": sc["peak_bf16_tflops"],
+            # provenance: cached=True means the per-kernel numbers below were
+            # NOT measured by this run (artifact stamped measured_at); the
+            # canary block below is always live
+            "cached": from_cache,
             "measured_at": sc.get("measured_at", "live"),
             "kernels": {k: {"gflops": v.get("gflops", v.get("gbs")),
                             "mfu": v.get("mfu"),
                             "sol_frac": v.get("sol_frac")}
                         for k, v in sc["kernels"].items()},
         }
+        if from_cache:
+            # always-live canary: re-measure one cheap kernel and fail the
+            # bench if it drifts >20% from the artifact (a regression must
+            # not sail through behind cached numbers)
+            from benchmarks.mfu import canary
+
+            live = canary()
+            ref_gf = sc["kernels"].get("population_matvec", {}).get("gflops")
+            drift = abs(live["gflops"] - ref_gf) / ref_gf if ref_gf else 0.0
+            result["mfu"]["canary"] = {
+                "kernel": live["kernel"], "live_gflops": live["gflops"],
+                "cached_gflops": ref_gf, "drift": round(drift, 4),
+                "ok": drift <= 0.20,
+            }
+            ok = ok and drift <= 0.20
     print(json.dumps(result))
     return 0 if ok else 1
 

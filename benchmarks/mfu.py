@@ -296,5 +296,43 @@ def scorecard(n_gemm: int = 4096, n_qr: int = 4096, k_lu: int = 32,
     return out
 
 
+def canary(k_mv: int = 16, n_mv: int = 4096) -> dict:
+    """One cheap always-live kernel probe (population matvec, ~1 s of device
+    time): run per bench invocation so a kernel/toolchain regression cannot
+    hide behind the cached scorecard artifact. Returns measured gflops only —
+    comparison against the artifact happens in bench.py."""
+    import jax
+    import jax.numpy as jnp
+
+    hi = jax.lax.Precision.HIGHEST
+    key = jax.random.PRNGKey(0)
+
+    def cplx(k, shape):
+        ka, kb = jax.random.split(k)
+        return jax.lax.complex(jax.random.normal(ka, shape, jnp.float32),
+                               jax.random.normal(kb, shape, jnp.float32))
+
+    overhead = _fence_time(jax.jit(lambda x: x + 1.0),
+                           jnp.asarray(1.0, jnp.float32))
+    Am = cplx(jax.random.fold_in(key, 5), (n_mv, n_mv))
+    Xm = cplx(jax.random.fold_in(key, 6), (k_mv, n_mv))
+    f32z = jnp.asarray(0.0, jnp.float32)
+
+    @jax.jit
+    def mv(a, x):
+        def body(i, carry):
+            acc, x_ = carry
+            x_ = x_ * (1.0 + 1e-7)
+            y = jnp.matmul(x_, a.T, precision=hi)
+            return acc + jnp.abs(jnp.sum(y)).real.astype(jnp.float32), x_
+        acc, _ = jax.lax.fori_loop(0, _R_MV, body, (f32z, x))
+        return acc
+
+    t = _timeit(mv, Am, Xm, overhead=overhead, reps=_R_MV)
+    flops = 8.0 * k_mv * n_mv ** 2
+    return {"kernel": "population_matvec", "time_s": round(t, 5),
+            "gflops": round(flops / t / 1e9, 1)}
+
+
 if __name__ == "__main__":
     print(json.dumps(scorecard(), indent=2))

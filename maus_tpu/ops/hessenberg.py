@@ -63,14 +63,14 @@ def reduce_hessenberg(A: jax.Array) -> HessCache:
             pivot = jnp.sum(jnp.where(rows == j + 1, x, 0.0))
             # complex sign(pivot); 1 for zero pivot
             absp = jnp.abs(pivot)
-            sign = jnp.where(absp > 0, pivot / jnp.maximum(absp, 1e-300),
+            sign = jnp.where(absp > 0, pivot / jnp.maximum(absp, 1e-30),
                              jnp.ones_like(pivot))
             beta = -sign * normx.astype(dtype)
             v = x - beta * (rows == j + 1).astype(dtype)
             vn = jnp.linalg.norm(v)
             ok = (vn.real > jnp.asarray(1e-30, rdt)) & \
                  (normx.real > jnp.asarray(1e-30, rdt))
-            v = jnp.where(ok, v / jnp.maximum(vn, jnp.asarray(1e-300, rdt)
+            v = jnp.where(ok, v / jnp.maximum(vn, jnp.asarray(1e-30, rdt)
                                               .astype(vn.dtype)), 0.0)
             # similarity update H ← P H P, accumulate Q ← Q P  (P = I − 2vvᴴ)
             w = jnp.conj(v) @ H                       # (N,)
@@ -257,10 +257,10 @@ def solve_shifted_hessenberg(H: jax.Array, lams: jax.Array, B: jax.Array,
             b = jnp.sum(jnp.where(cols[None, :] == j, rj[:, 1], 0.0), axis=-1)
             # complex Givens: r = √(|a|²+|b|²), c = |a|/r, s = sign(a)·conj(b)/r
             r2 = (jnp.abs(a) ** 2 + jnp.abs(b) ** 2).real
-            r = jnp.sqrt(jnp.maximum(r2, jnp.asarray(1e-300, rdt)))
+            r = jnp.sqrt(jnp.maximum(r2, jnp.asarray(1e-30, rdt)))
             nontrivial = jnp.abs(b) > 0
             absa = jnp.abs(a)
-            signa = jnp.where(absa > 0, a / jnp.maximum(absa, 1e-300),
+            signa = jnp.where(absa > 0, a / jnp.maximum(absa, 1e-30),
                               jnp.ones_like(a))
             c = (absa / r).astype(dtype)
             s = signa * jnp.conj(b) / r.astype(dtype)

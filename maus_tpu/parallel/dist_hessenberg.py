@@ -99,7 +99,7 @@ def dist_hessenberg(mesh: Mesh, A: jax.Array) -> DistHess:
             normx = jnp.linalg.norm(x)
             pivot = jnp.sum(jnp.where(rows == j + 1, x, 0.0))
             absp = jnp.abs(pivot)
-            sign = jnp.where(absp > 0, pivot / jnp.maximum(absp, 1e-300),
+            sign = jnp.where(absp > 0, pivot / jnp.maximum(absp, 1e-30),
                              jnp.ones_like(pivot))
             beta = -sign * normx.astype(dtype)
             v = x - beta * (rows == j + 1).astype(dtype)
@@ -107,7 +107,7 @@ def dist_hessenberg(mesh: Mesh, A: jax.Array) -> DistHess:
             ok = (vn.real > jnp.asarray(1e-30, rdt)) & \
                  (normx.real > jnp.asarray(1e-30, rdt))
             v = jnp.where(ok, v / jnp.maximum(
-                vn, jnp.asarray(1e-300, rdt).astype(vn.dtype)), 0.0)
+                vn, jnp.asarray(1e-30, rdt).astype(vn.dtype)), 0.0)
             hi = jax.lax.Precision.HIGHEST
             # left:  H ← H − 2 v (vᴴ H)   — column-local
             w_loc = jnp.matmul(jnp.conj(v), H, precision=hi)          # (C,)
@@ -181,10 +181,10 @@ def dist_hess_solve(mesh: Mesh, H: jax.Array, lams: jax.Array,
             bb = jax.lax.psum(
                 jnp.sum(jnp.where(gcols == j, hrow[0], 0.0)), MODEL_AXIS)
             r2 = (jnp.abs(a) ** 2 + jnp.abs(bb) ** 2).real
-            r = jnp.sqrt(jnp.maximum(r2, jnp.asarray(1e-300, rdt)))
+            r = jnp.sqrt(jnp.maximum(r2, jnp.asarray(1e-30, rdt)))
             nontriv = jnp.abs(bb) > 0
             absa = jnp.abs(a)
-            signa = jnp.where(absa > 0, a / jnp.maximum(absa, 1e-300),
+            signa = jnp.where(absa > 0, a / jnp.maximum(absa, 1e-30),
                               jnp.ones_like(a))
             cg = jnp.where(nontriv, (absa / r).astype(dtype),
                            jnp.ones_like(a))

@@ -177,7 +177,7 @@ def refine_distributed(mesh, fac: DistQR, Are, Aim, bre, bim, x0,
     Returns ``(x_re, x_im, rel)``."""
     rdt = Are.dtype
     bnorm = jnp.maximum(jnp.sqrt(jnp.sum(bre * bre + bim * bim)),
-                        jnp.asarray(1e-300, rdt))
+                        jnp.asarray(1e-30, rdt))
 
     def mv(xre, xim):        # A x in split precision; GSPMD shards the GEMVs
         hi = jax.lax.Precision.HIGHEST
@@ -240,25 +240,31 @@ def stage_operands(mesh: Mesh, A, b):
     from ..utils.xfer import to_device_complex
 
     rdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    # compute dtype by BACKEND: only downcast where the device cannot hold the
+    # wide dtype — on CPU with x64 the factorization keeps full precision (a
+    # forced c64 base factorization needs more IR steps and can stall at the
+    # eps32·κ contraction limit on ill-conditioned systems)
+    cdtype = jnp.complex128 if (jax.default_backend() == "cpu" and
+                                jax.config.jax_enable_x64) else jnp.complex64
     col_shard = NamedSharding(mesh, P(None, MODEL_AXIS))
     if not hasattr(A, "sharding"):
         A_host = np.asarray(A)
         Are = jax.device_put(jnp.asarray(A_host.real.astype(rdt)), col_shard)
         Aim = jax.device_put(jnp.asarray(A_host.imag.astype(rdt)), col_shard)
-        A = to_device_complex(A_host, jnp.complex64)
+        A = to_device_complex(A_host, cdtype)
     else:
         Are = jax.device_put(A.real.astype(rdt), col_shard)
         Aim = jax.device_put(A.imag.astype(rdt), col_shard)
-        A = A.astype(jnp.complex64)
+        A = A.astype(cdtype)
     if not hasattr(b, "sharding"):
         b_host = np.asarray(b)
         bre = jnp.asarray(b_host.real.astype(rdt))
         bim = jnp.asarray(b_host.imag.astype(rdt))
-        b = to_device_complex(b_host, jnp.complex64)
+        b = to_device_complex(b_host, cdtype)
     else:
         bre = b.real.astype(rdt)
         bim = b.imag.astype(rdt)
-        b = b.astype(jnp.complex64)
+        b = b.astype(cdtype)
     A_dev = jax.device_put(A, col_shard)
     b_dev = jax.device_put(b, NamedSharding(mesh, P()))
     return A_dev, b_dev, Are, Aim, bre, bim

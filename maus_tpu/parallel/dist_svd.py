@@ -81,8 +81,21 @@ def _svd_iterate(mesh: Mesh, A: jax.Array, key: jax.Array, k: int,
                 L, jnp.conj(t_loc).T, lower=True)      # (k, C) = R⁻ᴴ Tᴴ
             return jnp.conj(q_loc).T, R                # (C, k), (k, k)
 
-        def body(i, carry):
-            v_loc, _, _, _ = carry                     # (k, C)
+        def two_sided_resid(v_loc, U, sigma):
+            """(k,) two-sided residual (M4g): ‖Av − σu‖ + ‖Aᴴu − σv‖."""
+            Av = jax.lax.psum(
+                jnp.matmul(a_loc, v_loc.T, precision=hi).T,
+                MODEL_AXIS)                            # (k, M): rows = (A v_k)ᵀ
+            r1 = jnp.linalg.norm(Av - sigma[:, None] * U.T, axis=-1).real
+            Ahu_loc = jnp.matmul(jnp.conj(a_loc).T, U,
+                                 precision=hi).T       # (k, C)
+            r2sq = jax.lax.psum(
+                jnp.sum(jnp.abs(Ahu_loc - sigma[:, None] * v_loc) ** 2,
+                        axis=-1),
+                MODEL_AXIS).real
+            return r1 + jnp.sqrt(r2sq)
+
+        def round_once(v_loc):
             # Y = A Vᵀ : (M, k), one psum (V rows are the candidates;
             # matches step_svd's Y = (V @ A.T).T)
             Y = jax.lax.psum(
@@ -101,22 +114,39 @@ def _svd_iterate(mesh: Mesh, A: jax.Array, key: jax.Array, k: int,
             U = jnp.matmul(Qu, Us, precision=hi)       # (M, k)
             v_new_loc = jnp.matmul(q2, jnp.conj(Vsh).T,
                                    precision=hi).T     # (k, C)
-            return v_new_loc, U, S.astype(rdt), Rz
+            return v_new_loc, U, S.astype(rdt)
+
+        # ``iterations`` is an upper BOUND (the caller's max_iterations,
+        # honored verbatim — no silent clamp): each round costs three psums,
+        # so iterating past convergence wastes ICI wall-clock. Patience-based
+        # early exit, mirroring _eig_iterate (parallel/dist_hessenberg.py).
+        eps = jnp.asarray(jnp.finfo(rdt).eps, rdt)
+        fro2 = jax.lax.psum(jnp.sum(jnp.abs(a_loc) ** 2).real, MODEL_AXIS)
+        floor = 5.0 * eps * jnp.sqrt(jnp.asarray(float(max(mrows, n)), rdt)) \
+            * jnp.maximum(jnp.sqrt(fro2 / min(mrows, n)),
+                          jnp.asarray(1e-30, rdt))
+
+        def cond(carry):
+            _, _, _, resid, it, _, stall = carry
+            mx = jnp.max(resid)
+            return (it < iterations) & (mx > floor) & (stall < 6)
+
+        def body(carry):
+            v_loc, U, sigma, resid, it, best_max, stall = carry
+            v_loc, U, sigma = round_once(v_loc)
+            resid = two_sided_resid(v_loc, U, sigma)
+            mx = jnp.max(resid)
+            improved = mx < 0.97 * best_max
+            stall = jnp.where(improved, 0, stall + 1)
+            best_max = jnp.minimum(mx, best_max)
+            return v_loc, U, sigma, resid, it + 1, best_max, stall
 
         carry0 = (vslice(v0), jnp.zeros((mrows, k), dtype),
-                  jnp.zeros((k,), rdt), jnp.zeros((k, k), dtype))
-        v_loc, U, sigma, _ = jax.lax.fori_loop(0, iterations, body, carry0)
-
-        # residuals, two-sided (M4g): r1 = ‖A v − σ u‖, r2 = ‖Aᴴ u − σ v‖
-        Av = jax.lax.psum(
-            jnp.matmul(a_loc, v_loc.T, precision=hi).T,
-            MODEL_AXIS)                                # (k, M): rows = (A v_k)ᵀ
-        r1 = jnp.linalg.norm(Av - sigma[:, None] * U.T, axis=-1).real
-        Ahu_loc = jnp.matmul(jnp.conj(a_loc).T, U, precision=hi).T  # (k, C)
-        r2sq = jax.lax.psum(
-            jnp.sum(jnp.abs(Ahu_loc - sigma[:, None] * v_loc) ** 2, axis=-1),
-            MODEL_AXIS).real
-        resid = r1 + jnp.sqrt(r2sq)
+                  jnp.zeros((k,), rdt), jnp.full((k,), jnp.inf, rdt),
+                  jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, rdt),
+                  jnp.asarray(0, jnp.int32))
+        v_loc, U, sigma, resid, _, _, _ = jax.lax.while_loop(
+            cond, body, carry0)
         # replicate V: disjoint column supports → scatter + psum (psum output
         # is statically replication-typed, unlike all_gather)
         vfull = jax.lax.dynamic_update_slice(

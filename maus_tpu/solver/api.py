@@ -58,6 +58,50 @@ class SolutionReport:
         return self.solutions[int(np.argmin(self.residuals))]
 
 
+def _stage_operand(matrix, problem_type: ProblemType, compute_dtype):
+    """Shared operand staging for construction AND mid-run swaps
+    (``update_problem``, AMS:645-652 — the swap must keep constructor parity:
+    one tunnel crossing, cached full-precision planes, planes-based diagnosis).
+
+    Complex transfers must go through the split-plane shim: this TPU runtime
+    cannot device_put/readback complex dtypes (utils/xfer.py). The tunnel runs
+    at ~70 MB/s, so a full-precision operand crosses it ONCE as f64 planes
+    (the c64 compute copy is derived on device and the refinement planes are
+    pre-cached); float32/complex64 inputs transfer 4× less and widen on device
+    instead.
+
+    Returns ``(A_host, A_dev, prefetched_planes_or_None, input_c64_exact)``.
+    """
+    input_c64_exact = np.dtype(
+        getattr(matrix, "dtype", np.complex128)) \
+        in (np.dtype(np.float32), np.dtype(np.complex64))
+    # The prefetch path transfers the operand's f64 planes ONCE and never
+    # reads A_host afterwards (x64 required so the planes can be cached as
+    # the refinement operand) — only then is a complex128 input safe to use
+    # WITHOUT a defensive host copy
+    will_prefetch = jax.default_backend() != "cpu" and \
+        not input_c64_exact and compute_dtype == jnp.complex64 and \
+        jax.config.jax_enable_x64
+    A_host = _to_dense_numpy(matrix).astype(np.complex128,
+                                            copy=not will_prefetch)
+    if not (np.all(np.isfinite(A_host.real)) and
+            np.all(np.isfinite(A_host.imag))):
+        raise ValueError("matrix contains non-finite entries")
+    if problem_type != ProblemType.SVD and A_host.ndim == 2 and \
+            A_host.shape[0] != A_host.shape[1]:
+        raise ValueError(
+            f"{problem_type.name} requires a square matrix, got {A_host.shape}")
+    prefetched_A64 = None
+    if will_prefetch:
+        from ..utils.xfer import c64_from_split_f64, to_device_split_f64
+        re64, im64 = to_device_split_f64(A_host)
+        A_dev = c64_from_split_f64(re64, im64)
+        prefetched_A64 = (re64, im64)
+    else:
+        A_dev = to_device_complex(A_host, compute_dtype)
+    return A_host, A_dev, prefetched_A64, input_c64_exact
+
+
 class MausSolver:
     """Population-based meta-heuristic matrix solver (TPU-native MAUS)."""
 
@@ -79,39 +123,8 @@ class MausSolver:
             compute_dtype = config.dtype
         else:
             compute_dtype = jnp.complex128 if use_c128 else jnp.complex64
-        input_c64_exact = np.dtype(
-            getattr(matrix, "dtype", np.complex128)) \
-            in (np.dtype(np.float32), np.dtype(np.complex64))
-        # The prefetch path transfers the operand's f64 planes ONCE during
-        # construction and never reads A_host afterwards (x64 required so the
-        # planes can be cached as the refinement operand) — only then is a
-        # complex128 input safe to use WITHOUT a defensive host copy
-        will_prefetch = jax.default_backend() != "cpu" and \
-            not input_c64_exact and compute_dtype == jnp.complex64 and \
-            jax.config.jax_enable_x64
-        A_host = _to_dense_numpy(matrix).astype(np.complex128,
-                                                copy=not will_prefetch)
-        if not (np.all(np.isfinite(A_host.real)) and
-                np.all(np.isfinite(A_host.imag))):
-            raise ValueError("matrix contains non-finite entries")
-        if problem_type != ProblemType.SVD and A_host.ndim == 2 and \
-                A_host.shape[0] != A_host.shape[1]:
-            raise ValueError(
-                f"{problem_type.name} requires a square matrix, got {A_host.shape}")
-        # complex transfers must go through the split-plane shim: this TPU
-        # runtime cannot device_put/readback complex dtypes (utils/xfer.py).
-        # The tunnel runs at ~70 MB/s, so a full-precision operand crosses it
-        # ONCE as f64 planes (the c64 compute copy is derived on device and
-        # the refinement planes are pre-cached); float32/complex64 inputs
-        # transfer 4× less and widen on device instead.
-        _prefetched_A64 = None
-        if will_prefetch:
-            from ..utils.xfer import c64_from_split_f64, to_device_split_f64
-            re64, im64 = to_device_split_f64(A_host)
-            A_dev = c64_from_split_f64(re64, im64)
-            _prefetched_A64 = (re64, im64)
-        else:
-            A_dev = to_device_complex(A_host, compute_dtype)
+        A_host, A_dev, _prefetched_A64, input_c64_exact = _stage_operand(
+            matrix, problem_type, compute_dtype)
         # callers who already know the operand's structure (e.g. the bench harness
         # generating a matrix with prescribed κ) may skip the O(N³-ish) diagnosis.
         # Diagnose the ORIGINAL operand — densifying first would lose the
@@ -183,21 +196,36 @@ class MausSolver:
     # this, AMS:645-652) ---------------------------------------------------------
     def update_problem(self, matrix=None, b_vector=None):
         if matrix is not None:
-            self.A_host = _to_dense_numpy(matrix).astype(np.complex128)
-            self.A = to_device_complex(self.A_host, self.config.dtype)
-            self._input_c64_exact = np.dtype(
-                getattr(matrix, "dtype", self.A_host.dtype)) \
-                in (np.dtype(np.float32), np.dtype(np.complex64))
+            # full constructor parity (VERDICT r2 #8): the swap goes through
+            # the SAME staging (one tunnel crossing, prefetched f64 planes)
+            # and the SAME planes-based diagnosis, so a large swapped
+            # Hermitian operand keeps the shared-eigh fast path and the
+            # cached refinement planes instead of degrading to the
+            # c64-copy classify-as-general branch.
+            A_host, A_dev, planes, exact = _stage_operand(
+                matrix, self.config.problem_type, self.config.dtype)
+            self.A_host = A_host
+            self.A = A_dev
+            self._input_c64_exact = exact
             self.knowledge = diagnose(matrix, self.config.problem_type,
-                                      device_operand=self.A)
+                                      device_operand=A_dev,
+                                      device_planes=planes,
+                                      device_exact=exact)
             self.target_solutions = min(
                 default_target_solutions(self.config, self.knowledge),
                 self.config.num_candidates)
+            self._A64_cache = None
+            if planes is not None and jax.config.jax_enable_x64:
+                self._A64_cache = SplitComplex(*planes)
         if b_vector is not None:
             self.b_host = np.asarray(b_vector).astype(np.complex128)
+            if self.config.problem_type == ProblemType.SOLVE_LINEAR_SYSTEM \
+                    and self.b_host.shape != (self.knowledge.shape[-1],):
+                raise ValueError(
+                    f"b_vector shape {self.b_host.shape} does not match "
+                    f"matrix ({self.knowledge.shape[-1]},)")
             self.b = to_device_complex(self.b_host, self.config.dtype)
         self._fac_cache = None
-        self._A64_cache = None
 
     def evolve(self, max_iterations: int = 100,
                collect_metrics: bool = False,
@@ -479,11 +507,15 @@ def solve(A, b, tol: float = 1e-8, max_iterations: int = 100,
                     if local % b_ == 0)
         A_dev, b_dev, Are, Aim, bre, bim = stage_operands(mesh, A, b)
 
-        eps32 = float(np.finfo(np.float32).eps)
+        # compute dtype follows the staged operand (c128 on CPU x64, c64 on
+        # TPU — stage_operands only downcasts where the backend requires it)
+        cdtype = A_dev.dtype
+        eps_c = float(np.finfo(np.float64 if cdtype == jnp.complex128
+                               else np.float32).eps)
         cfg = config or SolverConfig(
             problem_type=ProblemType.SOLVE_LINEAR_SYSTEM,
             num_candidates=num_candidates or 16, tol=tol,
-            dtype=jnp.complex64, convergence_floor=50 * eps32,
+            dtype=cdtype, convergence_floor=50 * eps_c,
             refine=True)
         kn = ProblemKnowledge(shape=(n, n))
         carry, metrics = evolve_mod_.evolve_while(
@@ -587,7 +619,7 @@ def svd(A, tol: float = 1e-6, max_iterations: int = 300,
         k = num_candidates or min(max(4, min(mr, n) // 2), 16)
         sig, U, V, res = svd_distributed(
             mesh, A, num_candidates=k,
-            iterations=min(max_iterations, 60), seed=seed)
+            iterations=max_iterations, seed=seed)
         finite = np.isfinite(sig)
         kn0 = ProblemKnowledge(shape=(mr, n), effective_rank=1)
         if not finite.any():
@@ -596,7 +628,7 @@ def svd(A, tol: float = 1e-6, max_iterations: int = 300,
             # converged σ=0 triplet for an operand whose σ₁ may be large
             return SolutionReport(
                 problem_type=ProblemType.SVD, solutions=[], residuals=[],
-                iterations=min(max_iterations, 60), num_distinct=0,
+                iterations=max_iterations, num_distinct=0,
                 target_solutions=1, landscape_energy=1.0, knowledge=kn0)
         smax = float(np.max(sig[finite]))
         if smax <= 1e-12:
@@ -606,7 +638,7 @@ def svd(A, tol: float = 1e-6, max_iterations: int = 300,
             v0 = np.zeros(n, complex); v0[0] = 1.0
             return SolutionReport(
                 problem_type=ProblemType.SVD, solutions=[(0.0, u0, v0)],
-                residuals=[0.0], iterations=min(max_iterations, 60),
+                residuals=[0.0], iterations=max_iterations,
                 num_distinct=1, target_solutions=1, landscape_energy=0.0,
                 knowledge=kn0)
         # effective rank from the Ritz spectrum (AMS:463-470 convention)
@@ -645,7 +677,7 @@ def svd(A, tol: float = 1e-6, max_iterations: int = 300,
         kn = ProblemKnowledge(shape=(mr, n), effective_rank=rank)
         return SolutionReport(
             problem_type=ProblemType.SVD, solutions=sols, residuals=resids,
-            iterations=min(max_iterations, 60), num_distinct=len(sols),
+            iterations=max_iterations, num_distinct=len(sols),
             target_solutions=min(rank, k), landscape_energy=0.0, knowledge=kn)
     s = MausSolver(A, ProblemType.SVD,
                    initial_num_candidates=num_candidates,

@@ -231,7 +231,16 @@ def step_linear(cfg: SolverConfig, A: jax.Array, b: jax.Array, fac: LUFactors,
     resid = jnp.linalg.norm(v_new @ A.T - b[None, :], axis=-1) / bnorm
     frozen = (pop.status == CandidateStatus.CONVERGED) | \
              (pop.status == CandidateStatus.RETIRED)
-    pop = dataclasses.replace(pop, v=jnp.where(frozen[:, None], pop.v, v_new))
+    # Ψ-ladder telemetry (reference num_psi_attempts, AMS:39-104): the linear
+    # path escalates at POPULATION level — every candidate solves against the
+    # same shared factorization, whose rung is the strategy's ``frustration``
+    # (evolve._effective_psi). Per-candidate escalation is degenerate here, so
+    # the population rung IS each candidate's ladder depth.
+    rung = jnp.round(strat.frustration).astype(jnp.int32)
+    pop = dataclasses.replace(pop, v=jnp.where(frozen[:, None], pop.v, v_new),
+                              psi_level=jnp.where(
+                                  frozen, pop.psi_level,
+                                  jnp.broadcast_to(rung, (pop.capacity,))))
     regress = _regress_frac(cfg, pop, resid.astype(cfg.real_dtype), frozen)
     pop = _adapt_and_classify(cfg, pop, resid.astype(cfg.real_dtype), solve_ok, strat,
                               _finite_rows(v_new))
@@ -239,7 +248,7 @@ def step_linear(cfg: SolverConfig, A: jax.Array, b: jax.Array, fac: LUFactors,
     nact = jnp.maximum(active_f.sum(), 1.0)
     return pop, StepStats(
         solve_fail_frac=((~solve_ok).astype(jnp.float32) * active_f).sum() / nact,
-        psi_attempts_mean=jnp.asarray(0.0, jnp.float32),
+        psi_attempts_mean=strat.frustration.astype(jnp.float32),
         regress_frac=regress)
 
 
@@ -391,6 +400,7 @@ def step_svd(cfg: SolverConfig, A: jax.Array, pop: Population,
         bad = ~_finite_rows(pop.v) | (jnp.linalg.norm(pop.v, axis=-1) < 1e-12)
         V = jnp.where(bad[:, None], fresh, pop.v)
         pop = dataclasses.replace(pop, keys=keys)
+        reseeded = bad
 
         # one block round: span{A·V} → Qu; project; QR; small SVD → Ritz triplets
         Y = (V @ A.T).T                                          # (M, K)
@@ -448,6 +458,7 @@ def step_svd(cfg: SolverConfig, A: jax.Array, pop: Population,
         v_new = AHu / jnp.maximum(s_v[:, None], jnp.finfo(cfg.real_dtype).tiny)
         sigma = jnp.maximum(s_u, s_v).astype(cfg.real_dtype)
         solve_ok = _finite_rows(u_new) & _finite_rows(v_new) & (s_u > 1e-30)
+        reseeded = jnp.zeros_like(solve_ok)
 
     # zero-singular-value detection (AMS:243-247): a candidate whose direction
     # is annihilated by A has found a null vector — that IS a singular triplet
@@ -477,10 +488,17 @@ def step_svd(cfg: SolverConfig, A: jax.Array, pop: Population,
     retired = pop.status == CandidateStatus.RETIRED
     frozen = conv | retired
     keep = retired | ~solve_ok
+    # SVD failure telemetry (the reference's num_psi_attempts analogue for a
+    # path with no solve ladder, AMS:249-255): a candidate "attempt" here is a
+    # failed/collapsed step (reseed or non-finite update) — psi_level counts
+    # them cumulatively per candidate, psi_attempts_mean reports this step's
+    # failure fraction, so the strategy layer sees per-class failure pressure.
+    failed_step = (~frozen) & (reseeded | ~solve_ok)
     pop = dataclasses.replace(pop,
                       v=jnp.where(keep[:, None], pop.v, v_new),
                       u=jnp.where(keep[:, None], pop.u, u_new),
-                      lam=jnp.where(keep, pop.lam, sigma.astype(cfg.dtype)))
+                      lam=jnp.where(keep, pop.lam, sigma.astype(cfg.dtype)),
+                      psi_level=pop.psi_level + failed_step.astype(jnp.int32))
     regress = _regress_frac(cfg, pop, resid, frozen)
     # refresh the residual of polished converged candidates in place
     pop = dataclasses.replace(
@@ -492,5 +510,6 @@ def step_svd(cfg: SolverConfig, A: jax.Array, pop: Population,
     nact = jnp.maximum(active_f.sum(), 1.0)
     return pop, StepStats(
         solve_fail_frac=((~solve_ok).astype(jnp.float32) * active_f).sum() / nact,
-        psi_attempts_mean=jnp.asarray(0.0, jnp.float32),
+        psi_attempts_mean=(failed_step.astype(jnp.float32) * active_f).sum()
+        / nact,
         regress_frac=regress)

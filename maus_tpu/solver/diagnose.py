@@ -265,14 +265,16 @@ def _structure_probe(Ad):
     if _structure_jit is None:
         @jax.jit
         def probe(a):
-            return jnp.stack([
+            # nnz returns as its own int32 output: routing the count through
+            # a float32 stack slot rounds it above 2^24 entries (> 4096²)
+            return (jnp.stack([
                 jnp.max(jnp.abs(a - jnp.conj(a).T)).astype(jnp.float32),
-                jnp.max(jnp.abs(a - a.T)).astype(jnp.float32),
-                jnp.sum((jnp.abs(a) > 1e-12).astype(jnp.int32))
-                .astype(jnp.float32)])
+                jnp.max(jnp.abs(a - a.T)).astype(jnp.float32)]),
+                jnp.sum((jnp.abs(a) > 1e-12).astype(jnp.int32)))
         _structure_jit = probe
-    out = np.asarray(_structure_jit(Ad), np.float64)
-    return float(out[0]), float(out[1]), int(out[2])
+    out, nnz = _structure_jit(Ad)
+    out = np.asarray(out, np.float64)
+    return float(out[0]), float(out[1]), int(nnz)
 
 
 def _chol_ok_dev(Ad) -> bool:
@@ -306,13 +308,15 @@ def _structure_probe_f64(re64, im64):
         def probe(re, im):
             herm2 = (re - re.T) ** 2 + (im + im.T) ** 2
             sym2 = (re - re.T) ** 2 + (im - im.T) ** 2
+            # nnz as its own int32 output (float32 is exact only to 2^24)
             nnz = jnp.sum((re * re + im * im > 1e-24).astype(jnp.int32))
-            return jnp.stack([jnp.sqrt(jnp.max(herm2)).astype(jnp.float32),
-                              jnp.sqrt(jnp.max(sym2)).astype(jnp.float32),
-                              nnz.astype(jnp.float32)])
+            return (jnp.stack([jnp.sqrt(jnp.max(herm2)).astype(jnp.float32),
+                               jnp.sqrt(jnp.max(sym2)).astype(jnp.float32)]),
+                    nnz)
         _structure64_jit = probe
-    out = np.asarray(_structure64_jit(re64, im64), np.float64)
-    return float(out[0]), float(out[1]), int(out[2])
+    out, nnz = _structure64_jit(re64, im64)
+    out = np.asarray(out, np.float64)
+    return float(out[0]), float(out[1]), int(nnz)
 
 
 def diagnose(A, problem_type: ProblemType,

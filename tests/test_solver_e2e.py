@@ -295,3 +295,44 @@ class TestEdgeCases:
             maus_tpu.solve(A, np.ones(3))
         with pytest.raises(ValueError, match="non-finite"):
             maus_tpu.solve(np.eye(3), np.array([1.0, np.inf, 0.0]))
+
+
+class TestUpdateProblemParity:
+    """update_problem must stage/diagnose exactly like the constructor
+    (VERDICT r2 #8): a swapped Hermitian operand keeps the fast path, and a
+    b-only swap keeps the cached full-precision planes."""
+
+    def test_hermitian_swap_keeps_fast_path(self):
+        rng = np.random.default_rng(3)
+        n = 48
+        solver = maus_tpu.MausSolver(np.eye(n), maus_tpu.ProblemType.EIGENVALUE,
+                                     initial_num_candidates=8)
+        G = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        H = (G + G.conj().T) / 2
+        solver.update_problem(matrix=H)
+        assert solver.knowledge.is_hermitian
+        rep = solver.evolve(max_iterations=30)
+        lam_true = np.sort(np.linalg.eigvalsh(H))
+        for lam, v in rep.solutions:
+            assert np.min(np.abs(lam_true - lam.real)) < 1e-6
+
+    def test_b_only_swap_keeps_a64_cache(self):
+        rng = np.random.default_rng(4)
+        n = 24
+        A = rng.standard_normal((n, n)) + n * np.eye(n)
+        solver = maus_tpu.MausSolver(A, maus_tpu.ProblemType.SOLVE_LINEAR_SYSTEM,
+                                     b_vector=np.ones(n),
+                                     initial_num_candidates=4)
+        solver.evolve(max_iterations=20)
+        cache0 = solver._A64_cache
+        solver.update_problem(b_vector=rng.standard_normal(n))
+        assert solver._A64_cache is cache0      # A unchanged -> planes kept
+        assert solver._fac_cache is None        # psi-shifted factor dropped
+        rep = solver.evolve(max_iterations=20)
+        assert rep.num_distinct >= 1
+
+    def test_b_shape_mismatch_raises(self):
+        solver = maus_tpu.MausSolver(np.eye(5), maus_tpu.ProblemType.SOLVE_LINEAR_SYSTEM,
+                                     b_vector=np.ones(5))
+        with pytest.raises(ValueError, match="does not match"):
+            solver.update_problem(b_vector=np.ones(6))
