@@ -241,6 +241,41 @@ def dist_hess_solve(mesh: Mesh, H: jax.Array, lams: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("mesh",))
+def _dist_matvec_adj(mesh: Mesh, M: jax.Array, X: jax.Array) -> jax.Array:
+    """Rows of the result are Mᴴ x_k: X @ conj(M) for column-sharded M (N, N)
+    and replicated X (K, N). The products are column-local; the disjoint
+    column supports reassemble with one psum (statically replication-typed)."""
+    n = M.shape[0]
+    m = mesh.shape[MODEL_AXIS]
+    c = n // m
+
+    def local(m_loc, x):
+        hi = jax.lax.Precision.HIGHEST
+        me = _axis_me()
+        out_loc = jnp.matmul(x, jnp.conj(m_loc), precision=hi)   # (K, C)
+        full = jax.lax.dynamic_update_slice(
+            jnp.zeros((x.shape[0], n), m_loc.dtype), out_loc, (me * 0, me * c))
+        return jax.lax.psum(full, MODEL_AXIS)
+
+    return jax.shard_map(local, mesh=mesh,
+                         in_specs=(P(None, MODEL_AXIS), P()),
+                         out_specs=P())(M, X)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def dist_solve_shifted(mesh: Mesh, hess: DistHess, lams: jax.Array,
+                       B: jax.Array, psi: jax.Array | None = None
+                       ) -> jax.Array:
+    """(A − λ_k I + ψ_k I)⁻¹ b_k against the COLUMN-SHARDED Hessenberg form —
+    the distributed counterpart of ops.hessenberg.solve_shifted_via_hessenberg,
+    used by the full MAUS engine's eig step when a mesh is passed
+    (solver/evolve.make_iteration): rows = Q · (H − λI + ψ)⁻¹ · Qᴴ b."""
+    Bh = _dist_matvec_adj(mesh, hess.q, B)          # rows = Qᴴ b_k
+    W = dist_hess_solve(mesh, hess.h, lams, Bh, psi)
+    return _dist_matvec_rows(mesh, hess.q, W)       # rows = Q w_k
+
+
+@partial(jax.jit, static_argnames=("mesh",))
 def _dist_matvec_rows(mesh: Mesh, M: jax.Array, X: jax.Array) -> jax.Array:
     """X @ M.T for column-sharded M (N, N) and replicated X (K, N); one psum.
     Returns the replicated (K, N) result."""
@@ -379,8 +414,11 @@ def _resid_against_A(mesh: Mesh, A: jax.Array, X: jax.Array, lam: jax.Array):
 
 def eig_distributed(mesh: Mesh, A, num_candidates: int = 16,
                     iterations: int = 30, seed: int = 0):
-    """Distributed non-Hermitian eigensolver: column-sharded Hessenberg
-    reduction + a sharded shifted-inverse-iteration population.
+    """INTERNAL FALLBACK: plain shifted-inverse-iteration driver (no MAUS
+    meta-heuristic, no finisher). The production mesh entry point is
+    ``maus_tpu.eig(A, mesh=...)``, which runs the FULL engine over the same
+    sharded Hessenberg machinery (solver/api._eig_mesh) — use this driver
+    only for isolated testing of the sharded reduction/solve kernels.
 
     Returns host arrays ``(lams, vecs, resids)``: per-candidate eigenvalue
     estimates, eigenvectors of A (rows), and ‖Av − λv‖ residuals measured

@@ -1,0 +1,277 @@
+"""Distributed mixed-precision finishers for eigenpairs and singular triplets
+(VERDICT r2 #2).
+
+The single-chip finishers (:mod:`maus_tpu.ops.refine_eig`) close the c64→tol
+gap with split-f64 Newton steps whose correction solves are batched c64 LUs of
+full N×N operators — K·N² memory that cannot exist on an operand that only
+fits sharded. These are the mesh-scalable counterparts:
+
+* **Eigenpairs** — identical Newton algebra (bordered elimination,
+  δv = δλ·H⁻¹v − H⁻¹r), but the correction solves go through the
+  COLUMN-SHARDED Hessenberg form the distributed engine already built
+  (:func:`maus_tpu.parallel.dist_hessenberg.dist_solve_shifted`) — O(K·N²/m)
+  per solve, no new factorization, no O(N²) replication.
+* **Singular triplets** — the same augmented-operator Newton step as
+  ``refine_svd_triplets``, but the Gram system ``(AᴴA − σ²I + ψ) dv = rhs`` is
+  solved by a **projected, Jacobi-preconditioned GMRES** whose matvec is two
+  sharded GEMMs (z ↦ Aᴴ(Az)) instead of a K-batch of N×N LUs. Projection onto
+  v's complement is the Jacobi–Davidson correction-equation trick: the
+  operator is nearly singular *along v* by construction and well-conditioned
+  (≈ σ₁²/gap) on the complement, which is exactly where the Newton correction
+  lives. Inexact inner solves still contract the outer Newton iteration
+  (inexact-Newton), and a keep-best guard makes a failed step a no-op.
+
+f64 residuals are split-plane GEMMs against the column-sharded original
+operand — GSPMD inserts the psums (the sharded exact-slicing variant can be
+swapped in via the ``matvec``/``matvec_adj`` seams).
+
+Reference parity: AMS:25/341 tolerance contract, residuals per M4g
+(AMS:297/301) — the reference gets f64 for free on CPU; this is what makes its
+tolerances reachable on mesh-sharded TPU operands.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.refine import SplitComplex
+from ..ops.refine_eig import (_from_c, _sdiv, _sdot, _smatvec, _smatvec_adj,
+                              _snorm, _to_c)
+from .dist_hessenberg import DistHess, dist_solve_shifted
+from .mesh import MODEL_AXIS
+
+
+def stage_spectral(mesh: Mesh, A, dtype=None):
+    """Stage an eig/SVD operand for the distributed engine + finishers:
+    column-sharded compute copy plus column-sharded split-f64 planes of the
+    ORIGINAL data (refinement must target the user's operand, not its c64
+    rounding). Accepts host arrays or already-device/sharded arrays.
+
+    ``dtype=None`` picks the backend rule (c128 on CPU x64, c64 otherwise);
+    tests pass an explicit c64 to exercise the genuine mixed-precision path
+    on the CPU mesh. Returns ``(A_dev, SplitComplex(Are, Aim))``.
+    """
+    import numpy as np
+
+    from ..utils.xfer import to_device_complex
+
+    rdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if dtype is None:
+        dtype = jnp.complex128 if (jax.default_backend() == "cpu" and
+                                   jax.config.jax_enable_x64) else jnp.complex64
+    col_shard = NamedSharding(mesh, P(None, MODEL_AXIS))
+    if not hasattr(A, "sharding"):
+        A_host = np.asarray(A)
+        Are = jax.device_put(jnp.asarray(A_host.real.astype(rdt)), col_shard)
+        Aim = jax.device_put(jnp.asarray(A_host.imag.astype(rdt)), col_shard)
+        if dtype == jnp.complex64:
+            # derive the compute copy from the staged planes ON DEVICE — the
+            # host↔device tunnel is the bottleneck (~70 MB/s), one crossing
+            A_dev = jax.jit(
+                lambda r, i: jax.lax.complex(r.astype(jnp.float32),
+                                             i.astype(jnp.float32))
+                .astype(dtype))(Are, Aim)
+        else:
+            A_dev = jax.device_put(to_device_complex(A_host, dtype), col_shard)
+    else:
+        Are = jax.device_put(A.real.astype(rdt), col_shard)
+        Aim = jax.device_put(A.imag.astype(rdt), col_shard)
+        A_dev = jax.device_put(A.astype(dtype), col_shard)
+    return A_dev, SplitComplex(Are, Aim)
+
+
+# ---------------------------------------------------------------------------
+# Eigenpair refinement against the sharded Hessenberg form
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("mesh", "steps"))
+def dist_refine_eigenpairs(mesh: Mesh, hess: DistHess, A64: SplitComplex,
+                           lam0: jax.Array, V0: jax.Array, steps: int = 5,
+                           psi_rel: float = 3e-6):
+    """Refine K eigenpair candidates to f64-limited residuals, mesh-sharded.
+
+    Same Newton iteration as :func:`maus_tpu.ops.refine_eig.refine_eigenpairs`
+    (cited there: F(v,λ) Newton with bordered elimination), with the batched
+    c64 LU replaced by shifted solves against the column-sharded Hessenberg
+    form at the FIXED initial shifts λ₀ + ψ (the single-chip version also
+    factors once at λ₀). Returns ``(lam Split (K,), V Split (K,N), resid (K,)
+    f64)`` with ‖v‖=1, resid = ‖Av − λv‖ in f64 vs the sharded planes.
+    """
+    cdtype = V0.dtype
+    rdt = A64.re.dtype
+    K, N = V0.shape
+    with jax.default_matmul_precision("highest"):
+        anorm = jnp.sqrt(jnp.sum(A64.re * A64.re + A64.im * A64.im)
+                         / N).astype(rdt)
+        psi = (psi_rel * anorm).astype(jnp.float32)
+        psi_k = jnp.broadcast_to(psi, (K,))
+
+        def solve(B):
+            return dist_solve_shifted(mesh, hess, lam0, B, psi_k)
+
+        smv = lambda X: _smatvec(A64, X)      # GSPMD shards the plane GEMMs
+
+        V = _from_c(V0, rdt)
+        nrm = jnp.maximum(_snorm(V), 1e-30)
+        V = SplitComplex(V.re / nrm[:, None], V.im / nrm[:, None])
+
+        def body(_, carry):
+            V, lam, resid = carry
+            W = smv(V)                                    # A v (f64)
+            lam_new = _sdiv(_sdot(V, W), _sdot(V, V))     # f64 Rayleigh quotient
+            r = SplitComplex(W.re - (lam_new.re[:, None] * V.re
+                                     - lam_new.im[:, None] * V.im),
+                             W.im - (lam_new.re[:, None] * V.im
+                                     + lam_new.im[:, None] * V.re))
+            rn = _snorm(r)
+            u1 = solve(_to_c(V, cdtype))                  # H⁻¹ v
+            u2 = solve(_to_c(r, cdtype))                  # H⁻¹ r
+            num = jnp.sum(jnp.conj(_to_c(V, cdtype)) * u2, axis=-1)
+            den = jnp.sum(jnp.conj(_to_c(V, cdtype)) * u1, axis=-1)
+            den = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
+            dlam = num / den
+            dv = dlam[:, None] * u1 - u2                  # δv = δλ H⁻¹v − H⁻¹r
+            dv64 = _from_c(dv, rdt)
+            V_new = SplitComplex(V.re + dv64.re, V.im + dv64.im)
+            nn = jnp.maximum(_snorm(V_new), 1e-30)
+            V_new = SplitComplex(V_new.re / nn[:, None], V_new.im / nn[:, None])
+            W2 = smv(V_new)
+            lam2 = _sdiv(_sdot(V_new, W2), _sdot(V_new, V_new))
+            r2 = SplitComplex(W2.re - (lam2.re[:, None] * V_new.re
+                                       - lam2.im[:, None] * V_new.im),
+                              W2.im - (lam2.re[:, None] * V_new.im
+                                       + lam2.im[:, None] * V_new.re))
+            rn2 = _snorm(r2)
+            better = rn2 < rn            # keep-better guards divergent steps
+            Vo = SplitComplex(jnp.where(better[:, None], V_new.re, V.re),
+                              jnp.where(better[:, None], V_new.im, V.im))
+            lo = SplitComplex(jnp.where(better, lam2.re, lam_new.re),
+                              jnp.where(better, lam2.im, lam_new.im))
+            return Vo, lo, jnp.minimum(rn, rn2)
+
+        lam_init = SplitComplex(lam0.real.astype(rdt), lam0.imag.astype(rdt))
+        resid0 = jnp.full((K,), jnp.inf, rdt)
+        V, lam, resid = jax.lax.fori_loop(0, steps, body,
+                                          (V, lam_init, resid0))
+        return lam, V, resid
+
+
+# ---------------------------------------------------------------------------
+# Singular-triplet refinement via projected GMRES correction solves
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("mesh", "steps", "inner_restart"))
+def dist_refine_svd(mesh: Mesh, A_dev: jax.Array, A64: SplitComplex,
+                    sig0: jax.Array, U0: jax.Array, V0: jax.Array,
+                    steps: int = 5, psi_rel: float = 3e-6,
+                    inner_restart: int = 24):
+    """Refine K singular-triplet candidates to f64-limited residuals without
+    any N×N factorization (mesh-scalable SVD finisher).
+
+    Newton on the augmented Hermitian [[0, A], [Aᴴ, 0]] eigenpair (σ, [u;v]),
+    block-eliminated to ``(AᴴA − σ²I + ψ) dv = −(σ r₂ + Aᴴ r₁)`` exactly as
+    :func:`maus_tpu.ops.refine_eig.refine_svd_triplets`, with the batched
+    Gram LU replaced by a projected Jacobi-preconditioned GMRES whose matvec
+    is two sharded GEMMs. σ≈0 (null-vector) triplets pass through unchanged.
+
+    Returns ``(sigma (K,) f64, U Split (K,M), V Split (K,N), resid (K,) f64)``
+    with resid = ‖Av − σu‖ + ‖Aᴴu − σv‖ (two-sided, AMS:301).
+    """
+    from ..ops.gmres import gmres_batched, jacobi_from_diag
+
+    cdtype = V0.dtype
+    rdt = A64.re.dtype
+    K, N = V0.shape
+    with jax.default_matmul_precision("highest"):
+        anorm = jnp.sqrt(jnp.sum(A64.re * A64.re + A64.im * A64.im)
+                         / min(A64.re.shape)).astype(rdt)
+        psi = (psi_rel * anorm * anorm).astype(jnp.float32)   # Gram scale ‖A‖²
+        smv = lambda X: _smatvec(A64, X)
+        smva = lambda X: _smatvec_adj(A64, X)
+        sig_f = sig0.real.astype(jnp.float32)
+        small = sig_f < 1e-6 * jnp.maximum(anorm.astype(jnp.float32), 1e-30)
+
+        # Jacobi diagonal of the Gram operator: column norms of A (sharded
+        # reduction, GSPMD) — (N,) real
+        coldiag = jnp.sum(A64.re * A64.re + A64.im * A64.im, axis=0) \
+            .astype(jnp.float32)
+
+        U = _from_c(U0, rdt)
+        V = _from_c(V0, rdt)
+        un = jnp.maximum(_snorm(U), 1e-30)
+        vn = jnp.maximum(_snorm(V), 1e-30)
+        U = SplitComplex(U.re / un[:, None], U.im / un[:, None])
+        V = SplitComplex(V.re / vn[:, None], V.im / vn[:, None])
+        sig = sig0.real.astype(rdt)
+
+        def resid_of(sig, U, V):
+            Av = smv(V)
+            Ahu = smva(U)
+            r1 = SplitComplex(Av.re - sig[:, None] * U.re,
+                              Av.im - sig[:, None] * U.im)
+            r2 = SplitComplex(Ahu.re - sig[:, None] * V.re,
+                              Ahu.im - sig[:, None] * V.im)
+            return r1, r2, _snorm(r1) + _snorm(r2)
+
+        def gram_solve(rhs_c, sig_new, Vc):
+            """Projected inexact solve of (AᴴA − σ² + ψ) t = rhs, t ⊥ v."""
+            shift = (sig_new.astype(jnp.float32) ** 2).astype(jnp.float32)
+
+            def cproj(X):
+                c = jnp.sum(jnp.conj(Vc) * X, axis=-1, keepdims=True)
+                return X - c * Vc
+
+            def matvec(Z):
+                Zp = cproj(Z)
+                AZ = jnp.matmul(Zp, A_dev.T,
+                                precision=jax.lax.Precision.HIGHEST)
+                G = jnp.matmul(AZ, jnp.conj(A_dev),
+                               precision=jax.lax.Precision.HIGHEST)
+                return cproj(G - (shift - psi)[:, None].astype(G.real.dtype)
+                             * Zp)
+
+            diag = (coldiag[None, :] - shift[:, None] + psi).astype(cdtype)
+            res = gmres_batched(matvec, cproj(rhs_c),
+                                x0=jnp.zeros_like(rhs_c),
+                                precond_diag=jacobi_from_diag(diag),
+                                tol=1e-2, restart=inner_restart,
+                                max_restarts=2)
+            return cproj(res.x)
+
+        def body(_, carry):
+            sig, U, V, rbest = carry
+            Av = smv(V)
+            sig_new = _sdot(U, Av).re                     # f64 σ update
+            r1, r2, rn = resid_of(sig_new, U, V)
+            Ahr1 = smva(r1)
+            rhs = SplitComplex(-(sig_new[:, None] * r2.re + Ahr1.re),
+                               -(sig_new[:, None] * r2.im + Ahr1.im))
+            dv = gram_solve(_to_c(rhs, cdtype), sig_new, _to_c(V, cdtype))
+            dv64 = _from_c(dv, rdt)
+            Adv = smv(dv64)
+            sig_safe = jnp.where(small, 1.0, sig_new)[:, None]
+            du = SplitComplex((Adv.re + r1.re) / sig_safe,
+                              (Adv.im + r1.im) / sig_safe)
+            V_new = SplitComplex(V.re + dv64.re, V.im + dv64.im)
+            U_new = SplitComplex(U.re + du.re, U.im + du.im)
+            nn = jnp.maximum(_snorm(V_new), 1e-30)
+            V_new = SplitComplex(V_new.re / nn[:, None], V_new.im / nn[:, None])
+            nn = jnp.maximum(_snorm(U_new), 1e-30)
+            U_new = SplitComplex(U_new.re / nn[:, None], U_new.im / nn[:, None])
+            Av2 = smv(V_new)
+            sig2 = _sdot(U_new, Av2).re
+            _, _, rn2 = resid_of(sig2, U_new, V_new)
+            better = (rn2 < rn) & ~small
+            Uo = SplitComplex(jnp.where(better[:, None], U_new.re, U.re),
+                              jnp.where(better[:, None], U_new.im, U.im))
+            Vo = SplitComplex(jnp.where(better[:, None], V_new.re, V.re),
+                              jnp.where(better[:, None], V_new.im, V.im))
+            so = jnp.where(better, sig2, jnp.where(small, sig, sig_new))
+            return so, Uo, Vo, jnp.minimum(rbest, jnp.minimum(rn, rn2))
+
+        _, _, rn0 = resid_of(sig, U, V)
+        sig, U, V, resid = jax.lax.fori_loop(0, steps, body, (sig, U, V, rn0))
+        return sig, U, V, resid

@@ -161,7 +161,11 @@ def _svd_iterate(mesh: Mesh, A: jax.Array, key: jax.Array, k: int,
 
 def svd_distributed(mesh: Mesh, A, num_candidates: int = 8,
                     iterations: int = 30, seed: int = 0):
-    """Distributed SVD driver: column-sharded block subspace iteration.
+    """INTERNAL FALLBACK: bare block-subspace-iteration driver (no MAUS
+    meta-heuristic, no finisher). The production mesh entry point is
+    ``maus_tpu.svd(A, mesh=...)`` (solver/api._svd_mesh), which runs the FULL
+    engine over a GSPMD-sharded operand — use this driver only for isolated
+    testing of the sharded block round.
 
     Returns host arrays ``(sigma, U, V, resids)``: k Ritz singular values
     (descending), left vectors (M, k), right vectors (k, N), and two-sided

@@ -555,45 +555,19 @@ def eig(A, tol: float = 1e-8, max_iterations: int = 200,
     """Eigenpairs of A.
 
     ``mesh``: optional ``jax.sharding.Mesh`` with a ``model`` axis of size > 1
-    — routes to the distributed column-sharded Hessenberg path
-    (:func:`maus_tpu.parallel.dist_hessenberg.eig_distributed`): A, its
-    Hessenberg form, and the per-candidate factors all shard over the mesh, so
-    eig operands larger than one device's memory iterate in place.
+    — the FULL population meta-heuristic (Ψ ladder, α adaptation, strategy
+    regimes, retire/respawn — the reference loop, AMS:551-608) then runs with
+    A and its Hessenberg form column-sharded over the mesh
+    (:func:`maus_tpu.parallel.dist_hessenberg.dist_solve_shifted` carries the
+    per-candidate shifted solves), followed by the distributed split-f64
+    Newton finisher (:mod:`maus_tpu.parallel.dist_refine`) — eig operands
+    larger than one device's memory solve in place with the same engine and
+    the same tolerance contract as the single-chip path.
     """
     if mesh is not None and dict(zip(mesh.axis_names, mesh.devices.shape)) \
             .get("model", 1) > 1:
-        from ..parallel.dist_hessenberg import eig_distributed
-
-        n = np.asarray(A).shape[0] if not hasattr(A, "sharding") else A.shape[0]
-        k = num_candidates or min(max(8, 2 * int(np.sqrt(n))), 32)
-        lam, X, res = eig_distributed(mesh, A, num_candidates=k,
-                                      iterations=max_iterations, seed=seed)
-        # distinct-solution dedup, reference similarity rules (AMS:435-437)
-        anorm = float(np.linalg.norm(np.asarray(lam))) / max(len(lam), 1)
-        order = np.argsort(res)
-        # dtype-aware acceptance floor (same rationale as the svd mesh
-        # branch): the sharded path computes in the mesh dtype (c64 on TPU)
-        # with no split-f64 finisher yet — a tol below the dtype floor must
-        # not silently return an empty report
-        eps_c = float(np.finfo(np.float32).eps)
-        if jax.default_backend() == "cpu" and jax.config.jax_enable_x64:
-            eps_c = float(np.finfo(np.float64).eps)
-        accept = max(tol * 10, 50.0 * eps_c * np.sqrt(n)) * max(anorm, 1.0)
-        sols, resids = [], []
-        for i in order:
-            if not np.isfinite(res[i]) or res[i] > accept:
-                continue
-            dup = any(abs(lam[i] - s_[0]) < 1e-5 + abs(lam[i]) * 1e-6 and
-                      abs(np.vdot(X[i], s_[1])) > 0.999 for s_ in sols)
-            if not dup:
-                sols.append((lam[i], X[i]))
-                resids.append(float(res[i]))
-        kn = ProblemKnowledge(shape=(n, n))
-        return SolutionReport(
-            problem_type=ProblemType.EIGENVALUE, solutions=sols,
-            residuals=resids, iterations=max_iterations,
-            num_distinct=len(sols), target_solutions=min(n, k),
-            landscape_energy=0.0, knowledge=kn)
+        return _eig_mesh(A, mesh, tol, max_iterations, num_candidates, seed,
+                         config)
     s = MausSolver(A, ProblemType.EIGENVALUE,
                    initial_num_candidates=num_candidates,
                    global_convergence_tol=tol, config=config, seed=seed)
@@ -606,80 +580,195 @@ def svd(A, tol: float = 1e-6, max_iterations: int = 300,
     """Singular triplets of A.
 
     ``mesh``: optional ``jax.sharding.Mesh`` with a ``model`` axis of size > 1
-    — routes to the distributed column-sharded block subspace iteration
-    (:func:`maus_tpu.parallel.dist_svd.svd_distributed`): the A shard is the
-    only O(M·N) object per device, so operands wider than one chip's HBM
-    iterate in place.
+    — the FULL population meta-heuristic then runs with A column-sharded (the
+    block subspace round distributes under GSPMD with the A shard as the only
+    O(M·N) object per device), followed by the factorization-free distributed
+    Newton finisher (:mod:`maus_tpu.parallel.dist_refine`) — same engine,
+    same tolerance contract as the single-chip path, operands wider than one
+    chip's HBM.
     """
     if mesh is not None and dict(zip(mesh.axis_names, mesh.devices.shape)) \
             .get("model", 1) > 1:
-        from ..parallel.dist_svd import svd_distributed
-
-        mr, n = A.shape[-2], A.shape[-1]
-        k = num_candidates or min(max(4, min(mr, n) // 2), 16)
-        sig, U, V, res = svd_distributed(
-            mesh, A, num_candidates=k,
-            iterations=max_iterations, seed=seed)
-        finite = np.isfinite(sig)
-        kn0 = ProblemKnowledge(shape=(mr, n), effective_rank=1)
-        if not finite.any():
-            # iteration blew up (non-finite Ritz values): report FAILURE —
-            # fabricating a "zero operand" answer here would return a
-            # converged σ=0 triplet for an operand whose σ₁ may be large
-            return SolutionReport(
-                problem_type=ProblemType.SVD, solutions=[], residuals=[],
-                iterations=max_iterations, num_distinct=0,
-                target_solutions=1, landscape_energy=1.0, knowledge=kn0)
-        smax = float(np.max(sig[finite]))
-        if smax <= 1e-12:
-            # effectively-zero operand: one zero triplet (AMS:243-247); the
-            # Ritz basis is meaningless (QR of a zero subspace) — use e₁
-            u0 = np.zeros(mr, complex); u0[0] = 1.0
-            v0 = np.zeros(n, complex); v0[0] = 1.0
-            return SolutionReport(
-                problem_type=ProblemType.SVD, solutions=[(0.0, u0, v0)],
-                residuals=[0.0], iterations=max_iterations,
-                num_distinct=1, target_solutions=1, landscape_energy=0.0,
-                knowledge=kn0)
-        # effective rank from the Ritz spectrum (AMS:463-470 convention)
-        from ..core.types import RANK_REL_CUT
-        rank = int(np.sum(sig[finite] / smax > RANK_REL_CUT)) or 1
-        scale = max(smax, 1.0)
-        # acceptance floor: the sharded path computes residuals in the mesh
-        # compute dtype (c64 on TPU) and has no split-f64 finisher yet
-        # (STATUS gap 4), so a user tol below that dtype's floor must not
-        # silently return an empty report — accept down to the floor and
-        # report the achieved residuals honestly
-        eps_c = float(np.finfo(np.float32).eps)
-        if jax.default_backend() == "cpu" and jax.config.jax_enable_x64:
-            eps_c = float(np.finfo(np.float64).eps)
-        accept = max(tol * 10, 50.0 * eps_c * np.sqrt(max(mr, n))) * scale
-        sols, resids = [], []
-        for i in np.argsort(res):
-            if not finite[i] or res[i] > accept:
-                continue
-            # below the effective-rank cut → null-space Ritz triplet, not a
-            # distinct solution (reference's σ<1e-8 "zero singular value"
-            # candidates converge but don't enlarge the distinct set)
-            if sig[i] <= smax * RANK_REL_CUT:
-                continue
-            # dedup: σ abs/rel similarity + u,v overlap (M5d, AMS:441-452)
-            dup = any(abs(sig[i] - s_[0]) < 1e-6 + abs(s_[0]) * 1e-4 and
-                      abs(np.vdot(U[:, i], s_[1])) > 0.999 and
-                      abs(np.vdot(V[i], s_[2])) > 0.999 for s_ in sols)
-            if not dup:
-                sols.append((float(sig[i]), U[:, i], V[i]))
-                resids.append(float(res[i]))
-        if not sols and smax <= tol:
-            # effectively-zero operand: report one zero triplet (AMS:243-247)
-            i0 = int(np.argmin(res))
-            sols, resids = [(0.0, U[:, i0], V[i0])], [float(res[i0])]
-        kn = ProblemKnowledge(shape=(mr, n), effective_rank=rank)
-        return SolutionReport(
-            problem_type=ProblemType.SVD, solutions=sols, residuals=resids,
-            iterations=max_iterations, num_distinct=len(sols),
-            target_solutions=min(rank, k), landscape_energy=0.0, knowledge=kn)
+        return _svd_mesh(A, mesh, tol, max_iterations, num_candidates, seed,
+                         config)
     s = MausSolver(A, ProblemType.SVD,
                    initial_num_candidates=num_candidates,
                    global_convergence_tol=tol, config=config, seed=seed)
     return s.evolve(max_iterations)
+
+
+# ---------------------------------------------------------------------------
+# Mesh-sharded eig/SVD: the FULL engine + distributed finishers
+# ---------------------------------------------------------------------------
+
+def _mesh_model_size(mesh) -> int:
+    return dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
+
+
+def _spectral_floor(cdtype, n: int) -> float:
+    """Convergence floor (relative to the operand scale — the candidate layer
+    multiplies by ‖A‖_F/√N, candidate._adapt_and_classify) for the mesh paths,
+    where no host condition estimate exists: √N·ε of the compute dtype with
+    the same 50·ε minimum the single-chip constructor uses."""
+    eps_c = float(np.finfo(np.float64 if cdtype == jnp.complex128
+                           else np.float32).eps)
+    return float(min(max(50.0, np.sqrt(n)) * eps_c, 1e-2))
+
+
+def _eig_mesh(A, mesh, tol, max_iterations, num_candidates, seed,
+              config) -> SolutionReport:
+    """eig over a mesh: the FULL MAUS engine (Ψ ladder, α adaptation,
+    retire/respawn, strategy regimes — solver/evolve.py) with every shifted
+    solve routed through the column-sharded Hessenberg form, then the
+    distributed split-f64 Newton finisher (VERDICT r2 #1-2). The bespoke
+    plain-iteration driver (parallel/dist_hessenberg.eig_distributed) remains
+    as an internal fallback only."""
+    from ..parallel.dist_hessenberg import dist_hessenberg
+    from ..parallel.dist_refine import dist_refine_eigenpairs, stage_spectral
+
+    n = np.asarray(A).shape[0] if not hasattr(A, "sharding") else A.shape[0]
+    m = _mesh_model_size(mesh)
+    if n % m != 0:
+        raise ValueError(f"distributed eig needs N divisible by the model "
+                         f"axis: N={n}, model={m}")
+    k = num_candidates or min(max(8, 2 * int(np.sqrt(n))), 32)
+    A_dev, A64 = stage_spectral(
+        mesh, A, dtype=(config.dtype if config is not None else None))
+    cdtype = A_dev.dtype
+    cfg = config or SolverConfig(
+        problem_type=ProblemType.EIGENVALUE, num_candidates=k, tol=tol,
+        dtype=cdtype, convergence_floor=_spectral_floor(cdtype, n))
+    kn = ProblemKnowledge(shape=(n, n))
+    target = min(n, cfg.num_candidates)
+
+    hess = dist_hessenberg(mesh, A_dev)     # built once: engine + finisher
+    carry, _ = evolve_mod.evolve_while(
+        cfg, kn, A_dev, None, jax.random.PRNGKey(seed), max_iterations,
+        target, mesh=mesh, hess0=hess)
+
+    pop, strat = carry.pop, carry.strat
+    diag = strat_mod.compute_diagnostics(cfg, pop, strat, target)
+    leader = np.asarray(diag.distinct_leader)
+    residual = np.array(pop.residual)
+    v = to_host_complex(pop.v)
+    lam = to_host_complex(pop.lam)
+    order = np.argsort(np.where(np.isfinite(residual), residual, np.inf))
+    leader_ks = [int(i) for i in order if leader[i]]
+
+    solutions, residuals = [], []
+    if leader_ks:
+        if cfg.refine:
+            # distributed finisher: pad the leader set to the fixed capacity
+            # so one compiled shape serves every leader count
+            idx = leader_ks + [leader_ks[-1]] * (cfg.num_candidates
+                                                 - len(leader_ks))
+            lam_j = to_device_complex(lam[idx], cdtype)
+            V_j = to_device_complex(v[idx], cdtype)
+            lam_s, V_s, res = dist_refine_eigenpairs(mesh, hess, A64, lam_j,
+                                                     V_j, steps=5)
+            lam_re, lam_im = np.asarray(lam_s.re), np.asarray(lam_s.im)
+            v_re, v_im = np.asarray(V_s.re), np.asarray(V_s.im)
+            res_h = np.asarray(res)
+            for j, slot in enumerate(leader_ks):
+                if np.isfinite(res_h[j]) and res_h[j] < residual[slot]:
+                    solutions.append(
+                        (complex(lam_re[j] + 1j * lam_im[j]),
+                         (v_re[j] + 1j * v_im[j]).astype(np.complex128)))
+                    residuals.append(float(res_h[j]))
+                else:
+                    solutions.append((complex(lam[slot]),
+                                      v[slot].astype(np.complex128)))
+                    residuals.append(float(residual[slot]))
+        else:
+            for slot in leader_ks:
+                solutions.append((complex(lam[slot]),
+                                  v[slot].astype(np.complex128)))
+                residuals.append(float(residual[slot]))
+
+    return SolutionReport(
+        problem_type=ProblemType.EIGENVALUE, solutions=solutions,
+        residuals=residuals, iterations=int(carry.iteration),
+        num_distinct=int(diag.num_distinct), target_solutions=target,
+        landscape_energy=float(strat.landscape_energy), knowledge=kn)
+
+
+def _svd_mesh(A, mesh, tol, max_iterations, num_candidates, seed,
+              config) -> SolutionReport:
+    """SVD over a mesh: the FULL MAUS engine with A column-sharded — the
+    block subspace round in candidate.step_svd is plain matmuls + thin QRs,
+    which GSPMD distributes with A as the only O(M·N) object — then the
+    factorization-free distributed Newton finisher (VERDICT r2 #1-2)."""
+    from ..parallel.dist_refine import dist_refine_svd, stage_spectral
+
+    mr = np.asarray(A).shape[0] if not hasattr(A, "sharding") else A.shape[0]
+    n = np.asarray(A).shape[1] if not hasattr(A, "sharding") else A.shape[1]
+    m = _mesh_model_size(mesh)
+    if n % m != 0:
+        raise ValueError(f"distributed svd needs N divisible by the model "
+                         f"axis: N={n}, model={m}")
+    k = num_candidates or min(max(4, min(mr, n) // 2), 16)
+    A_dev, A64 = stage_spectral(
+        mesh, A, dtype=(config.dtype if config is not None else None))
+    cdtype = A_dev.dtype
+    cfg = config or SolverConfig(
+        problem_type=ProblemType.SVD, num_candidates=k, tol=tol,
+        dtype=cdtype, convergence_floor=_spectral_floor(cdtype, max(mr, n)))
+    kn = ProblemKnowledge(shape=(mr, n))
+    target0 = min(min(mr, n), cfg.num_candidates)
+
+    carry, _ = evolve_mod.evolve_while(
+        cfg, kn, A_dev, None, jax.random.PRNGKey(seed), max_iterations,
+        target0)                     # GSPMD shards the SVD step; no routing
+    pop, strat = carry.pop, carry.strat
+    # the run's final effective-rank view supersedes the initial target
+    # (re-derived on device from the converged σ spectrum, AMS:463-470)
+    target = min(int(strat.target_dynamic), target0)
+    diag = strat_mod.compute_diagnostics(cfg, pop, strat, target)
+    leader = np.asarray(diag.distinct_leader)
+    residual = np.array(pop.residual)
+    v = to_host_complex(pop.v)
+    u = to_host_complex(pop.u)
+    sig = to_host_complex(pop.lam).real
+    order = np.argsort(np.where(np.isfinite(residual), residual, np.inf))
+    leader_ks = [int(i) for i in order if leader[i]]
+
+    solutions, residuals = [], []
+    if leader_ks:
+        if cfg.refine:
+            idx = leader_ks + [leader_ks[-1]] * (cfg.num_candidates
+                                                 - len(leader_ks))
+            sig_j = to_device_complex(sig[idx].astype(np.complex128), cdtype)
+            U_j = to_device_complex(u[idx], cdtype)
+            V_j = to_device_complex(v[idx], cdtype)
+            sig_s, U_s, V_s, res = dist_refine_svd(mesh, A_dev, A64, sig_j,
+                                                   U_j, V_j, steps=5)
+            sig_h = np.asarray(sig_s)
+            u_re, u_im = np.asarray(U_s.re), np.asarray(U_s.im)
+            v_re, v_im = np.asarray(V_s.re), np.asarray(V_s.im)
+            res_h = np.asarray(res)
+            for j, slot in enumerate(leader_ks):
+                if np.isfinite(res_h[j]) and res_h[j] < residual[slot]:
+                    solutions.append(
+                        (float(sig_h[j]),
+                         (u_re[j] + 1j * u_im[j]).astype(np.complex128),
+                         (v_re[j] + 1j * v_im[j]).astype(np.complex128)))
+                    residuals.append(float(res_h[j]))
+                else:
+                    solutions.append((float(sig[slot]),
+                                      u[slot].astype(np.complex128),
+                                      v[slot].astype(np.complex128)))
+                    residuals.append(float(residual[slot]))
+        else:
+            for slot in leader_ks:
+                solutions.append((float(sig[slot]),
+                                  u[slot].astype(np.complex128),
+                                  v[slot].astype(np.complex128)))
+                residuals.append(float(residual[slot]))
+
+    # report the run's effective-rank view in the knowledge (AMS:463-470)
+    kn = ProblemKnowledge(shape=(mr, n), effective_rank=target)
+    return SolutionReport(
+        problem_type=ProblemType.SVD, solutions=solutions,
+        residuals=residuals, iterations=int(carry.iteration),
+        num_distinct=int(diag.num_distinct), target_solutions=target,
+        landscape_energy=float(strat.landscape_energy), knowledge=kn)

@@ -257,7 +257,7 @@ def step_linear(cfg: SolverConfig, A: jax.Array, b: jax.Array, fac: LUFactors,
 # ---------------------------------------------------------------------------
 
 def step_eigen(cfg: SolverConfig, A: jax.Array, pop: Population,
-               strat: StrategyState, hess_cache=None
+               strat: StrategyState, hess_cache=None, dist_solve=None
                ) -> tuple[Population, StepStats]:
     """One population step for Ax = λx: Rayleigh-quotient shift per candidate, then
     a *batched* regularized shifted solve ``(A − λ_k I + Ψ_k D) w_k = v_k``.
@@ -266,6 +266,14 @@ def step_eigen(cfg: SolverConfig, A: jax.Array, pop: Population,
     evolve) the direct branch solves each shift in O(N²) via a batched Givens
     QR on (H − λ_k I) instead of a per-candidate O(N³) LU — see
     :mod:`maus_tpu.ops.hessenberg`. Without it, the vmapped-LU fallback runs.
+
+    ``dist_solve``: optional ``(lams, B, psi) → W`` override for the direct
+    branch — the distributed evolve passes the column-sharded
+    :func:`maus_tpu.parallel.dist_hessenberg.dist_solve_shifted` here so the
+    FULL population meta-heuristic (Ψ ladder, α adaptation, retire/respawn,
+    strategy regimes) runs unchanged over a mesh-sharded operand; A's own
+    appearances in this function (Rayleigh quotients, residuals, the JD
+    iterative branch) are plain matmuls that GSPMD shards automatically.
 
     The Ψ rung here is intentionally larger than the linear path's: the Rayleigh
     shift drives (A − λI) toward exact singularity by design, and the Ψ jitter is
@@ -281,16 +289,21 @@ def step_eigen(cfg: SolverConfig, A: jax.Array, pop: Population,
                     jnp.sum(jnp.conj(pop.v) * Av, axis=-1) / vv, pop.lam)
 
     def direct(_):
-        if hess_cache is not None:
+        if hess_cache is not None or dist_solve is not None:
             from ..ops.batched_solve import psi_ladder
-            from ..ops.hessenberg import solve_shifted_via_hessenberg
             from ..ops.regularize import psi_magnitude
+
+            if dist_solve is None:
+                from ..ops.hessenberg import solve_shifted_via_hessenberg
+                shifted = lambda l_, b_, p_: solve_shifted_via_hessenberg(
+                    hess_cache, l_, b_, p_)
+            else:
+                shifted = dist_solve
 
             def solve_at(attempt_k):
                 psi = psi_magnitude(psi_scaled, strat.psi_aggression,
                                     attempt_k, pop.stuck)
-                return solve_shifted_via_hessenberg(hess_cache, lam, pop.v,
-                                                    psi)
+                return shifted(lam, pop.v, psi)
 
             return psi_ladder(solve_at, pop.capacity,
                               max_attempts=cfg.max_psi_attempts)

@@ -155,6 +155,20 @@ def make_iteration(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
             psi_cached = psi_eff
             pop, stats = cand.step_linear(cfg, A, b, fac, pop, strat,
                                           direct_solve=direct_solve)
+        elif cfg.problem_type == ProblemType.EIGENVALUE and mesh is not None:
+            # FULL engine over a mesh-sharded operand (VERDICT r2 #1): the
+            # per-candidate shifted solves route through the column-sharded
+            # Hessenberg form (hess_cache is a DistHess here, built once by
+            # the drivers below); Hermitian operands take this path too — a
+            # replicated full eigh would defeat the sharding, and the dist
+            # Hessenberg of a Hermitian A is tridiagonal anyway.
+            from ..parallel.dist_hessenberg import dist_solve_shifted
+
+            def _dsolve(lams_, B_, psi_):
+                return dist_solve_shifted(mesh, hess_cache, lams_, B_, psi_)
+
+            pop, stats = cand.step_eigen(cfg, A, pop, strat,
+                                         dist_solve=_dsolve)
         elif cfg.problem_type == ProblemType.EIGENVALUE and knowledge.is_hermitian:
             if eigh_cache is not None:
                 pop, stats = herm.step_hermitian(cfg, A, eigh_cache, pop, strat)
@@ -164,6 +178,9 @@ def make_iteration(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
             pop, stats = cand.step_eigen(cfg, A, pop, strat,
                                          hess_cache=hess_cache)
         else:
+            # SVD: step_svd's block round is plain matmuls + thin QRs — a
+            # mesh-sharded A distributes under GSPMD with no explicit routing
+            # (A is the only O(M·N) object; everything else is O((M+N)·K))
             pop, stats = cand.step_svd(cfg, A, pop, strat)
 
         pop = popmgmt.manage(cfg, pop, strat, diag, target_solutions,
@@ -313,13 +330,31 @@ def _stop_condition(cfg: SolverConfig, target_solutions: int, carry: EvolveCarry
         (carry.stall_count >= cfg.stall_limit)
 
 
+def _setup_caches(cfg: SolverConfig, knowledge: ProblemKnowledge, A, mesh):
+    """Per-evolve one-time O(N³) factorizations shared by every iteration.
+
+    With a mesh, the eig path builds the COLUMN-SHARDED Hessenberg form
+    (parallel/dist_hessenberg.py) for Hermitian and general operands alike —
+    the replicated eigh/Lanczos fast paths would defeat the sharding."""
+    if mesh is not None and cfg.problem_type == ProblemType.EIGENVALUE:
+        from ..parallel.dist_hessenberg import dist_hessenberg
+        return None, dist_hessenberg(mesh, A)
+    eigh_cache = herm.eigh_setup(A) if _use_shared_eigh(cfg, knowledge) else None
+    hess_cache = None
+    if _use_hessenberg(cfg, knowledge):
+        from ..ops.hessenberg import reduce_hessenberg_auto
+        hess_cache = reduce_hessenberg_auto(A)
+    return eigh_cache, hess_cache
+
+
 @partial(jax.jit, static_argnames=("cfg", "knowledge",
                                    "target_solutions", "mesh", "dist_block"))
 def evolve_while(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
                  b: Optional[jax.Array], key: jax.Array, max_iterations: int,
                  target_solutions: int,
                  carry0: Optional[EvolveCarry] = None, mesh=None,
-                 dist_block: int = 128) -> tuple[EvolveCarry, Metrics]:
+                 dist_block: int = 128,
+                 hess0=None) -> tuple[EvolveCarry, Metrics]:
     """Run until the distinct-solution target is met or ``max_iterations``.
     ``carry0`` resumes from a checkpointed state (max_iterations then bounds the
     TOTAL iteration count, consistent with the saved carry's counter).
@@ -328,11 +363,12 @@ def evolve_while(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
     bounds reuse ONE compiled program.
     ``mesh``: run the linear path's factorization column-sharded (see
     :func:`make_iteration`)."""
-    eigh_cache = herm.eigh_setup(A) if _use_shared_eigh(cfg, knowledge) else None
-    hess_cache = None
-    if _use_hessenberg(cfg, knowledge):
-        from ..ops.hessenberg import reduce_hessenberg_auto
-        hess_cache = reduce_hessenberg_auto(A)
+    if hess0 is not None:
+        # caller pre-built the (possibly distributed) Hessenberg form — e.g.
+        # eig(mesh=) builds it once and reuses it for the finisher
+        eigh_cache, hess_cache = None, hess0
+    else:
+        eigh_cache, hess_cache = _setup_caches(cfg, knowledge, A, mesh)
     step = make_iteration(cfg, knowledge, A, b, eigh_cache, target_solutions,
                           hess_cache=hess_cache, mesh=mesh,
                           dist_block=dist_block)
@@ -360,14 +396,16 @@ def evolve_scan(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
                 b: Optional[jax.Array], key: jax.Array, num_iterations: int,
                 target_solutions: int,
                 carry0: Optional[EvolveCarry] = None, mesh=None,
-                dist_block: int = 128) -> tuple[EvolveCarry, Metrics]:
+                dist_block: int = 128,
+                hess0=None) -> tuple[EvolveCarry, Metrics]:
     """Fixed-length run returning stacked per-iteration metrics (frozen once the
     stop condition hits, so trailing iterations are cheap no-ops)."""
-    eigh_cache = herm.eigh_setup(A) if _use_shared_eigh(cfg, knowledge) else None
-    hess_cache = None
-    if _use_hessenberg(cfg, knowledge):
-        from ..ops.hessenberg import reduce_hessenberg_auto
-        hess_cache = reduce_hessenberg_auto(A)
+    if hess0 is not None:
+        # caller pre-built the (possibly distributed) Hessenberg form — e.g.
+        # eig(mesh=) builds it once and reuses it for the finisher
+        eigh_cache, hess_cache = None, hess0
+    else:
+        eigh_cache, hess_cache = _setup_caches(cfg, knowledge, A, mesh)
     step = make_iteration(cfg, knowledge, A, b, eigh_cache, target_solutions,
                           hess_cache=hess_cache, mesh=mesh,
                           dist_block=dist_block)
