@@ -145,11 +145,14 @@ def _pow2_ceil(m):
     return jnp.exp2(jnp.ceil(jnp.log2(jnp.maximum(m, 1e-30))))
 
 
-def _slice_array(P: jax.Array, s: int, w: int):
+def _slice_array(P: jax.Array, s: int, w: int, sigma=None):
     """Exact slicing P = sigma · Σ_k slices[k]·2^{−w(k+1)} (+ tail below the
     covered mantissa width). All arithmetic exact: power-of-2 scaling and
-    x − round(x) subtractions."""
-    sigma = _pow2_ceil(jnp.max(jnp.abs(P)))
+    x − round(x) subtractions. ``sigma``: externally supplied power-of-two
+    scale (the sharded path computes it with a pmax so all shards share one
+    recombination ladder); derived from max|P| when absent."""
+    if sigma is None:
+        sigma = _pow2_ceil(jnp.max(jnp.abs(P)))
     z = P / sigma
     scale = jnp.asarray(2.0 ** w, P.dtype)
     outs = []
@@ -160,29 +163,24 @@ def _slice_array(P: jax.Array, s: int, w: int):
     return jnp.stack(outs), sigma
 
 
-def slice_split_matrix(A64: SplitComplex, mant_bits: int = 53,
-                       w: int = 5) -> SlicedMatrix:
-    """One-time slicing of the split-f64 operand (per refinement call).
+def extract_ladder(re: jax.Array, im: jax.Array, sigma: jax.Array,
+                   mant_bits: int = 53, w: int = 5):
+    """Extract the bf16 integer slice ladders of both planes under a given
+    power-of-two scale (shared by :func:`slice_split_matrix` and the
+    column-sharded extraction in parallel/dist_refine.py, where ``sigma``
+    comes from a cross-shard pmax so every shard slices on one global grid).
 
-    ``mant_bits`` counts ABSOLUTE bits below the joint plane maximum (the
-    slicing grid is global, not per-entry): entries far below the max are
-    truncated at 2^{−mant_bits}·max|A|, an absolute error that enters the
-    residual as ≲ N·2^{−mant_bits}·max|A|·‖x‖ — with the default 53 that is
-    below f64 addition roundoff for any N this library targets. (Note a
-    complex64-widened operand still needs the full ladder: its entries'
-    mantissas sit at their OWN exponents, not the global one.)"""
+    Emulated-f64 elementwise passes dominate slicing cost (~4 ms/pass at
+    4096²), so extract 3w = 15 bits per f64 pass (integers ≤ 2^15, exact in
+    f32) and split each wide slice into three w-bit bf16 slices with exact
+    f32 integer arithmetic — 3× fewer slow passes, identical ladder.
+
+    Returns ``(slices_re, slices_im)`` stacked (sA, …) bf16."""
     if w != 5:
         raise ValueError("the wide-extraction path assumes w = 5")
     s = -(-mant_bits // w)
-    # joint power-of-two scale so both planes share one recombination ladder
-    sigma = _pow2_ceil(jnp.maximum(jnp.max(jnp.abs(A64.re)),
-                                   jnp.max(jnp.abs(A64.im))))
-    # Emulated-f64 elementwise passes dominate slicing cost (~4 ms/pass at
-    # 4096²), so extract 3w = 15 bits per f64 pass (integers ≤ 2^15, exact in
-    # f32) and split each wide slice into three w-bit bf16 slices with exact
-    # f32 integer arithmetic — 3× fewer slow passes, identical ladder.
     n_wide = -(-s // 3)
-    big = jnp.asarray(2.0 ** (3 * w), A64.re.dtype)
+    big = jnp.asarray(2.0 ** (3 * w), re.dtype)
 
     def extract_wide(z):
         outs = []
@@ -202,11 +200,29 @@ def slice_split_matrix(A64: SplitComplex, mant_bits: int = 53,
                 v.astype(jnp.bfloat16))
 
     outs_re, outs_im = [], []
-    for wide in extract_wide(A64.re / sigma):
+    for wide in extract_wide(re / sigma):
         outs_re.extend(split3(wide))
-    for wide in extract_wide(A64.im / sigma):
+    for wide in extract_wide(im / sigma):
         outs_im.extend(split3(wide))
-    return SlicedMatrix(jnp.stack(outs_re), jnp.stack(outs_im), sigma)
+    return jnp.stack(outs_re), jnp.stack(outs_im)
+
+
+def slice_split_matrix(A64: SplitComplex, mant_bits: int = 53,
+                       w: int = 5) -> SlicedMatrix:
+    """One-time slicing of the split-f64 operand (per refinement call).
+
+    ``mant_bits`` counts ABSOLUTE bits below the joint plane maximum (the
+    slicing grid is global, not per-entry): entries far below the max are
+    truncated at 2^{−mant_bits}·max|A|, an absolute error that enters the
+    residual as ≲ N·2^{−mant_bits}·max|A|·‖x‖ — with the default 53 that is
+    below f64 addition roundoff for any N this library targets. (Note a
+    complex64-widened operand still needs the full ladder: its entries'
+    mantissas sit at their OWN exponents, not the global one.)"""
+    # joint power-of-two scale so both planes share one recombination ladder
+    sigma = _pow2_ceil(jnp.maximum(jnp.max(jnp.abs(A64.re)),
+                                   jnp.max(jnp.abs(A64.im))))
+    sl_re, sl_im = extract_ladder(A64.re, A64.im, sigma, mant_bits, w)
+    return SlicedMatrix(sl_re, sl_im, sigma)
 
 
 def _sliced_residual(sp: SlicedMatrix, x: SplitComplex, b: SplitComplex,

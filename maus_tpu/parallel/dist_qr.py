@@ -168,13 +168,33 @@ def dist_qr_solve(mesh: Mesh, fac: DistQR, b: jax.Array,
 # Large-N distributed linear solve: dist QR + split-f64 refinement
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("mesh", "block", "steps"))
+def use_dist_sliced(mesh, Are) -> bool:
+    """Dispatch rule for the distributed f64 residual: column-sharded
+    exact-slicing bf16 MXU passes on TPU when the PER-SHARD ladder fits —
+    both the memory cap and the f32-exact contraction-length cap of the
+    dense rule (ops.refine._slices_fit) scale by the mesh factor m, because
+    each device holds and contracts only N/m columns."""
+    import jax as _jax
+
+    if _jax.default_backend() == "cpu" or Are.dtype != jnp.float64:
+        return False
+    m = mesh.shape[MODEL_AXIS]
+    return 24 * 2 * (Are.size // m) <= 6e9 and \
+        Are.shape[1] // m <= 16384 and Are.shape[0] <= 16384
+
+
+@partial(jax.jit, static_argnames=("mesh", "block", "steps", "sliced"))
 def refine_distributed(mesh, fac: DistQR, Are, Aim, bre, bim, x0,
-                       block: int, steps: int, tol):
+                       block: int, steps: int, tol, sliced: bool = False):
     """Split-f64 iterative refinement of ``x0`` against the full-precision
     split planes, with every correction solve reusing the column-sharded
     factors (the distributed analogue of ``ops.refine.refine_split``).
-    Returns ``(x_re, x_im, rel)``."""
+
+    ``sliced=True`` computes the f64 residuals with the COLUMN-SHARDED
+    exact-slicing bf16 ladder (parallel/dist_refine.py — identical f64
+    result, MXU-speed instead of ~50×-below-bandwidth emulated-f64 GEMVs on
+    TPU; see ops/refine.py's SlicedMatrix notes). Callers pick via
+    :func:`use_dist_sliced`. Returns ``(x_re, x_im, rel)``."""
     rdt = Are.dtype
     bnorm = jnp.maximum(jnp.sqrt(jnp.sum(bre * bre + bim * bim)),
                         jnp.asarray(1e-30, rdt))
@@ -187,33 +207,49 @@ def refine_distributed(mesh, fac: DistQR, Are, Aim, bre, bim, x0,
             + jnp.matmul(Are, xim, precision=hi)
         return re, im
 
+    if sliced:
+        from ..ops.refine import SplitComplex
+        from .dist_refine import dist_slice_operand, dist_sliced_residual
+
+        sl_re, sl_im, sigma = dist_slice_operand(mesh,
+                                                 SplitComplex(Are, Aim))
+        b64 = SplitComplex(bre, bim)
+
+        def residual(xre, xim):
+            r = dist_sliced_residual(mesh, sl_re, sl_im, sigma,
+                                     SplitComplex(xre, xim), b64)
+            return r.re, r.im
+    else:
+        def residual(xre, xim):
+            are_, aim_ = mv(xre, xim)
+            return bre - are_, bim - aim_
+
     def to_c(re_, im_):
         return jax.lax.complex(re_.astype(jnp.float32),
                                im_.astype(jnp.float32)).astype(fac.q.dtype)
 
     def body(carry):
-        xre, xim, rel, _, it = carry
-        are_, aim_ = mv(xre, xim)
-        rre, rim = bre - are_, bim - aim_
+        xre, xim, rre, rim, rel, _, it = carry
         d = dist_qr_solve(mesh, fac, to_c(rre, rim), block=block)
         xre2 = xre + d.real.astype(rdt)
         xim2 = xim + d.imag.astype(rdt)
-        are2, aim2 = mv(xre2, xim2)
-        rel2 = jnp.sqrt(jnp.sum((bre - are2) ** 2 + (bim - aim2) ** 2)) / bnorm
+        rre2, rim2 = residual(xre2, xim2)
+        rel2 = jnp.sqrt(jnp.sum(rre2 ** 2 + rim2 ** 2)) / bnorm
         better = rel2 < rel
         return (jnp.where(better, xre2, xre), jnp.where(better, xim2, xim),
+                jnp.where(better, rre2, rre), jnp.where(better, rim2, rim),
                 jnp.minimum(rel2, rel), rel, it + 1)
 
     def cond(carry):
-        _, _, rel, prev, it = carry
+        _, _, _, _, rel, prev, it = carry
         return (it < steps) & (rel > tol) & (rel <= 0.9 * prev)
 
     xre = x0.real.astype(rdt)
     xim = x0.imag.astype(rdt)
-    are_, aim_ = mv(xre, xim)
-    rel0 = jnp.sqrt(jnp.sum((bre - are_) ** 2 + (bim - aim_) ** 2)) / bnorm
-    xre, xim, rel, _, _ = jax.lax.while_loop(
-        cond, body, (xre, xim, rel0, jnp.asarray(jnp.inf, rdt),
+    rre, rim = residual(xre, xim)
+    rel0 = jnp.sqrt(jnp.sum(rre ** 2 + rim ** 2)) / bnorm
+    xre, xim, _, _, rel, _, _ = jax.lax.while_loop(
+        cond, body, (xre, xim, rre, rim, rel0, jnp.asarray(jnp.inf, rdt),
                      jnp.asarray(0, jnp.int32)))
     return xre, xim, rel
 
@@ -223,7 +259,8 @@ def _dist_solve_refined(mesh, A, b, Are, Aim, bre, bim, block, steps, tol):
     fac = dist_qr(mesh, A, block=block)
     x0 = dist_qr_solve(mesh, fac, b, block=block)
     return refine_distributed(mesh, fac, Are, Aim, bre, bim, x0, block,
-                              steps, tol)
+                              steps, tol,
+                              sliced=use_dist_sliced(mesh, Are))
 
 
 def stage_operands(mesh: Mesh, A, b):

@@ -275,3 +275,99 @@ def dist_refine_svd(mesh: Mesh, A_dev: jax.Array, A64: SplitComplex,
         _, _, rn0 = resid_of(sig, U, V)
         sig, U, V, resid = jax.lax.fori_loop(0, steps, body, (sig, U, V, rn0))
         return sig, U, V, resid
+
+
+# ---------------------------------------------------------------------------
+# Column-sharded exact-slicing f64 residual (VERDICT r2 #3)
+# ---------------------------------------------------------------------------
+#
+# The distributed IR path previously computed its f64 residuals with GSPMD
+# emulated-f64 GEMVs — correct everywhere, but ~50× below HBM bandwidth on
+# real TPU (ops/refine.py:91-95's measurement). Here each device slices ITS
+# OWN column shard of the split-f64 planes into the bf16 integer ladder
+# (ops.refine.extract_ladder) under a pmax-shared global power-of-two scale,
+# runs the exact bf16 slice GEMMs against its local x-slice segment, and the
+# f64 partial sums reassemble with ONE psum of four (N,) f64 vectors per
+# residual — identical f64 result to the dense _sliced_residual, exactness
+# argument unchanged (partial contractions of exact ≤2^{2w} integer products
+# stay below the 2^24 f32-exact bound whenever the full contraction does).
+
+def dist_slice_operand(mesh: Mesh, A64: SplitComplex):
+    """Per-shard bf16 slice ladders + the shared global scale.
+
+    Returns ``(sl_re, sl_im, sigma)`` with the slice stacks sharded
+    P(None, None, model) — per-device ladder memory is 1/m of the dense
+    ladder, which lifts the single-chip _slices_fit cap by the mesh factor.
+    """
+    from ..ops.refine import _pow2_ceil, extract_ladder
+
+    def local(re_loc, im_loc):
+        m_loc = jnp.maximum(jnp.max(jnp.abs(re_loc)),
+                            jnp.max(jnp.abs(im_loc)))
+        sigma = _pow2_ceil(jax.lax.pmax(m_loc, MODEL_AXIS))
+        sl_re, sl_im = extract_ladder(re_loc, im_loc, sigma)
+        return sl_re, sl_im, sigma
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, MODEL_AXIS), P(None, MODEL_AXIS)),
+        out_specs=(P(None, None, MODEL_AXIS), P(None, None, MODEL_AXIS),
+                   P()))(A64.re, A64.im)
+
+
+def dist_sliced_residual(mesh: Mesh, sl_re: jax.Array, sl_im: jax.Array,
+                         sigma: jax.Array, x: SplitComplex, b: SplitComplex,
+                         w: int = 5, sx: int = 12) -> SplitComplex:
+    """r = b − A x with A column-sharded as bf16 slice ladders; x, b
+    replicated (N,) split-f64. One psum of four (N,) f64 partials."""
+    from ..ops.refine import _pow2_ceil, _slice_array
+
+    n = x.re.shape[0]
+    m = mesh.shape[MODEL_AXIS]
+    c = n // m
+    f64 = jnp.float64 if x.re.dtype == jnp.float64 else x.re.dtype
+
+    def local(slr, sli, sig, xre, xim, bre, bim):
+        me = jax.lax.axis_index(MODEL_AXIS)
+        xre_loc = jax.lax.dynamic_slice(xre, (me * c,), (c,))
+        xim_loc = jax.lax.dynamic_slice(xim, (me * c,), (c,))
+        # global power-of-two x scales (pmax) so the recombination ladder is
+        # shard-independent; slicing the LOCAL segment under the global scale
+        # is exact (power-of-2 scaling + round-to-int subtraction)
+        sig_xr = _pow2_ceil(jax.lax.pmax(jnp.max(jnp.abs(xre_loc)),
+                                         MODEL_AXIS))
+        sig_xi = _pow2_ceil(jax.lax.pmax(jnp.max(jnp.abs(xim_loc)),
+                                         MODEL_AXIS))
+        sxr, _ = _slice_array(xre_loc, sx, w, sigma=sig_xr)   # (sx, C)
+        sxi, _ = _slice_array(xim_loc, sx, w, sigma=sig_xi)
+        X = jnp.concatenate([sxr, sxi], axis=0).T             # (C, 2sx) bf16
+        jpow = jnp.exp2(-w * (jnp.arange(sx, dtype=f64) + 1.0))
+        colscale = jnp.concatenate([sig_xr * jpow, sig_xi * jpow])
+
+        arxr = jnp.zeros((n,), f64)
+        arxi = jnp.zeros((n,), f64)
+        aixr = jnp.zeros((n,), f64)
+        aixi = jnp.zeros((n,), f64)
+        sA = slr.shape[0]
+        dn = (((1,), (0,)), ((), ()))
+        for k in range(sA):
+            kscale = sig * (2.0 ** (-w * (k + 1)))
+            Yr = jax.lax.dot_general(slr[k], X, dn,
+                                     preferred_element_type=jnp.float32)
+            Yi = jax.lax.dot_general(sli[k], X, dn,
+                                     preferred_element_type=jnp.float32)
+            cr = Yr.astype(f64) * (colscale * kscale)[None, :]
+            ci = Yi.astype(f64) * (colscale * kscale)[None, :]
+            arxr = arxr + jnp.sum(cr[:, :sx], axis=-1)
+            arxi = arxi + jnp.sum(cr[:, sx:], axis=-1)
+            aixr = aixr + jnp.sum(ci[:, :sx], axis=-1)
+            aixi = aixi + jnp.sum(ci[:, sx:], axis=-1)
+        parts = jax.lax.psum(jnp.stack([arxr, arxi, aixr, aixi]), MODEL_AXIS)
+        return bre - (parts[0] - parts[3]), bim - (parts[1] + parts[2])
+
+    rre, rim = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, None, MODEL_AXIS), P(None, None, MODEL_AXIS),
+                  P(), P(), P(), P(), P()),
+        out_specs=(P(), P()))(sl_re, sl_im, sigma, x.re, x.im, b.re, b.im)
+    return SplitComplex(rre, rim)

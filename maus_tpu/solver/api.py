@@ -531,9 +531,11 @@ def solve(A, b, tol: float = 1e-8, max_iterations: int = 100,
             return v[i]
 
         x0 = _best(pop.v, pop.residual)
+        from ..parallel.dist_qr import use_dist_sliced
         xre, xim, rel = refine_distributed(
             mesh, carry.fac, Are, Aim, bre, bim, x0, block,
-            cfg.max_refine_steps, tol * 0.3)
+            cfg.max_refine_steps, tol * 0.3,
+            sliced=use_dist_sliced(mesh, Are))
         x = np.asarray(xre, np.float64) + 1j * np.asarray(xim, np.float64)
         rel_f = float(rel)
         return SolutionReport(

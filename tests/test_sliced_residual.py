@@ -125,3 +125,61 @@ def test_sliced_matvec_batch_matches_oracle():
     ref_a = Xm @ np.conj(A)           # rows are Aᴴ @ x_k
     denom_a = np.linalg.norm(A) * np.abs(Xm).max(axis=1) + 1e-300
     assert np.max(np.abs(got_a - ref_a).max(axis=1) / denom_a) < 1e-15
+
+
+class TestDistSlicedResidual:
+    """Column-sharded exact-slicing residual (VERDICT r2 #3): per-shard bf16
+    ladders under a pmax-shared global scale must reproduce the DENSE sliced
+    residual bit-for-bit in f64, and the sliced refine_distributed path must
+    reach the same tolerance as the GSPMD-f64 one."""
+
+    @pytest.fixture(scope="class")
+    def mesh(self):
+        from jax.sharding import Mesh
+        return Mesh(np.array(jax.devices()).reshape(-1), ("model",))
+
+    def test_identical_to_dense_sliced(self, mesh):
+        from maus_tpu.parallel.dist_refine import (dist_slice_operand,
+                                                   dist_sliced_residual)
+        rng = np.random.default_rng(0)
+        n = 64
+        A = (rng.standard_normal((n, n)) * np.exp(
+            rng.uniform(-8, 8, (n, n)))) + 1j * rng.standard_normal((n, n))
+        x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        b = A @ x + 1e-7 * (rng.standard_normal(n)
+                            + 1j * rng.standard_normal(n))
+        dense = _residual(A, x, b)
+        sl_re, sl_im, sigma = dist_slice_operand(mesh, _sc(A))
+        r = dist_sliced_residual(mesh, sl_re, sl_im, sigma, _sc(x), _sc(b))
+        dist = np.asarray(r.re) + 1j * np.asarray(r.im)
+        # identical ladder + identical exact products; the only difference is
+        # f64 summation order across shards -> f64-addition roundoff
+        scale = np.linalg.norm(A) * np.linalg.norm(x)
+        assert np.max(np.abs(dist - dense)) < 1e-14 * scale
+        exact = b - A @ x
+        assert np.max(np.abs(dist - exact)) < 1e-12 * scale
+
+    def test_refine_distributed_sliced_path(self, mesh):
+        """Force sliced=True on the CPU mesh: the wiring must converge to the
+        same tolerance as the default GSPMD-f64 residual path."""
+        from maus_tpu.parallel.dist_qr import (dist_qr, dist_qr_solve,
+                                               refine_distributed,
+                                               stage_operands)
+        rng = np.random.default_rng(1)
+        n = 16 * len(jax.devices())
+        A = rng.standard_normal((n, n)) + \
+            1j * rng.standard_normal((n, n)) + n * np.eye(n)
+        b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        A_dev, b_dev, Are, Aim, bre, bim = stage_operands(mesh, A, b)
+        # force the c64 factorization so refinement has real work to do
+        A_c64 = jax.jit(lambda a: a.astype(jnp.complex64))(A_dev)
+        b_c64 = jax.jit(lambda v: v.astype(jnp.complex64))(b_dev)
+        block = 16
+        fac = dist_qr(mesh, A_c64, block=block)
+        x0 = dist_qr_solve(mesh, fac, b_c64, block=block)
+        xre, xim, rel = refine_distributed(
+            mesh, fac, Are, Aim, bre, bim, x0, block, 20, 1e-12, sliced=True)
+        x = np.asarray(xre) + 1j * np.asarray(xim)
+        resid = np.linalg.norm(A @ x - b) / np.linalg.norm(b)
+        assert float(rel) < 1e-12
+        assert resid < 1e-12
