@@ -102,6 +102,65 @@ def _stage_operand(matrix, problem_type: ProblemType, compute_dtype):
     return A_host, A_dev, prefetched_A64, input_c64_exact
 
 
+def _final_dedup(cfg: SolverConfig, problem_type: ProblemType,
+                 solutions: list, residuals: list) -> tuple[list, list]:
+    """Deterministic host-side final dedup over the gathered leaders
+    (VERDICT r2 #7). The device-side dedup (strategy.compute_diagnostics) can
+    flip borderline pairs across XLA recompilations (different fusion →
+    ~eps-level value changes right at the similarity thresholds), making
+    ``num_distinct`` vary between fresh processes. This pass re-decides with
+    HYSTERESIS-BANDED thresholds — the duplicate region is widened by a fixed
+    band factor, so pairs the device judged duplicates (at the unwidened
+    threshold) sit safely inside the host's duplicate region, and eps-level
+    jitter cannot move them across it. Entries are processed in residual
+    order (best first), reference similarity rules per class (M5d,
+    AMS:435-452)."""
+    BAND = 1.25
+    order = sorted(range(len(solutions)), key=lambda i: residuals[i])
+    vec_dup = 1.0 - BAND * (1.0 - cfg.vector_similarity_tol)
+    kept_s, kept_r = [], []
+
+    def _overlap(a, b):
+        na = np.linalg.norm(a)
+        nb = np.linalg.norm(b)
+        if na == 0 or nb == 0:
+            return 1.0
+        return abs(np.vdot(a, b)) / (na * nb)
+
+    for i in order:
+        sol, res = solutions[i], residuals[i]
+        dup = False
+        for ks, kr in zip(kept_s, kept_r):
+            # residual-aware band, mirroring the device rule
+            # (strategy._pairwise_same): value noise of backward-stable
+            # approximations scales with the achieved residuals
+            rband = 4.0 * (res + kr) if np.isfinite(res + kr) else 0.0
+            if problem_type == ProblemType.EIGENVALUE:
+                lam, v = sol
+                lam2, v2 = ks
+                dup = (abs(lam - lam2) < BAND * (cfg.lambda_similarity_tol
+                                                 + abs(lam2) * 1e-6) + rband
+                       and _overlap(v, v2) > vec_dup)
+            elif problem_type == ProblemType.SVD:
+                sig, u, v = sol
+                sig2, u2, v2 = ks
+                dup = (abs(sig - sig2) < BAND * (cfg.sigma_similarity_abs
+                                                 + abs(sig2)
+                                                 * cfg.sigma_similarity_rel)
+                       + rband
+                       and _overlap(u, u2) > vec_dup
+                       and _overlap(v, v2) > vec_dup)
+            else:
+                dup = bool(np.linalg.norm(sol[0] - ks[0])
+                           < BAND * 100.0 * cfg.tol)
+            if dup:
+                break
+        if not dup:
+            kept_s.append(sol)
+            kept_r.append(res)
+    return kept_s, kept_r
+
+
 class MausSolver:
     """Population-based meta-heuristic matrix solver (TPU-native MAUS)."""
 
@@ -312,6 +371,10 @@ class MausSolver:
                 solutions.append((xk,))
                 residuals.append(float(residual[k]))
 
+        # deterministic final dedup (VERDICT r2 #7): num_distinct is decided
+        # HERE, with hysteresis-banded thresholds, not by the device pass
+        solutions, residuals = _final_dedup(cfg, cfg.problem_type,
+                                            solutions, residuals)
         mdict = None
         if metrics is not None:
             # to_host_complex: complex leaves (candidate_params) must cross the
@@ -320,7 +383,7 @@ class MausSolver:
                      for f in metrics._fields}
         return SolutionReport(
             problem_type=cfg.problem_type, solutions=solutions, residuals=residuals,
-            iterations=int(carry.iteration), num_distinct=int(diag.num_distinct),
+            iterations=int(carry.iteration), num_distinct=len(solutions),
             target_solutions=self.target_solutions,
             landscape_energy=float(strat.landscape_energy), knowledge=kn,
             metrics=mdict)
@@ -687,10 +750,12 @@ def _eig_mesh(A, mesh, tol, max_iterations, num_candidates, seed,
                                   v[slot].astype(np.complex128)))
                 residuals.append(float(residual[slot]))
 
+    solutions, residuals = _final_dedup(cfg, ProblemType.EIGENVALUE,
+                                        solutions, residuals)
     return SolutionReport(
         problem_type=ProblemType.EIGENVALUE, solutions=solutions,
         residuals=residuals, iterations=int(carry.iteration),
-        num_distinct=int(diag.num_distinct), target_solutions=target,
+        num_distinct=len(solutions), target_solutions=target,
         landscape_energy=float(strat.landscape_energy), knowledge=kn)
 
 
@@ -767,10 +832,12 @@ def _svd_mesh(A, mesh, tol, max_iterations, num_candidates, seed,
                                   v[slot].astype(np.complex128)))
                 residuals.append(float(residual[slot]))
 
+    solutions, residuals = _final_dedup(cfg, ProblemType.SVD,
+                                        solutions, residuals)
     # report the run's effective-rank view in the knowledge (AMS:463-470)
     kn = ProblemKnowledge(shape=(mr, n), effective_rank=target)
     return SolutionReport(
         problem_type=ProblemType.SVD, solutions=solutions,
         residuals=residuals, iterations=int(carry.iteration),
-        num_distinct=int(diag.num_distinct), target_solutions=target,
+        num_distinct=len(solutions), target_solutions=target,
         landscape_energy=float(strat.landscape_energy), knowledge=kn)

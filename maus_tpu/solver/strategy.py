@@ -39,9 +39,21 @@ def _pairwise_same(cfg: SolverConfig, pop: Population) -> jax.Array:
     * SVD: |Δσ| < max(abs_tol, σ·rel_tol) AND u,v similar      (AMS:441-452)
     """
     gram_v = jnp.abs(jnp.conj(pop.v) @ pop.v.T)                  # (K, K) |⟨v_i,v_j⟩|
+    # Residual-aware λ/σ band: two backward-stable approximations of the SAME
+    # eigenpair/triplet differ in their value estimate by up to ~κ·(r_i + r_j)
+    # (Bauer–Fike). At f64 residuals this adds nothing (the reference absolute
+    # thresholds dominate); at the c64 convergence floor the value noise is
+    # ~residual-sized — WITHOUT the band, duplicates of one true eigenpair
+    # look distinct (Δλ ≈ 1e-4 > 1e-5), never get retired/respawned, and the
+    # distinct count silently over-reports (exposed by the f64 finisher
+    # collapsing them). The vector-overlap factor keeps genuinely clustered
+    # spectra unmerged: distinct eigenvectors stay far from 0.999 overlap.
+    r_eff = jnp.where(jnp.isfinite(pop.residual), pop.residual, 0.0)
+    band = (4.0 * (r_eff[:, None] + r_eff[None, :]))
     if cfg.problem_type == ProblemType.EIGENVALUE:
         dlam = jnp.abs(pop.lam[:, None] - pop.lam[None, :])
-        tol = cfg.lambda_similarity_tol + jnp.abs(pop.lam)[None, :] * 1e-6
+        tol = cfg.lambda_similarity_tol + jnp.abs(pop.lam)[None, :] * 1e-6 \
+            + band
         return (dlam < tol) & (gram_v > cfg.vector_similarity_tol)
     if cfg.problem_type == ProblemType.SOLVE_LINEAR_SYSTEM:
         dist = jnp.linalg.norm(pop.v[:, None, :] - pop.v[None, :, :], axis=-1)
@@ -49,7 +61,8 @@ def _pairwise_same(cfg: SolverConfig, pop: Population) -> jax.Array:
     # SVD
     sig = pop.lam.real
     dsig = jnp.abs(sig[:, None] - sig[None, :])
-    tol = jnp.maximum(cfg.sigma_similarity_abs, sig[None, :] * cfg.sigma_similarity_rel)
+    tol = jnp.maximum(cfg.sigma_similarity_abs, sig[None, :] * cfg.sigma_similarity_rel) \
+        + band
     gram_u = jnp.abs(jnp.conj(pop.u) @ pop.u.T)
     return (dsig < tol) & (gram_u > cfg.vector_similarity_tol) & \
            (gram_v > cfg.vector_similarity_tol)

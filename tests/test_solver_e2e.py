@@ -336,3 +336,47 @@ class TestUpdateProblemParity:
                                      b_vector=np.ones(5))
         with pytest.raises(ValueError, match="does not match"):
             solver.update_problem(b_vector=np.ones(6))
+
+
+class TestFinalDedupDeterminism:
+    """Host-side hysteresis-banded dedup (VERDICT r2 #7): counts must be
+    invariant under the ~eps-level value jitter XLA recompilation introduces
+    at the similarity thresholds."""
+
+    def test_counts_stable_under_jitter(self):
+        from maus_tpu.core.types import SolverConfig
+        from maus_tpu.solver.api import _final_dedup
+        cfg = SolverConfig(problem_type=maus_tpu.ProblemType.EIGENVALUE)
+        rng = np.random.default_rng(0)
+        n = 16
+        v1 = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        v1 /= np.linalg.norm(v1)
+        v2 = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        v2 /= np.linalg.norm(v2)
+        # cluster A: two copies of (lam, v1) separated by exactly the DEVICE
+        # threshold (1e-5) — the flip-prone configuration; cluster B: far away
+        base = [(1.0 + 0.0j, v1), (1.0 + 1e-5 * 0.999j, v1),
+                (3.0 + 0.0j, v2)]
+        counts = set()
+        for trial in range(50):
+            jit = 1e-9 * rng.standard_normal(3)
+            sols = [(lam + jit[i], v) for i, (lam, v) in enumerate(base)]
+            res = list(1e-12 + 1e-13 * rng.random(3))
+            kept, _ = _final_dedup(cfg, maus_tpu.ProblemType.EIGENVALUE,
+                                   sols, res)
+            counts.add(len(kept))
+        assert counts == {2}       # cluster A merges, cluster B survives
+
+    def test_distinct_pairs_not_merged(self):
+        from maus_tpu.core.types import SolverConfig
+        from maus_tpu.solver.api import _final_dedup
+        cfg = SolverConfig(problem_type=maus_tpu.ProblemType.SVD)
+        rng = np.random.default_rng(1)
+        u = rng.standard_normal(8); u /= np.linalg.norm(u)
+        v = rng.standard_normal(8); v /= np.linalg.norm(v)
+        u2 = rng.standard_normal(8); u2 /= np.linalg.norm(u2)
+        v2 = rng.standard_normal(8); v2 /= np.linalg.norm(v2)
+        sols = [(5.0, u, v), (2.5, u2, v2)]
+        kept, _ = _final_dedup(cfg, maus_tpu.ProblemType.SVD, sols,
+                               [1e-10, 1e-10])
+        assert len(kept) == 2

@@ -32,10 +32,14 @@ class TestDedup:
         v[3:, 1] = 1.0          # candidates 3-5: another eigenvector
         lam = np.array([1.0, 1.0, 1.0, 2.0, 2.0, 9.0], np.complex128)
         status = np.full(6, int(CandidateStatus.CONVERGED), np.int8)
+        # realistic CONVERGED residuals: tiny, so the residual-aware λ band
+        # (strategy._pairwise_same) stays far below the class separations —
+        # a "converged" candidate with residual ~5 would genuinely be
+        # indistinguishable from its neighbors (backward error 5)
         pop = dataclasses.replace(
             pop, v=jnp.asarray(v), lam=jnp.asarray(lam),
             status=jnp.asarray(status),
-            residual=jnp.asarray(np.arange(6, dtype=np.float64)))
+            residual=jnp.asarray(np.arange(6, dtype=np.float64) * 1e-9))
         d = strat_mod.compute_diagnostics(cfg, pop, _strat(cfg), 8)
         # classes: {0,1,2} (λ=1, same vec), {3,4} (λ=2, same vec), {5} (λ=9)
         assert int(d.num_distinct) == 3
