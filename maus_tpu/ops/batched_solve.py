@@ -208,26 +208,80 @@ class QRFactors(NamedTuple):
     mixed-precision refinement from tens of steps to a few. The shared linear
     factorization therefore defaults to QR; LU remains for the batched
     per-candidate eigen shifts.
+
+    ``rinv``: optional explicit R⁻¹ (STATUS r2 gap 2 / VERDICT r2 #5). XLA's
+    TPU triangular solve runs ~7× above its bandwidth bound (2.8 ms vs 0.4 ms
+    at 4096² c64); with R⁻¹ built once by GEMM-rich blocked inversion
+    (:func:`invert_triangular`), every subsequent solve is two GEMVs. Forward
+    error of applying an explicit triangular inverse is O(ε·κ) — the same
+    order as the forward error of a backward-stable substitution — and in
+    iterative refinement the correction solve is a preconditioner, so the
+    contraction rate is unchanged (standard practice in mixed-precision IR
+    solvers).
     """
 
     q: jax.Array
     r: jax.Array
+    rinv: jax.Array | None = None
 
 
-def factor_qr(H: jax.Array) -> QRFactors:
+def invert_triangular(R: jax.Array, block: int = 128) -> jax.Array:
+    """Explicit inverse of an upper-triangular R via blocked recursion:
+
+        [R₁₁ R₁₂]⁻¹   [R₁₁⁻¹   −R₁₁⁻¹ R₁₂ R₂₂⁻¹]
+        [ 0  R₂₂]   = [ 0            R₂₂⁻¹     ]
+
+    All off-diagonal work is GEMMs (MXU-shaped); only ``block``-sized diagonal
+    tiles hit the slow triangular-solve primitive. One-time O(N³/3) — the
+    point is to amortize it over many solve calls (evolve iterations,
+    refinement steps, GMRES-IR matvecs)."""
+    hi = jax.lax.Precision.HIGHEST
+    n = R.shape[0]
+    if n <= block:
+        return jsla.solve_triangular(R, jnp.eye(n, dtype=R.dtype),
+                                     lower=False)
+    h = ((n // 2 + block - 1) // block) * block
+    h = min(h, n - 1)
+    X11 = invert_triangular(R[:h, :h], block)
+    X22 = invert_triangular(R[h:, h:], block)
+    X12 = -jnp.matmul(X11, jnp.matmul(R[:h, h:], X22, precision=hi),
+                      precision=hi)
+    top = jnp.concatenate([X11, X12], axis=1)
+    bot = jnp.concatenate([jnp.zeros((n - h, h), R.dtype), X22], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def _want_rinv(H: jax.Array) -> bool:
+    """Policy for building the explicit R⁻¹ with the shared factorization:
+    single operand, large enough that the triangular-solve overhead dominates
+    (the inversion is ~one QR panel's worth of GEMMs), on an accelerator
+    (CPU's triangular solves are already at bandwidth). Capped at 8192: past
+    that the extra N² c64 buffer competes with the refinement ladder for HBM
+    (16 GB chip: planes 4.3 + Q,R 4.3 + streamed panel ~3 GB at 16384²)."""
+    return H.ndim == 2 and 1024 <= H.shape[0] <= 8192 and \
+        jax.default_backend() != "cpu"
+
+
+def factor_qr(H: jax.Array, with_rinv: bool | None = None) -> QRFactors:
     if H.ndim == 2:
         q, r = jnp.linalg.qr(H)
-    else:
-        q, r = jax.vmap(jnp.linalg.qr)(H)
-    return QRFactors(q, r)
+        if with_rinv is None:
+            with_rinv = _want_rinv(H)
+        rinv = invert_triangular(r) if with_rinv else None
+        return QRFactors(q, r, rinv)
+    q, r = jax.vmap(jnp.linalg.qr)(H)
+    return QRFactors(q, r, None)
 
 
 def solve_qr(fac: QRFactors, b: jax.Array) -> jax.Array:
-    """x = R⁻¹ Qᴴ b."""
+    """x = R⁻¹ Qᴴ b — two GEMVs when the explicit R⁻¹ is present, one GEMV +
+    a triangular substitution otherwise."""
     hi = jax.lax.Precision.HIGHEST
 
     def one(q, r, bb):
         y = jnp.matmul(jnp.conj(q.T), bb, precision=hi)
+        if fac.rinv is not None:
+            return jnp.matmul(fac.rinv, y, precision=hi)
         return jsla.solve_triangular(r, y, lower=False)
 
     if fac.q.ndim == 2:
@@ -235,6 +289,7 @@ def solve_qr(fac: QRFactors, b: jax.Array) -> jax.Array:
     return jax.vmap(one)(fac.q, fac.r, b)
 
 
-def shared_factor_qr(A: jax.Array, psi) -> QRFactors:
+def shared_factor_qr(A: jax.Array, psi,
+                     with_rinv: bool | None = None) -> QRFactors:
     """Factor ``H = A + Ψ·(I + jitter)`` once via QR (default linear path)."""
-    return factor_qr(apply_shift(A, psi))
+    return factor_qr(apply_shift(A, psi), with_rinv=with_rinv)

@@ -164,7 +164,8 @@ def _slice_array(P: jax.Array, s: int, w: int, sigma=None):
 
 
 def extract_ladder(re: jax.Array, im: jax.Array, sigma: jax.Array,
-                   mant_bits: int = 53, w: int = 5):
+                   mant_bits: int = 53, w: int = 5,
+                   f32_tail: bool | None = None):
     """Extract the bf16 integer slice ladders of both planes under a given
     power-of-two scale (shared by :func:`slice_split_matrix` and the
     column-sharded extraction in parallel/dist_refine.py, where ``sigma``
@@ -175,16 +176,31 @@ def extract_ladder(re: jax.Array, im: jax.Array, sigma: jax.Array,
     f32) and split each wide slice into three w-bit bf16 slices with exact
     f32 integer arithmetic — 3× fewer slow passes, identical ladder.
 
+    ``f32_tail`` (STATUS r3 gap 3): after TWO wide passes the extracted grid
+    covers 30 absolute bits below σ and the remainder satisfies |z| ≤ 0.5 on
+    the 2^{−30} grid; casting it to f32 rounds by ≤ 2^{−24}·|z| ≤ 2^{−25},
+    i.e. ≤ 2^{−55}·σ absolute — strictly below the ladder's own 2^{−53}·σ
+    truncation contract (:func:`slice_split_matrix`) — after which the
+    remaining passes are native f32 (exact: power-of-2 scaling, x − round(x)
+    cancellation, and integer slices are all f32-representable). Default:
+    on for accelerator backends (the emulated-f64 passes are the dominant
+    extraction cost there), off on CPU where f64 is native and the full
+    2^{−60} reconstruction exactness is free.
+
     Returns ``(slices_re, slices_im)`` stacked (sA, …) bf16."""
     if w != 5:
         raise ValueError("the wide-extraction path assumes w = 5")
+    if f32_tail is None:
+        f32_tail = jax.default_backend() != "cpu"
     s = -(-mant_bits // w)
     n_wide = -(-s // 3)
-    big = jnp.asarray(2.0 ** (3 * w), re.dtype)
 
     def extract_wide(z):
         outs = []
-        for _ in range(n_wide):
+        for k in range(n_wide):
+            if f32_tail and k == 2 and z.dtype == jnp.float64:
+                z = z.astype(jnp.float32)
+            big = jnp.asarray(2.0 ** (3 * w), z.dtype)
             zi = jnp.round(z * big)
             outs.append(zi.astype(jnp.float32))
             z = z * big - zi
@@ -239,11 +255,11 @@ def _sliced_residual(sp: SlicedMatrix, x: SplitComplex, b: SplitComplex,
     jpow = jnp.exp2(-w * (jnp.arange(sx, dtype=f64) + 1.0))
     colscale = jnp.concatenate([sig_xr * jpow, sig_xi * jpow])   # (2sx,)
 
-    n = x.re.shape[0]
-    arxr = jnp.zeros((n,), f64)
-    arxi = jnp.zeros((n,), f64)
-    aixr = jnp.zeros((n,), f64)
-    aixi = jnp.zeros((n,), f64)
+    m_rows = sp.sl_re.shape[1]          # output length = operand rows
+    arxr = jnp.zeros((m_rows,), f64)
+    arxi = jnp.zeros((m_rows,), f64)
+    aixr = jnp.zeros((m_rows,), f64)
+    aixi = jnp.zeros((m_rows,), f64)
     sA = sp.sl_re.shape[0]
     dn = (((1,), (0,)), ((), ()))
     for k in range(sA):
@@ -258,6 +274,85 @@ def _sliced_residual(sp: SlicedMatrix, x: SplitComplex, b: SplitComplex,
         arxi = arxi + jnp.sum(cr[:, sx:], axis=-1)
         aixr = aixr + jnp.sum(ci[:, :sx], axis=-1)
         aixi = aixi + jnp.sum(ci[:, sx:], axis=-1)
+    return SplitComplex(b.re - (arxr - aixi), b.im - (arxi + aixr))
+
+
+def streamed_panels(A64: SplitComplex, budget_bytes: float = 3e9) -> int:
+    """Panel count for the STREAMED slice residual at sizes where the full
+    ladder no longer fits (N ≳ 12k single-chip): only ladder/panels bytes of
+    bf16 slices are live at once. Panels must divide the column count."""
+    n = A64.re.shape[1]
+    total = 24 * 2 * A64.re.size
+    p = max(1, -(-total // int(budget_bytes)))
+    while n % p != 0:           # smallest divisor of n ≥ the memory-driven p
+        p += 1
+    return p
+
+
+def use_streamed_sliced(A64: SplitComplex) -> bool:
+    """Middle dispatch tier between the resident ladder and the emulated-f64
+    fallback: TPU + f64 planes + contraction still f32-exact per panel, but
+    the full ladder exceeds the resident budget. Per-call cost is the same
+    GEMM traffic plus a re-extraction of the ladder (emulated-f64 elementwise
+    passes) — measured at 16384² this still beats the 3M emulated-f64 GEMV
+    fallback, and the ACCURACY is the exact-slicing one (see bench note in
+    docs/STATUS.md)."""
+    return jax.default_backend() != "cpu" and \
+        A64.re.dtype == jnp.float64 and not _slices_fit(A64) and \
+        max(A64.re.shape) <= 16384
+
+
+def _sliced_residual_streamed(A64: SplitComplex, x: SplitComplex,
+                              b: SplitComplex, panels: int, w: int = 5,
+                              sx: int = 12, mant_bits: int = 53,
+                              sigma=None) -> SplitComplex:
+    """r = b − A x at exact-slicing accuracy WITHOUT a resident ladder
+    (VERDICT r2 #4): the operand's columns are processed in ``panels``
+    chunks under ONE global power-of-two scale — each chunk's bf16 ladder is
+    extracted, GEMM'd against the matching x-slice rows, accumulated in f64,
+    and freed (lax.fori_loop keeps exactly one panel's slices live). Identical
+    f64 result to :func:`_sliced_residual` (same grid, same exact products,
+    f64 accumulation reordered by panel). ``sigma``: precomputed global scale
+    (refinement hoists it — two full-plane emulated-f64 abs-max passes per
+    call otherwise; it only depends on A)."""
+    f64 = jnp.float64
+    m_rows, n = A64.re.shape
+    per = n // panels
+    if sigma is None:
+        sigma = _pow2_ceil(jnp.maximum(jnp.max(jnp.abs(A64.re)),
+                                       jnp.max(jnp.abs(A64.im))))
+    sxr, sig_xr = _slice_array(x.re, sx, w)          # (sx, N) bf16
+    sxi, sig_xi = _slice_array(x.im, sx, w)
+    X = jnp.concatenate([sxr, sxi], axis=0).T        # (N, 2sx) bf16
+    jpow = jnp.exp2(-w * (jnp.arange(sx, dtype=f64) + 1.0))
+    colscale = jnp.concatenate([sig_xr * jpow, sig_xi * jpow])   # (2sx,)
+    s = -(-mant_bits // w)
+    sA = 3 * (-(-s // 3))
+    dn = (((1,), (0,)), ((), ()))
+
+    def panel_body(p, acc):
+        arxr, arxi, aixr, aixi = acc
+        re_p = jax.lax.dynamic_slice(A64.re, (0, p * per), (m_rows, per))
+        im_p = jax.lax.dynamic_slice(A64.im, (0, p * per), (m_rows, per))
+        sl_re, sl_im = extract_ladder(re_p, im_p, sigma, mant_bits, w)
+        X_p = jax.lax.dynamic_slice(X, (p * per, 0), (per, 2 * sx))
+        for k in range(sA):
+            kscale = sigma * (2.0 ** (-w * (k + 1)))
+            Yr = jax.lax.dot_general(sl_re[k], X_p, dn,
+                                     preferred_element_type=jnp.float32)
+            Yi = jax.lax.dot_general(sl_im[k], X_p, dn,
+                                     preferred_element_type=jnp.float32)
+            cr = Yr.astype(f64) * (colscale * kscale)[None, :]
+            ci = Yi.astype(f64) * (colscale * kscale)[None, :]
+            arxr = arxr + jnp.sum(cr[:, :sx], axis=-1)
+            arxi = arxi + jnp.sum(cr[:, sx:], axis=-1)
+            aixr = aixr + jnp.sum(ci[:, :sx], axis=-1)
+            aixi = aixi + jnp.sum(ci[:, sx:], axis=-1)
+        return arxr, arxi, aixr, aixi
+
+    z = jnp.zeros((m_rows,), f64)
+    arxr, arxi, aixr, aixi = jax.lax.fori_loop(0, panels, panel_body,
+                                               (z, z, z, z))
     return SplitComplex(b.re - (arxr - aixi), b.im - (arxi + aixr))
 
 
@@ -364,18 +459,25 @@ def refine_split(A, fac: LUFactors, b, x0: jax.Array,
 
 def _refine_split_impl(A64, fac, b64, x0, steps, tol, a_mant_bits=53):
     bnorm = jnp.maximum(b64.norm(), jnp.asarray(1e-300, jnp.float64))
-    if not use_sliced_matvecs(A64):
-        # native f64 BLAS on CPU — the 3M-trick GEMV path is already
-        # bandwidth-fast there; at very large N the bf16 slice ladder
-        # (~24 planes) no longer fits HBM and the emulated-f64 path is the
-        # safe fallback (slow, but O(N²) and memory-light)
-        Asum = A64.re + A64.im          # one-time plane sum for the 3M matvec
-        true_resid = lambda x64: _residual_3m(A64, Asum, x64, b64)
-    else:
+    if use_sliced_matvecs(A64):
         # emulated-f64 GEMVs run ~50× below bandwidth on TPU; exact-slicing
         # bf16 MXU residual instead (identical f64 result, see SlicedMatrix)
         spA = slice_split_matrix(A64, mant_bits=a_mant_bits)
         true_resid = lambda x64: _sliced_residual(spA, x64, b64)
+    elif use_streamed_sliced(A64):
+        # ladder too big to keep resident (N ≳ 12k): stream it per column
+        # panel — same exact-slicing accuracy, re-extraction per call
+        panels = streamed_panels(A64)
+        sigma_s = _pow2_ceil(jnp.maximum(jnp.max(jnp.abs(A64.re)),
+                                         jnp.max(jnp.abs(A64.im))))
+        true_resid = lambda x64: _sliced_residual_streamed(
+            A64, x64, b64, panels, mant_bits=a_mant_bits, sigma=sigma_s)
+    else:
+        # native f64 BLAS on CPU — the 3M-trick GEMV path is already
+        # bandwidth-fast there; the emulated-f64 path is the safe fallback
+        # elsewhere (slow, but O(N²) and memory-light)
+        Asum = A64.re + A64.im          # one-time plane sum for the 3M matvec
+        true_resid = lambda x64: _residual_3m(A64, Asum, x64, b64)
 
     # Certified-incremental refinement. The emulated-f64 residual matvec is the
     # dominant TPU cost (measured 35 ms/step at 4096² vs 2.8 ms for the
@@ -485,14 +587,21 @@ def refine_gmres(A, fac, b, x0: jax.Array, steps: int = 3, tol: float = 0.0,
 
 def _refine_gmres_impl(A64, fac, b64, x0, steps, tol, restart, gmres_batched):
     bnorm = jnp.maximum(b64.norm(), jnp.asarray(1e-300, jnp.float64))
-    if not use_sliced_matvecs(A64):
-        Asum = A64.re + A64.im          # one-time plane sum for the 3M matvec
-        true_resid = lambda x64: _residual_3m(A64, Asum, x64, b64)
-    else:
+    if use_sliced_matvecs(A64):
         # same exact-slicing MXU residual as _refine_split_impl (the emulated
         # f64 GEMV is the dominant outer-step cost here too)
         spA = slice_split_matrix(A64)
         true_resid = lambda x64: _sliced_residual(spA, x64, b64)
+    elif use_streamed_sliced(A64):
+        panels = streamed_panels(A64)
+        sigma_s = _pow2_ceil(jnp.maximum(jnp.max(jnp.abs(A64.re)),
+                                         jnp.max(jnp.abs(A64.im))))
+        true_resid = lambda x64: _sliced_residual_streamed(A64, x64, b64,
+                                                           panels,
+                                                           sigma=sigma_s)
+    else:
+        Asum = A64.re + A64.im          # one-time plane sum for the 3M matvec
+        true_resid = lambda x64: _residual_3m(A64, Asum, x64, b64)
     Ac = SplitComplex(A64.re.astype(jnp.float32),
                       A64.im.astype(jnp.float32)).to_complex(x0.dtype)
 

@@ -1,2 +1,2 @@
-from . import (collectives, dist_hessenberg, dist_qr, dist_svd, mesh,
+from . import (dist_hessenberg, dist_qr, dist_refine, dist_svd, mesh,
                placement)

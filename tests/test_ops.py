@@ -166,3 +166,39 @@ class TestGMRESIR:
         x128 = np.asarray(xs.re) + 1j * np.asarray(xs.im)
         true_rel = np.linalg.norm(A128 @ x128 - b128) / np.linalg.norm(b128)
         assert true_rel < 1e-8
+
+
+class TestExplicitRinv:
+    """Blocked triangular inversion (VERDICT r2 #5): GEMM-rich R^-1 whose
+    application matches the backward-stable substitution to O(eps*kappa)."""
+
+    def test_invert_triangular_blocked(self):
+        from maus_tpu.ops.batched_solve import invert_triangular
+        rng = np.random.default_rng(0)
+        for n in (7, 128, 300, 513):
+            # diagonally dominant: a RANDOM triangular matrix's condition
+            # number grows exponentially in n, which would swamp any
+            # inversion scheme (forward error is O(eps*kappa) for the
+            # backward-stable substitution too)
+            R = np.triu(rng.standard_normal((n, n))
+                        + 1j * rng.standard_normal((n, n)))
+            R += np.sqrt(n) * np.diag(3.0 + rng.random(n))
+            X = np.asarray(invert_triangular(jnp.asarray(R), block=64))
+            err = np.linalg.norm(R @ X - np.eye(n)) / np.sqrt(n)
+            assert err < 1e-10, (n, err)   # O(eps64*kappa(R))
+            assert np.allclose(np.tril(X, -1), 0)
+
+    def test_solve_qr_with_rinv_matches(self):
+        from maus_tpu.ops.batched_solve import factor_qr, solve_qr
+        rng = np.random.default_rng(1)
+        n = 160
+        A = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n)) \
+            + n * np.eye(n)
+        b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        fac_plain = factor_qr(jnp.asarray(A), with_rinv=False)
+        fac_rinv = factor_qr(jnp.asarray(A), with_rinv=True)
+        assert fac_rinv.rinv is not None
+        x0 = np.asarray(solve_qr(fac_plain, jnp.asarray(b)))
+        x1 = np.asarray(solve_qr(fac_rinv, jnp.asarray(b)))
+        assert np.linalg.norm(x0 - x1) / np.linalg.norm(x0) < 1e-10
+        assert np.linalg.norm(A @ x1 - b) / np.linalg.norm(b) < 1e-12

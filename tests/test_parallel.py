@@ -1,6 +1,5 @@
 """Multi-device tests on the 8-way virtual CPU mesh (SURVEY.md §4): mesh
-construction, sharded/ring matvecs vs dense oracle, and the full evolve loop
-running GSPMD-sharded."""
+construction and the full evolve loop running GSPMD-sharded."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -8,7 +7,6 @@ import pytest
 
 import maus_tpu
 from maus_tpu.core.types import ProblemType
-from maus_tpu.parallel import collectives as coll
 from maus_tpu.parallel import mesh as mesh_mod
 from maus_tpu.parallel import placement
 from maus_tpu.problems import generators as gen
@@ -25,28 +23,6 @@ def mesh8():
 def test_make_mesh_shapes(mesh8):
     assert mesh8.shape[mesh_mod.REPLICA_AXIS] == 2
     assert mesh8.shape[mesh_mod.MODEL_AXIS] == 4
-
-
-def test_sharded_matvec_matches_dense(mesh8):
-    rng = np.random.default_rng(0)
-    N, K = 32, 8
-    A = jnp.asarray(rng.standard_normal((N, N)) + 1j * rng.standard_normal((N, N)))
-    X = jnp.asarray(rng.standard_normal((K, N)) + 1j * rng.standard_normal((K, N)))
-    A_s = jax.device_put(A, mesh_mod.matrix_sharding(mesh8))
-    X_s = jax.device_put(X, mesh_mod.population_vector_sharding(mesh8))
-    out = coll.sharded_matvec(mesh8, A_s, X_s)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(X @ A.T), rtol=1e-10)
-
-
-def test_ring_matvec_matches_dense(mesh8):
-    rng = np.random.default_rng(1)
-    N, K = 32, 8
-    A = jnp.asarray(rng.standard_normal((N, N)) + 1j * rng.standard_normal((N, N)))
-    X = jnp.asarray(rng.standard_normal((K, N)) + 1j * rng.standard_normal((K, N)))
-    A_s = jax.device_put(A, mesh_mod.matrix_sharding(mesh8))
-    X_s = jax.device_put(X, mesh_mod.population_matrix_sharding(mesh8))
-    out = coll.ring_matvec(mesh8, A_s, X_s)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(X @ A.T), rtol=1e-10)
 
 
 def test_evolve_linear_sharded_end_to_end(mesh8):

@@ -57,6 +57,40 @@ def test_slice_reconstruction_exact():
     assert np.max(np.abs(recon - v)) <= float(sigma) * 2.0 ** -60
 
 
+def test_extract_ladder_f32_tail_bound():
+    """The accelerator-default f32 tail (STATUS r3 gap 3): after two wide f64
+    passes the remainder is cast to f32, adding ≤ 2^-55·σ absolute error —
+    below the ladder's 2^-53·σ truncation contract. The first 30 bits (slices
+    0-5) must be bit-identical to the exact extraction."""
+    from maus_tpu.ops.refine import _pow2_ceil, extract_ladder
+    rng = np.random.default_rng(7)
+    n = 96
+    re = rng.standard_normal((n, n)) * np.exp(rng.uniform(-20, 20, (n, n)))
+    im = rng.standard_normal((n, n)) * np.exp(rng.uniform(-20, 20, (n, n)))
+    rej, imj = jnp.asarray(re, jnp.float64), jnp.asarray(im, jnp.float64)
+    sigma = _pow2_ceil(jnp.maximum(jnp.max(jnp.abs(rej)),
+                                   jnp.max(jnp.abs(imj))))
+    exact = jax.jit(lambda r, i, s: extract_ladder(r, i, s, f32_tail=False))(
+        rej, imj, sigma)
+    tail = jax.jit(lambda r, i, s: extract_ladder(r, i, s, f32_tail=True))(
+        rej, imj, sigma)
+    w, sig = 5, float(sigma)
+
+    def recon(sl):
+        out = np.zeros((n, n))
+        for k in range(sl.shape[0]):
+            out += np.asarray(sl[k], np.float64) * 2.0 ** (-w * (k + 1))
+        return out * sig
+
+    for sl_e, sl_t, plane in ((exact[0], tail[0], re), (exact[1], tail[1],
+                                                        im)):
+        assert np.max(np.abs(recon(sl_e) - plane)) <= sig * 2.0 ** -60
+        assert np.max(np.abs(recon(sl_t) - plane)) <= sig * 2.0 ** -54
+        # handoff happens strictly below the first 30 bits
+        np.testing.assert_array_equal(np.asarray(sl_e[:6], np.float32),
+                                      np.asarray(sl_t[:6], np.float32))
+
+
 def test_slices_are_bf16_integers():
     rng = np.random.default_rng(2)
     A = rng.standard_normal((64, 64)) + 1j * rng.standard_normal((64, 64))
@@ -183,3 +217,51 @@ class TestDistSlicedResidual:
         resid = np.linalg.norm(A @ x - b) / np.linalg.norm(b)
         assert float(rel) < 1e-12
         assert resid < 1e-12
+
+
+class TestStreamedSlicedResidual:
+    """Panel-streamed slice residual (VERDICT r2 #4): identical ladder, only
+    f64 accumulation order differs from the resident-ladder version."""
+
+    def test_matches_resident_ladder(self):
+        from maus_tpu.ops.refine import _sliced_residual_streamed
+        rng = np.random.default_rng(2)
+        m, n = 48, 96
+        A = (rng.standard_normal((m, n)) * np.exp(
+            rng.uniform(-6, 6, (m, n)))) + 1j * rng.standard_normal((m, n))
+        x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        b = A @ x + 1e-6 * (rng.standard_normal(m)
+                            + 1j * rng.standard_normal(m))
+        sp = jax.jit(slice_split_matrix)(_sc(A))
+        dense = jax.jit(_sliced_residual)(sp, _sc(x), _sc(b))
+        dense = np.asarray(dense.re) + 1j * np.asarray(dense.im)
+        from maus_tpu.ops.refine import _pow2_ceil
+        sigma = _pow2_ceil(max(np.max(np.abs(A.real)), np.max(np.abs(A.imag))))
+        for panels in (2, 4, 8):
+            r = jax.jit(_sliced_residual_streamed,
+                        static_argnames=("panels",))(
+                _sc(A), _sc(x), _sc(b), panels=panels)
+            streamed = np.asarray(r.re) + 1j * np.asarray(r.im)
+            scale = np.linalg.norm(A) * np.linalg.norm(x)
+            assert np.max(np.abs(streamed - dense)) < 1e-14 * scale
+            # refinement hoists sigma out of the per-call closure — must be
+            # bit-identical to the self-computed scale
+            r2 = jax.jit(_sliced_residual_streamed,
+                         static_argnames=("panels",))(
+                _sc(A), _sc(x), _sc(b), panels=panels, sigma=sigma)
+            assert np.array_equal(np.asarray(r2.re), np.asarray(r.re))
+            assert np.array_equal(np.asarray(r2.im), np.asarray(r.im))
+        exact = b - A @ x
+        assert np.max(np.abs(streamed - exact)) < 1e-12 * scale
+
+    def test_panel_count_picker(self):
+        from maus_tpu.ops.refine import streamed_panels
+        import jax.numpy as jnp
+        from maus_tpu.ops.refine import SplitComplex
+        # ShapeDtypeStruct: streamed_panels only reads .size/.shape, no need
+        # to allocate 2 GB of zeros in a unit test
+        z = jax.ShapeDtypeStruct((16384, 16384), jnp.float64)
+        sp = SplitComplex(z, z)
+        p = streamed_panels(sp)
+        assert 16384 % p == 0
+        assert 24 * 2 * z.size / p <= 3e9
