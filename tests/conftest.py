@@ -16,8 +16,24 @@ too early).
 import os
 
 import jax
+import pytest
 
 if os.environ.get("MAUS_TPU_TESTS") != "1":
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    The full suite compiles many hundreds of distinct XLA CPU programs; with
+    all of them kept loaded, jaxlib 0.9.0's CPU client segfaults inside
+    ``backend_compile_and_load`` partway through the run (reproduced
+    deterministically at the same test, while every module passes in
+    isolation — accumulation, not any single program). Cross-module cache
+    reuse is near zero (each module drives its own shapes), so this costs
+    little and keeps the one-process ``pytest tests/`` run stable."""
+    yield
+    jax.clear_caches()
