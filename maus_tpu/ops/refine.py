@@ -457,9 +457,32 @@ def refine_split(A, fac: LUFactors, b, x0: jax.Array,
         return _refine_split_impl(A64, fac, b64, x0, steps, tol, a_mant_bits)
 
 
+def use_fused_sliced(A64: SplitComplex) -> bool:
+    """Dispatch rule for the fused in-VMEM slice-residual kernel
+    (ops/pallas/slice_residual.py): accelerator backend, f64 planes, tileable
+    shape, and the resident bf16 ladder does NOT fit. Where the ladder fits
+    it stays preferred — a fused certification re-extracts digits on the VPU
+    every call and measures ~2× a ladder-streaming one in the solve program
+    (v5e: headline 0.105 s ladder vs 0.110-0.147 s fused —
+    benchmarks/fused_probe.py has the isolated numbers). Past the ladder
+    limit (N ≳ 12k) the fused kernel replaces the panel-STREAMED residual,
+    whose per-call emulated-f64 re-extraction it beats several-fold, and its
+    12 B/elem triple is the only resident representation needed."""
+    from .pallas.slice_residual import fused_ok
+
+    return A64.re.dtype == jnp.float64 and fused_ok(A64.re.shape) \
+        and not _slices_fit(A64)
+
+
 def _refine_split_impl(A64, fac, b64, x0, steps, tol, a_mant_bits=53):
     bnorm = jnp.maximum(b64.norm(), jnp.asarray(1e-300, jnp.float64))
-    if use_sliced_matvecs(A64):
+    if a_mant_bits == 53 and use_fused_sliced(A64):
+        from .pallas.slice_residual import (sliced_residual_fused,
+                                            split_triple)
+
+        tri = split_triple(A64)
+        true_resid = lambda x64: sliced_residual_fused(tri, x64, b64)
+    elif use_sliced_matvecs(A64):
         # emulated-f64 GEMVs run ~50× below bandwidth on TPU; exact-slicing
         # bf16 MXU residual instead (identical f64 result, see SlicedMatrix)
         spA = slice_split_matrix(A64, mant_bits=a_mant_bits)
@@ -587,7 +610,13 @@ def refine_gmres(A, fac, b, x0: jax.Array, steps: int = 3, tol: float = 0.0,
 
 def _refine_gmres_impl(A64, fac, b64, x0, steps, tol, restart, gmres_batched):
     bnorm = jnp.maximum(b64.norm(), jnp.asarray(1e-300, jnp.float64))
-    if use_sliced_matvecs(A64):
+    if use_fused_sliced(A64):
+        from .pallas.slice_residual import (sliced_residual_fused,
+                                            split_triple)
+
+        tri = split_triple(A64)
+        true_resid = lambda x64: sliced_residual_fused(tri, x64, b64)
+    elif use_sliced_matvecs(A64):
         # same exact-slicing MXU residual as _refine_split_impl (the emulated
         # f64 GEMV is the dominant outer-step cost here too)
         spA = slice_split_matrix(A64)

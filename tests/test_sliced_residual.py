@@ -265,3 +265,56 @@ class TestStreamedSlicedResidual:
         p = streamed_panels(sp)
         assert 16384 % p == 0
         assert 24 * 2 * z.size / p <= 3e9
+
+
+class TestFusedSliceResidual:
+    """In-VMEM fused extraction+dot kernel (ops/pallas/slice_residual.py):
+    exact triple split, digit-grid-exact residual, interpret mode on CPU."""
+
+    def test_triple_split_exact(self):
+        from maus_tpu.ops.pallas.slice_residual import split_triple
+        rng = np.random.default_rng(3)
+        n = 64
+        A = (rng.standard_normal((n, n)) * np.exp(
+            rng.uniform(-30, 30, (n, n)))) \
+            + 1j * (rng.standard_normal((n, n)) * np.exp(
+                rng.uniform(-30, 30, (n, n))))
+        tri = jax.jit(split_triple)(_sc(A))
+        for plane, ref in ((tri.re, A.real), (tri.im, A.imag)):
+            hi, mid, lo = (np.asarray(t, np.float64) for t in plane)
+            # hi + mid + lo == plane BITWISE (72 bits >= 53, exact splits)
+            np.testing.assert_array_equal(hi + mid + lo, ref)
+            assert np.max(np.abs(mid)) <= 2.0 ** -24 * np.max(np.abs(ref))
+
+    @pytest.mark.parametrize("ascale,xscale", [(1.0, 1.0), (1e-3, 1e5),
+                                               (1e7, 1e-6)])
+    def test_matches_oracle_and_dense(self, ascale, xscale):
+        from maus_tpu.ops.pallas.slice_residual import (sliced_residual_fused,
+                                                        split_triple)
+        rng = np.random.default_rng(4)
+        m = n = 256
+        A = ((rng.standard_normal((m, n)) * np.exp(
+            rng.uniform(-12, 12, (m, n)))) + 1j * rng.standard_normal(
+                (m, n))) * ascale
+        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) * xscale
+        b = A @ x * (1 + 1e-13)
+        tri = jax.jit(split_triple)(_sc(A))
+        r = sliced_residual_fused(tri, _sc(x), _sc(b), tile_m=128,
+                                  tile_k=128, interpret=True)
+        rf = np.asarray(r.re) + 1j * np.asarray(r.im)
+        r_ref = b - A @ x
+        scale = np.linalg.norm(A) * np.linalg.norm(x)
+        assert np.max(np.abs(rf - r_ref)) < 1e-15 * scale
+        sp = jax.jit(slice_split_matrix)(_sc(A))
+        rd = jax.jit(_sliced_residual)(sp, _sc(x), _sc(b))
+        rdn = np.asarray(rd.re) + 1j * np.asarray(rd.im)
+        # both are digit-grid-exact: agreement to f64-accumulation roundoff
+        assert np.max(np.abs(rf - rdn)) < 1e-16 * scale
+
+    def test_fused_ok_gate(self):
+        from maus_tpu.ops.pallas.slice_residual import fused_ok
+        assert fused_ok((4096, 4096), backend="tpu")
+        assert fused_ok((8192, 8192), backend="tpu")
+        assert not fused_ok((4096, 4096), backend="cpu")
+        assert not fused_ok((4100, 4096), backend="tpu")   # not tileable
+        assert not fused_ok((32768, 32768), backend="tpu")  # f32-exact bound
