@@ -96,6 +96,16 @@ def main():
     import jax
 
     jax.config.update("jax_enable_x64", True)   # f64 for split-residual refinement
+    if jax.default_backend() != "cpu":
+        # persistent compilation cache (probed: works with the axon backend,
+        # warmup 116 s → 17.5 s at 2048²): the remote compile helper takes
+        # 20-120 s per distinct shape and is flaky at very large shapes — a
+        # banked successful compile never re-runs
+        import os as _os
+        _cache = _os.path.expanduser("~/.cache/jax_comp_cache")
+        _os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
 
     from maus_tpu.core.types import (ProblemKnowledge, ProblemType, SolverConfig)
@@ -114,42 +124,94 @@ def main():
 
     # c64 convergence floor for this κ (refinement closes the rest, see ops/refine)
     floor = max(50 * eps, 2 * eps * args.cond)
+    # N ≥ ~16k: the in-loop QR refactorization exceeds XLA's 16 MB scoped-VMEM
+    # cap for lax.cond branches — host-mediated refactorization instead
+    # (SolverConfig.host_refactor; mirrors the MausSolver auto rule)
+    host_mode = n >= 12288 and jax.default_backend() != "cpu"
     cfg = SolverConfig(problem_type=ProblemType.SOLVE_LINEAR_SYSTEM,
                        num_candidates=K, tol=tol, dtype=dtype,
-                       convergence_floor=floor, refine=True, max_refine_steps=60)
+                       convergence_floor=floor, refine=True, max_refine_steps=60,
+                       host_refactor=host_mode)
     kn = ProblemKnowledge(shape=(n, n), cond_estimate=args.cond)
     key = jax.random.PRNGKey(1)
     max_iters = 50
 
-    A64 = SplitComplex(A.real.astype(jnp.float64), A.imag.astype(jnp.float64))
-    b64 = SplitComplex(b.real.astype(jnp.float64), b.imag.astype(jnp.float64))
-
     import functools
 
-    @functools.partial(jax.jit, static_argnames=("steps",))
-    def _solve_fused(A_, b_, key_, A64_, b64_, steps, tol_):
-        # the ENTIRE solve — evolve to the c64 floor, best-candidate
-        # selection, split-f64 refinement — as ONE device program: every
-        # separate program call costs a ~30 ms dispatch RPC on this backend
-        carry, _ = ev.evolve_while(cfg, kn, A_, b_, key_, max_iters, 1)
-        pop = carry.pop
-        best = jnp.argmin(jnp.where(jnp.isfinite(pop.residual), pop.residual,
-                                    jnp.inf))
-        xs, rel = refine_split(A64_, carry.fac, b64_, pop.v[best],
-                               steps=steps, tol=tol_)
-        return xs, rel, carry.iteration
+    if not host_mode:
+        A64 = SplitComplex(A.real.astype(jnp.float64),
+                           A.imag.astype(jnp.float64))
+        b64 = SplitComplex(b.real.astype(jnp.float64),
+                           b.imag.astype(jnp.float64))
 
-    def full_solve():
-        return _solve_fused(A, b, key, A64, b64, cfg.max_refine_steps,
-                            tol * 0.3)
+        @functools.partial(jax.jit, static_argnames=("steps",))
+        def _solve_fused(A_, b_, key_, A64_, b64_, steps, tol_):
+            # the ENTIRE solve — evolve to the c64 floor, best-candidate
+            # selection, split-f64 refinement — as ONE device program: every
+            # separate program call costs a ~30 ms dispatch RPC on this backend
+            carry, _ = ev.evolve_while(cfg, kn, A_, b_, key_, max_iters, 1)
+            pop = carry.pop
+            best = jnp.argmin(jnp.where(jnp.isfinite(pop.residual),
+                                        pop.residual, jnp.inf))
+            xs, rel = refine_split(A64_, carry.fac, b64_, pop.v[best],
+                                   steps=steps, tol=tol_)
+            return xs, rel, carry.iteration
+
+        def full_solve():
+            xs, rel, iters = _solve_fused(A, b, key, A64, b64,
+                                          cfg.max_refine_steps, tol * 0.3)
+            return rel, iters
+    else:
+        # host-refactor driving (two programs + host resolution loop). The
+        # bench operand is c64-exact, so refinement runs the hi-only-triple
+        # path (refine_split_c64exact): no f64 planes — HBM at 16k is
+        # A 2.1 + Q,R 4.3 + hi triple 2.1 ≈ 8.7 GB (the full-triple path
+        # would need ~17 GB and OOMs)
+        from maus_tpu.ops.refine import refine_split_c64exact
+        from maus_tpu.solver import api as api_mod
+
+        b64 = SplitComplex(b.real.astype(jnp.float64),
+                           b.imag.astype(jnp.float64))
+
+        @jax.jit
+        def _evolve(A_, b_, key_, carry0):
+            carry, _ = ev.evolve_while(cfg, kn, A_, b_, key_, max_iters, 1,
+                                       carry0=carry0)
+            pop = carry.pop
+            best = jnp.argmin(jnp.where(jnp.isfinite(pop.residual),
+                                        pop.residual, jnp.inf))
+            return carry, pop.v[best]
+
+        @functools.partial(jax.jit, static_argnames=("steps",))
+        def _refine_prog(A_, fac, b64_, x0, steps, tol_):
+            return refine_split_c64exact(A_, fac, b64_, x0, steps=steps,
+                                         tol=tol_)
+
+        def full_solve():
+            # init_carry as its own program: inlining the large QR into the
+            # while-loop program (double-buffered Q,R carry) overflows HBM
+            carry0 = ev.init_carry(cfg, kn, A, key)
+            while True:
+                carry, x0 = _evolve(A, b, key, carry0)
+                rp = float(carry.refactor_psi)
+                if rp == 0.0:
+                    break
+                carry0 = carry._replace(
+                    fac=api_mod._host_refactor_program(
+                        A, jnp.asarray(rp, jnp.float32), False),
+                    psi_cached=jnp.asarray(rp, jnp.float32),
+                    refactor_psi=jnp.zeros((), jnp.float32))
+            xs, rel = _refine_prog(A, carry.fac, b64, x0,
+                                   cfg.max_refine_steps, tol * 0.3)
+            return rel, carry.iteration
 
     # warmup (compile); then timed run. NOTE: timing fences with a host value
     # fetch (float()) — on this backend block_until_ready alone does not
     # guarantee the remote execution has finished.
-    xs, rel, iters = full_solve()
+    rel, iters = full_solve()
     _ = float(rel)
     t0 = time.perf_counter()
-    xs, rel, iters = full_solve()
+    rel, iters = full_solve()
     rel_f = float(rel)
     elapsed = time.perf_counter() - t0
 

@@ -157,6 +157,19 @@ class SolverConfig:
                                      # reference's param_history (AMS:126,
                                      # 142-143). O(iters·K·N) output memory;
                                      # implies nothing about capture_history.
+    host_refactor: Optional[bool] = None  # linear path: when the strategy's Ψ
+                                     # rung changes, rebuild the shared
+                                     # factorization in a SEPARATE host-driven
+                                     # program instead of a lax.cond branch
+                                     # inside the evolve loop. XLA's TPU
+                                     # backend caps conditional branches at
+                                     # 16 MB scoped VMEM, which a ≥16384² QR
+                                     # inside lax.cond exceeds (the same QR
+                                     # compiles fine at program top level) —
+                                     # this mode trades a rare extra loop
+                                     # entry/exit (~30 ms RPC) for compiling
+                                     # at any N. None = auto (enabled on
+                                     # accelerators for N ≥ 12288).
 
     def __post_init__(self):
         object.__setattr__(self, "problem_type", ProblemType(self.problem_type))
@@ -177,7 +190,7 @@ class SolverConfig:
                      self.max_refine_steps, self.eigh_max_n, self.orthogonalize,
                      self.target_num_solutions, self.energy_stop,
                      self.stall_limit, self.capture_history,
-                     self.capture_param_history))
+                     self.capture_param_history, self.host_refactor))
 
     @property
     def real_dtype(self):

@@ -61,18 +61,21 @@ _LX = 128                                    # lane-padded x-slice columns
 _SX = 12                                     # x digits per x plane (60 bits)
 
 
-def _kernel(tm: int, tk: int):
-    def kernel(invs_ref, hi_ref, mid_ref, lo_ref, x_ref, out_ref):
+def _kernel(tm: int, tk: int, comps=_COMPONENTS):
+    D = sum(nd for _, nd in comps)
+
+    def kernel(invs_ref, *refs):
+        *comp_refs, x_ref, out_ref = refs
         j = pl.program_id(1)
 
         @pl.when(j == 0)
         def _():
-            out_ref[:] = jnp.zeros((_D, tm, _LX), jnp.float32)
+            out_ref[:] = jnp.zeros((D, tm, _LX), jnp.float32)
 
         invs = invs_ref[0, 0]
         X = x_ref[:]                                   # (tk, LX) bf16
         base = 0
-        for comp_ref, (k0, nd) in zip((hi_ref, mid_ref, lo_ref), _COMPONENTS):
+        for comp_ref, (k0, nd) in zip(comp_refs, comps):
             # z = (A_comp/σ)·2^{5k0}: both scalings are powers of two — exact
             z = (comp_ref[:] * invs) * jnp.float32(2.0 ** (_W * k0))
             for t in range(nd):
@@ -93,11 +96,16 @@ def _kernel(tm: int, tk: int):
 
 
 class PlaneTriple(typing.NamedTuple):
-    """Exact f32 triple of one f64 plane: hi + mid + lo == plane, bitwise."""
+    """Exact f32 triple of one f64 plane: hi + mid + lo == plane, bitwise.
+
+    ``mid``/``lo`` are ``None`` for operands whose f64 widening is f32-exact
+    (c64 working-dtype inputs): the single ``hi`` plane IS the operand and the
+    kernel runs only its 12 digit planes (half the VPU extraction work, a
+    third of the resident bytes)."""
 
     hi: jax.Array
-    mid: jax.Array
-    lo: jax.Array
+    mid: typing.Optional[jax.Array]
+    lo: typing.Optional[jax.Array]
 
 
 class SlicedTriple(typing.NamedTuple):
@@ -128,6 +136,20 @@ def split_triple(A64: SplitComplex) -> SlicedTriple:
     return SlicedTriple(one(A64.re), one(A64.im), sigma)
 
 
+def split_triple_c64(A: jax.Array) -> SlicedTriple:
+    """Single-component triple of a working-dtype (c64) operand.
+
+    The operand's f64 widening is exact, so ``hi = A.real/imag`` (already f32)
+    carries every bit and ``mid = lo = 0`` identically — no f64 planes are
+    ever materialized (at 16384² this removes the 4.3 GB plane pair plus
+    two-thirds of the triple bytes; the memory key to single-chip 16k
+    refinement, STATUS r3 gap 6)."""
+    mx = jnp.maximum(jnp.max(jnp.abs(A.real)), jnp.max(jnp.abs(A.imag)))
+    sigma = _pow2_ceil(mx.astype(jnp.float64))
+    return SlicedTriple(PlaneTriple(A.real, None, None),
+                        PlaneTriple(A.imag, None, None), sigma)
+
+
 def fused_ok(shape, backend: str | None = None) -> bool:
     """Static dispatch rule for the fused kernel: accelerator backend, both
     dims tileable, and the f32-exact contraction bound (refine._slices_fit's
@@ -141,6 +163,9 @@ def fused_ok(shape, backend: str | None = None) -> bool:
 
 def _partials(tri: PlaneTriple, X, inv_sigma, *, tile_m: int, tile_k: int,
               interpret: bool):
+    planes = tuple(p for p in (tri.hi, tri.mid, tri.lo) if p is not None)
+    comps = _COMPONENTS[:len(planes)]
+    D = sum(nd for _, nd in comps)
     m, n = tri.hi.shape
     grid = (m // tile_m, n // tile_k)
 
@@ -154,7 +179,7 @@ def _partials(tri: PlaneTriple, X, inv_sigma, *, tile_m: int, tile_k: int,
         return (i - i, i, j - j)
 
     return pl.pallas_call(
-        _kernel(tile_m, tile_k),
+        _kernel(tile_m, tile_k, comps),
         grid=grid,
         in_specs=[
             # explicit block + index map: the auto-generated map for a
@@ -162,18 +187,19 @@ def _partials(tri: PlaneTriple, X, inv_sigma, *, tile_m: int, tile_k: int,
             # (same trap as hess_solve.py's _fixed)
             pl.BlockSpec((1, 1), lambda i, j: (i - i, j - j),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile_m, tile_k), _tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m, tile_k), _tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m, tile_k), _tile, memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((tile_m, tile_k), _tile, memory_space=pltpu.VMEM)
+            for _ in planes
+        ] + [
             pl.BlockSpec((tile_k, _LX), _xmap, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_D, tile_m, _LX), _omap,
+        out_specs=pl.BlockSpec((D, tile_m, _LX), _omap,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((_D, m, _LX), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((D, m, _LX), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(jnp.reshape(inv_sigma, (1, 1)), tri.hi, tri.mid, tri.lo, X)
+    )(jnp.reshape(inv_sigma, (1, 1)), *planes, X)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_m", "tile_k", "interpret"))
@@ -203,8 +229,10 @@ def sliced_residual_fused(tri: SlicedTriple, x: SplitComplex,
 
     # ---- f64 recombination (outside the kernel; O(D·2SX·M) emulated ops) --
     # digit d of component c sits at grid position k0_c + t → scale σ·2^{−w(k+1)}
-    kpos = jnp.asarray([k0 + t for k0, nd in _COMPONENTS for t in range(nd)],
-                       f64)                            # (D,)
+    ncomp = sum(1 for p in (tri.re.hi, tri.re.mid, tri.re.lo)
+                if p is not None)
+    kpos = jnp.asarray([k0 + t for k0, nd in _COMPONENTS[:ncomp]
+                        for t in range(nd)], f64)      # (D,)
     kscale = tri.sigma * jnp.exp2(-_W * (kpos + 1.0))  # (D,)
     jpow = jnp.exp2(-_W * (jnp.arange(_SX, dtype=f64) + 1.0))
     colscale = jnp.concatenate([sig_xr * jpow, sig_xi * jpow])   # (2SX,)

@@ -474,9 +474,43 @@ def use_fused_sliced(A64: SplitComplex) -> bool:
         and not _slices_fit(A64)
 
 
-def _refine_split_impl(A64, fac, b64, x0, steps, tol, a_mant_bits=53):
+def refine_split_c64exact(A: jax.Array, fac: LUFactors, b, x0: jax.Array,
+                          steps: int = 3, tol: float = 0.0
+                          ) -> tuple[SplitComplex, jax.Array]:
+    """:func:`refine_split` for operands whose f64 widening is EXACT (the
+    operand is the working-dtype c64 array itself — bench-generated systems,
+    user float32/complex64 inputs).
+
+    The f64 operand planes are never materialized: the fused in-VMEM residual
+    kernel runs on a single-component (hi-only) digit triple built from A's
+    own f32 planes, and the incremental-residual matvec copy IS A. At 16384²
+    this removes ~8.6 GB of HBM (4.3 planes + 2.15 separate c64 copy + two
+    thirds of the triple) — the memory key to single-chip 16k refinement —
+    and halves the kernel's VPU digit-extraction work (12 digit planes
+    instead of 23)."""
+    from .pallas.slice_residual import (fused_ok, sliced_residual_fused,
+                                        split_triple_c64)
+
+    b64 = b if isinstance(b, SplitComplex) else SplitComplex.from_complex(b)
+    with jax.default_matmul_precision("highest"):
+        if jax.default_backend() != "cpu" and fused_ok(A.shape):
+            tri = split_triple_c64(A)
+            return _refine_split_impl(
+                None, fac, b64, x0, steps, tol,
+                true_resid=lambda x64: sliced_residual_fused(tri, x64, b64),
+                Ac=A)
+        # CPU / non-tileable shapes: the ordinary widened-plane dispatch
+        A64 = SplitComplex(A.real.astype(jnp.float64),
+                           A.imag.astype(jnp.float64))
+        return _refine_split_impl(A64, fac, b64, x0, steps, tol)
+
+
+def _refine_split_impl(A64, fac, b64, x0, steps, tol, a_mant_bits=53,
+                       true_resid=None, Ac=None):
     bnorm = jnp.maximum(b64.norm(), jnp.asarray(1e-300, jnp.float64))
-    if a_mant_bits == 53 and use_fused_sliced(A64):
+    if true_resid is not None:
+        pass                            # caller supplied (c64-exact fast path)
+    elif a_mant_bits == 53 and use_fused_sliced(A64):
         from .pallas.slice_residual import (sliced_residual_fused,
                                             split_triple)
 
@@ -514,8 +548,9 @@ def _refine_split_impl(A64, fac, b64, x0, steps, tol, a_mant_bits=53):
     # drifted inner estimate lied is simply rejected and iteration stops on
     # the no-improvement guard (caller may then engage GMRES-IR).
     INNER = 8
-    Ac = A64.to_complex(x0.dtype)       # fast-matvec copy (exact when A64 was
-    #                                     widened from a working-dtype operand)
+    if Ac is None:
+        Ac = A64.to_complex(x0.dtype)   # fast-matvec copy (exact when A64 was
+        #                                 widened from a working-dtype operand)
 
     def inner_cond(carry):
         _, _, rel, prev_rel, it = carry

@@ -20,7 +20,7 @@ import numpy as np
 
 from ..core.types import (ProblemKnowledge, ProblemType, SolverConfig,
                           default_target_solutions)
-from ..ops.batched_solve import shared_factor_qr
+from ..ops.batched_solve import shared_factor_hpd, shared_factor_qr
 from ..ops.refine import SplitComplex
 from ..ops.refine import refine_split as refine_split_ir
 from ..utils.xfer import to_device_complex, to_host_complex
@@ -161,6 +161,26 @@ def _final_dedup(cfg: SolverConfig, problem_type: ProblemType,
     return kept_s, kept_r
 
 
+@jax.jit
+def _host_refactor_hpd(A, psi):
+    with jax.default_matmul_precision("highest"):
+        return shared_factor_hpd(A, psi)
+
+
+@jax.jit
+def _host_refactor_qr(A, psi):
+    with jax.default_matmul_precision("highest"):
+        return shared_factor_qr(A, psi)
+
+
+def _host_refactor_program(A, psi, hpd: bool):
+    """Rebuild the shared linear factorization as its OWN compiled program
+    (SolverConfig.host_refactor): at N ≥ ~16k, XLA's TPU backend refuses the
+    same QR inside the evolve loop's lax.cond (16 MB scoped-VMEM branch cap)
+    but compiles it fine at program top level."""
+    return _host_refactor_hpd(A, psi) if hpd else _host_refactor_qr(A, psi)
+
+
 class MausSolver:
     """Population-based meta-heuristic matrix solver (TPU-native MAUS)."""
 
@@ -223,6 +243,17 @@ class MausSolver:
             if initial_num_candidates is not None:
                 config = dataclasses.replace(
                     config, num_candidates=int(initial_num_candidates))
+        self._host_refactor_explicit = config.host_refactor is not None
+        if config.host_refactor is None:
+            # auto: XLA's TPU backend caps lax.cond branches at 16 MB scoped
+            # VMEM, which the in-loop QR refactorization exceeds somewhere
+            # between 8192² (known good) and 16384² (known bad). Past the
+            # known-good size, move refactorization to a host-driven
+            # standalone program (see SolverConfig.host_refactor).
+            config = dataclasses.replace(
+                config, host_refactor=(
+                    problem_type == ProblemType.SOLVE_LINEAR_SYSTEM
+                    and n >= 12288 and jax.default_backend() != "cpu"))
         self.config = config
         self.target_solutions = min(
             default_target_solutions(config, self.knowledge), config.num_candidates)
@@ -273,6 +304,15 @@ class MausSolver:
             self.target_solutions = min(
                 default_target_solutions(self.config, self.knowledge),
                 self.config.num_candidates)
+            # re-resolve the AUTO host-refactor policy (a swap can cross the
+            # size threshold); an explicit user setting is never overridden
+            if not self._host_refactor_explicit:
+                self.config = dataclasses.replace(
+                    self.config, host_refactor=(
+                        self.config.problem_type
+                        == ProblemType.SOLVE_LINEAR_SYSTEM
+                        and self.knowledge.shape[-1] >= 12288
+                        and jax.default_backend() != "cpu"))
             self._A64_cache = None
             if planes is not None and jax.config.jax_enable_x64:
                 self._A64_cache = SplitComplex(*planes)
@@ -316,13 +356,9 @@ class MausSolver:
                 max_iterations, collect_metrics, checkpoint_path,
                 int(checkpoint_every), carry0)
         elif collect_metrics:
-            carry, metrics = evolve_mod.evolve_scan(
-                cfg, kn, self.A, self.b, self._key, max_iterations,
-                self.target_solutions, carry0=carry0)
+            carry, metrics = self._scan_hosted(max_iterations, carry0)
         else:
-            carry, metrics = evolve_mod.evolve_while(
-                cfg, kn, self.A, self.b, self._key, max_iterations,
-                self.target_solutions, carry0=carry0)
+            carry, metrics = self._while_hosted(max_iterations, carry0)
             metrics = None   # while-path metrics are last-iteration only
         if checkpoint_path is not None:
             from ..utils.checkpoint import save_state
@@ -388,6 +424,85 @@ class MausSolver:
             landscape_energy=float(strat.landscape_energy), knowledge=kn,
             metrics=mdict)
 
+    # -- host-mediated refactorization (SolverConfig.host_refactor) ------------
+    def _resolve_refactor(self, carry):
+        """If the evolve loop exited asking for a refactorization
+        (``carry.refactor_psi != 0``), rebuild the shared factorization in a
+        STANDALONE program (a ≥16k² QR compiles at program top level but not
+        inside the loop's lax.cond — XLA's 16 MB scoped-VMEM branch cap) and
+        return the carry ready for re-entry. Returns None when no
+        refactorization is pending."""
+        rp = float(carry.refactor_psi)
+        if rp == 0.0:
+            return None
+        fac = _host_refactor_program(
+            self.A, jnp.asarray(rp, jnp.float32),
+            bool(self.knowledge.is_positive_definite))
+        return carry._replace(fac=fac,
+                              psi_cached=jnp.asarray(rp, jnp.float32),
+                              refactor_psi=jnp.zeros((), jnp.float32))
+
+    def _while_hosted(self, max_iterations: int, carry0):
+        """evolve_while + host-refactor resolution loop."""
+        cfg, kn = self.config, self.knowledge
+        if carry0 is None and cfg.host_refactor:
+            # build the initial carry (the one-time large QR) in its OWN
+            # program: inlined into the while-loop program its peak stacks on
+            # the double-buffered Q,R carry and overflows HBM at 16384²
+            carry0 = evolve_mod.init_carry(cfg, kn, self.A, self._key)
+        while True:
+            carry, metrics = evolve_mod.evolve_while(
+                cfg, kn, self.A, self.b, self._key, max_iterations,
+                self.target_solutions, carry0=carry0)
+            nxt = self._resolve_refactor(carry)
+            if nxt is None:
+                return carry, metrics
+            if carry0 is not None and \
+                    int(nxt.iteration) == int(carry0.iteration) and \
+                    float(carry.refactor_psi) == float(carry0.psi_cached):
+                raise RuntimeError(
+                    "host refactorization loop made no progress (requested "
+                    "the Ψ it already has) — this is a bug, please report")
+            carry0 = nxt
+
+    def _scan_hosted(self, num_iterations: int, carry0):
+        """evolve_scan + host-refactor resolution. Re-entry runs a scan of the
+        REMAINING length (one compile per distinct remaining length — rare:
+        only when the Ψ rung actually moves mid-run) and the metric chunks are
+        concatenated, zero-row padding preserved exactly as the single-entry
+        scan would have produced past the stop condition."""
+        import jax as _jax
+        cfg, kn = self.config, self.knowledge
+        if carry0 is None and cfg.host_refactor:
+            # see _while_hosted: keep the one-time QR out of the loop program
+            carry0 = evolve_mod.init_carry(cfg, kn, self.A, self._key)
+        chunks = []
+        remaining = num_iterations
+        while True:
+            start_iter = 0 if carry0 is None else int(carry0.iteration)
+            carry, m = evolve_mod.evolve_scan(
+                cfg, kn, self.A, self.b, self._key, remaining,
+                self.target_solutions, carry0=carry0)
+            nxt = self._resolve_refactor(carry)
+            if nxt is None:
+                chunks.append(m)
+                break
+            # the flagged iteration froze itself and everything after it:
+            # keep only the rows that actually executed; the rest re-run
+            # (post-refactor) in the next chunk, so total rows stay exact
+            done = int(carry.iteration) - start_iter
+            chunks.append(_jax.tree.map(lambda x: x[:done], m))
+            remaining -= done
+            if remaining <= 0:   # unreachable (the frozen row never counts)
+                chunks.append(_jax.tree.map(lambda x: x[done:done], m))
+                break
+            carry0 = nxt
+        if len(chunks) == 1:
+            return carry, chunks[0]
+        metrics = _jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
+                                *chunks)
+        return carry, metrics
+
     def _evolve_chunked(self, max_iterations: int, collect_metrics: bool,
                         checkpoint_path: str, every: int, carry0):
         """Run the loop in chunks of ``every`` iterations, saving the carry at
@@ -405,15 +520,12 @@ class MausSolver:
         while bound < max_iterations:
             bound = min(bound + every, max_iterations)
             if collect_metrics:
-                carry, m = evolve_mod.evolve_scan(
-                    cfg, kn, self.A, self.b, self._key,
+                carry, m = self._scan_hosted(
                     bound - (0 if carry is None else int(carry.iteration)),
-                    self.target_solutions, carry0=carry)
+                    carry)
                 metrics_chunks.append(m)
             else:
-                carry, m = evolve_mod.evolve_while(
-                    cfg, kn, self.A, self.b, self._key, bound,
-                    self.target_solutions, carry0=carry)
+                carry, m = self._while_hosted(bound, carry)
             save_state(checkpoint_path, carry)
             # mirror the in-loop stop: SVD runs re-derive the distinct target
             # dynamically from the converged σ spectrum (AMS:463-470)
@@ -517,11 +629,30 @@ class MausSolver:
         # system, not its c64 rounding. The A planes are transferred once and
         # cached (_get_A64); b is small.
         rdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-        A_split = self._get_A64()
         b_split = SplitComplex(jnp.asarray(self.b_host.real.astype(rdt)),
                                jnp.asarray(self.b_host.imag.astype(rdt)))
-        xs, rel = refine_split_ir(A_split, self._fac_cache, b_split, x_j,
-                                  steps=cfg.max_refine_steps, tol=cfg.tol * 0.3)
+        n = self.knowledge.shape[-1]
+        from ..ops.pallas.slice_residual import fused_ok
+        if self._input_c64_exact and jax.config.jax_enable_x64 and \
+                jax.default_backend() != "cpu" and fused_ok(self.A.shape) \
+                and n >= 12288:
+            # c64-exact operand past the resident-ladder limit: hi-only-triple
+            # fused residuals on A itself — no f64 planes (the widened pair
+            # plus full triple would not fit HBM at 16384², STATUS r3 gap 6)
+            from ..ops.refine import refine_split_c64exact
+            A_split = None
+            xs, rel = refine_split_c64exact(self.A, self._fac_cache, b_split,
+                                            x_j, steps=cfg.max_refine_steps,
+                                            tol=cfg.tol * 0.3)
+        else:
+            A_split = self._get_A64()
+            xs, rel = refine_split_ir(A_split, self._fac_cache, b_split, x_j,
+                                      steps=cfg.max_refine_steps,
+                                      tol=cfg.tol * 0.3)
+        if float(rel) > cfg.tol and A_split is None:
+            # the hi-only path skipped the plane widening; GMRES-IR escalation
+            # still needs the planes — build them now (rare: plain IR stalled)
+            A_split = self._get_A64()
         if float(rel) > cfg.tol:
             # plain IR stalled (κ·ε_f32 near 1): escalate to GMRES-IR — the
             # factorization becomes a preconditioner instead of the solver

@@ -45,6 +45,11 @@ class EvolveCarry(NamedTuple):
     iteration: jax.Array
     best_residual: jax.Array        # best (min) residual seen so far, f32
     stall_count: jax.Array          # iterations since best_residual improved
+    refactor_psi: jax.Array         # cfg.host_refactor mode only: non-zero ⇔
+                                    # the loop exited asking the HOST to
+                                    # rebuild the shared factorization at this
+                                    # Ψ (XLA scoped-VMEM cap forbids a ≥16k²
+                                    # QR inside lax.cond); 0.0 otherwise
 
 
 class Metrics(NamedTuple):
@@ -129,32 +134,47 @@ def make_iteration(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
         strat = strat_mod.adjust_strategy(cfg, strat, diag)
 
         fac, psi_cached = carry.fac, carry.psi_cached
+        host_need = None   # host-refactor mode: set to the need flag below
         if cfg.problem_type == ProblemType.SOLVE_LINEAR_SYSTEM:
             psi_eff = _effective_psi(cfg, strat, anorm).astype(psi_cached.dtype)
             need = psi_eff != psi_cached
             hpd = knowledge.is_positive_definite
 
-            if mesh is not None:
-                from ..ops.regularize import apply_shift
-                from ..parallel.dist_qr import dist_qr, dist_qr_solve
-
-                def refactor(_):
-                    return dist_qr(mesh, apply_shift(A, psi_eff),
-                                   block=dist_block)
-
-                def direct_solve(fac_, b_):
-                    return dist_qr_solve(mesh, fac_, b_, block=dist_block)
+            if cfg.host_refactor and mesh is None:
+                # Host-mediated refactorization (see SolverConfig.host_refactor):
+                # no factorization is built inside this program. When the Ψ
+                # rung moves, the WHOLE iteration's effects are discarded at
+                # the bottom of this function and ``refactor_psi`` is set, so
+                # the while-loop exits with the carry untouched; the host
+                # rebuilds the factorization in a standalone program and
+                # re-enters. On re-entry the same diagnostics/strategy
+                # recompute the same psi_eff (pure functions of the carry),
+                # need is then False, and the trajectory continues exactly as
+                # the fused lax.cond path would have.
+                host_need = need
+                pop, stats = cand.step_linear(cfg, A, b, fac, pop, strat)
             else:
-                def refactor(_):
-                    return shared_factor_hpd(A, psi_eff) if hpd \
-                        else shared_factor_qr(A, psi_eff)
+                if mesh is not None:
+                    from ..ops.regularize import apply_shift
+                    from ..parallel.dist_qr import dist_qr, dist_qr_solve
 
-                direct_solve = None
+                    def refactor(_):
+                        return dist_qr(mesh, apply_shift(A, psi_eff),
+                                       block=dist_block)
 
-            fac = jax.lax.cond(need, refactor, lambda _: fac, operand=None)
-            psi_cached = psi_eff
-            pop, stats = cand.step_linear(cfg, A, b, fac, pop, strat,
-                                          direct_solve=direct_solve)
+                    def direct_solve(fac_, b_):
+                        return dist_qr_solve(mesh, fac_, b_, block=dist_block)
+                else:
+                    def refactor(_):
+                        return shared_factor_hpd(A, psi_eff) if hpd \
+                            else shared_factor_qr(A, psi_eff)
+
+                    direct_solve = None
+
+                fac = jax.lax.cond(need, refactor, lambda _: fac, operand=None)
+                psi_cached = psi_eff
+                pop, stats = cand.step_linear(cfg, A, b, fac, pop, strat,
+                                              direct_solve=direct_solve)
         elif cfg.problem_type == ProblemType.EIGENVALUE and mesh is not None:
             # FULL engine over a mesh-sharded operand (VERDICT r2 #1): the
             # per-candidate shifted solves route through the column-sharded
@@ -240,10 +260,26 @@ def make_iteration(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
             candidate_alpha=hist_alpha,
             candidate_status=hist_status,
             candidate_params=hist_params)
-        return EvolveCarry(pop=pop, strat=strat, fac=fac, psi_cached=psi_cached,
-                           iteration=carry.iteration + 1,
-                           best_residual=best_residual,
-                           stall_count=stall_count), metrics
+        new_carry = EvolveCarry(pop=pop, strat=strat, fac=fac,
+                                psi_cached=psi_cached,
+                                iteration=carry.iteration + 1,
+                                best_residual=best_residual,
+                                stall_count=stall_count,
+                                refactor_psi=jnp.zeros((), jnp.float32))
+        if host_need is None:
+            return new_carry, metrics
+        # host-refactor mode: when the Ψ rung moved, discard this iteration
+        # entirely (the step above ran against the stale factorization) and
+        # hand the original carry back with the requested Ψ flagged — the
+        # while-loop cond exits on refactor_psi != 0 and the host re-enters
+        # after rebuilding fac. ``fac`` is identical in both branches (never
+        # modified in-program in this mode), so the cond is pure data select.
+        frozen_carry = carry._replace(
+            refactor_psi=psi_eff.astype(jnp.float32))
+        zero_metrics = jax.tree.map(jnp.zeros_like, metrics)
+        return jax.lax.cond(host_need,
+                            lambda: (frozen_carry, zero_metrics),
+                            lambda: (new_carry, metrics))
 
     return iteration
 
@@ -293,7 +329,8 @@ def _init_carry_impl(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Arra
                        psi_cached=jnp.asarray(psi0, jnp.float32),
                        iteration=jnp.asarray(0, jnp.int32),
                        best_residual=jnp.asarray(jnp.inf, jnp.float32),
-                       stall_count=jnp.asarray(0, jnp.int32))
+                       stall_count=jnp.asarray(0, jnp.int32),
+                       refactor_psi=jnp.zeros((), jnp.float32))
 
 
 def _use_hessenberg(cfg: SolverConfig, knowledge: ProblemKnowledge) -> bool:
@@ -381,7 +418,8 @@ def evolve_while(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
     def cond(state):
         carry, _ = state
         return (carry.iteration < max_iterations) & \
-            ~_stop_condition(cfg, target_solutions, carry)
+            ~_stop_condition(cfg, target_solutions, carry) & \
+            (carry.refactor_psi == 0.0)   # host-refactor handoff (cfg.host_refactor)
 
     def body(state):
         carry, _ = state
@@ -416,7 +454,9 @@ def evolve_scan(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
     zero_metrics = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), m0)
 
     def body(carry, _):
-        done = _stop_condition(cfg, target_solutions, carry)
+        done = _stop_condition(cfg, target_solutions, carry) | \
+            (carry.refactor_psi != 0.0)   # host-refactor handoff: freeze until
+                                          # the host rebuilds the factorization
 
         def frozen(c):
             return c, zero_metrics

@@ -318,3 +318,66 @@ class TestFusedSliceResidual:
         assert not fused_ok((4096, 4096), backend="cpu")
         assert not fused_ok((4100, 4096), backend="tpu")   # not tileable
         assert not fused_ok((32768, 32768), backend="tpu")  # f32-exact bound
+
+    def test_c64exact_triple(self):
+        """split_triple_c64: hi IS the operand's f32 plane, mid/lo absent."""
+        from maus_tpu.ops.pallas.slice_residual import split_triple_c64
+        rng = np.random.default_rng(5)
+        n = 64
+        A = (rng.standard_normal((n, n))
+             + 1j * rng.standard_normal((n, n))).astype(np.complex64)
+        tri = jax.jit(split_triple_c64)(jnp.asarray(A))
+        assert tri.re.mid is None and tri.re.lo is None
+        np.testing.assert_array_equal(np.asarray(tri.re.hi), A.real)
+        np.testing.assert_array_equal(np.asarray(tri.im.hi), A.imag)
+        sig = float(tri.sigma)
+        assert sig >= max(np.abs(A.real).max(), np.abs(A.imag).max())
+        assert np.log2(sig) == round(np.log2(sig))     # power of two
+
+    @pytest.mark.parametrize("xscale", [1.0, 1e5, 1e-6])
+    def test_c64exact_matches_full_triple(self, xscale):
+        """Hi-only kernel == full-triple kernel == f64 oracle when the operand
+        is c64-exact (the mid/lo digit planes are identically zero then)."""
+        from maus_tpu.ops.pallas.slice_residual import (
+            sliced_residual_fused, split_triple, split_triple_c64)
+        rng = np.random.default_rng(6)
+        m = n = 256
+        Ac = ((rng.standard_normal((m, n)) * np.exp(
+            rng.uniform(-12, 12, (m, n)))) + 1j * rng.standard_normal(
+                (m, n))).astype(np.complex64)
+        A = Ac.astype(np.complex128)                   # exact widening
+        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) * xscale
+        b = A @ x * (1 + 1e-13)
+        tri1 = jax.jit(split_triple_c64)(jnp.asarray(Ac))
+        r1 = sliced_residual_fused(tri1, _sc(x), _sc(b), tile_m=128,
+                                   tile_k=128, interpret=True)
+        tri3 = jax.jit(split_triple)(_sc(A))
+        r3 = sliced_residual_fused(tri3, _sc(x), _sc(b), tile_m=128,
+                                   tile_k=128, interpret=True)
+        rf1 = np.asarray(r1.re) + 1j * np.asarray(r1.im)
+        rf3 = np.asarray(r3.re) + 1j * np.asarray(r3.im)
+        scale = np.linalg.norm(A) * max(np.linalg.norm(x), 1e-300)
+        # same digit grid, same partials (mid/lo contribute exact zeros):
+        # only the f64 accumulation order differs
+        assert np.max(np.abs(rf1 - rf3)) < 1e-16 * scale
+        r_ref = b - A @ x
+        assert np.max(np.abs(rf1 - r_ref)) < 1e-15 * scale
+
+    def test_refine_split_c64exact_cpu_fallback(self):
+        """On CPU the c64-exact entry falls back to the widened-plane path and
+        still refines to f64 accuracy."""
+        from maus_tpu.ops.batched_solve import factor_qr
+        from maus_tpu.ops.refine import refine_split_c64exact
+        rng = np.random.default_rng(7)
+        n = 128
+        Ac = ((rng.standard_normal((n, n))
+               + 1j * rng.standard_normal((n, n))) / np.sqrt(n)).astype(
+                   np.complex64)
+        x_true = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        b = Ac.astype(np.complex128) @ x_true
+        fac = factor_qr(jnp.asarray(Ac))
+        x0 = jnp.linalg.solve(jnp.asarray(Ac), jnp.asarray(
+            b.astype(np.complex64)))
+        xs, rel = refine_split_c64exact(jnp.asarray(Ac), fac, _sc(b), x0,
+                                        steps=20, tol=1e-13)
+        assert float(rel) < 1e-12
