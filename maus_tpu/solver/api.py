@@ -12,6 +12,7 @@ data).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional
 
 import jax
@@ -58,6 +59,33 @@ class SolutionReport:
         return self.solutions[int(np.argmin(self.residuals))]
 
 
+def _device_staging_ok() -> bool:
+    """Device-resident operands stage without any host round-trip on
+    accelerator backends (separable for tests, which force it on CPU)."""
+    return jax.default_backend() != "cpu"
+
+
+@partial(jax.jit, static_argnames=("dtype",))
+def _cast_dev(a, dtype):
+    return a.astype(dtype)
+
+
+@jax.jit
+def _split_real_dev(a):
+    return a.astype(jnp.float64), jnp.zeros_like(a, jnp.float64)
+
+
+@jax.jit
+def _finite_probe_jit(a):
+    return jnp.all(jnp.isfinite(a.real)) & jnp.all(jnp.isfinite(a.imag)) \
+        if jnp.issubdtype(a.dtype, jnp.complexfloating) \
+        else jnp.all(jnp.isfinite(a))
+
+
+def _finite_probe_dev(a) -> bool:
+    return bool(_finite_probe_jit(a))
+
+
 def _stage_operand(matrix, problem_type: ProblemType, compute_dtype):
     """Shared operand staging for construction AND mid-run swaps
     (``update_problem``, AMS:645-652 — the swap must keep constructor parity:
@@ -71,7 +99,40 @@ def _stage_operand(matrix, problem_type: ProblemType, compute_dtype):
     instead.
 
     Returns ``(A_host, A_dev, prefetched_planes_or_None, input_c64_exact)``.
+
+    DEVICE-RESIDENT inputs (``jax.Array`` on an accelerator backend): the
+    operand never touches the host — complex arrays cannot cross the host
+    boundary on this TPU runtime at all, and even the allowed real-plane
+    fetch of a 16384² operand would take ~60 s over the ~70 MB/s tunnel.
+    ``A_host`` comes back ``None``; diagnosis, refinement planes, and result
+    assembly all run on device (the c64-exact hi-only refinement path engages
+    for complex64/float32 device inputs).
     """
+    if isinstance(matrix, jax.Array) and not hasattr(matrix, "toarray") \
+            and _device_staging_ok():
+        dt = matrix.dtype
+        exact = dt in (np.dtype(np.float32), np.dtype(np.complex64))
+        prefetched = None
+        if jnp.issubdtype(dt, jnp.complexfloating):
+            A_dev = matrix if dt == compute_dtype \
+                else _cast_dev(matrix, compute_dtype)
+        elif dt == np.dtype(np.float64) and jax.config.jax_enable_x64:
+            # real f64 device input: the f64 plane IS the operand — prefetch
+            # it as the refinement planes (imag plane is zero)
+            re64, im64 = _split_real_dev(matrix)
+            prefetched = (re64, im64)
+            A_dev = _cast_dev(matrix, compute_dtype)
+        else:
+            A_dev = _cast_dev(matrix, compute_dtype)
+        fin = _finite_probe_dev(A_dev)
+        if not fin:
+            raise ValueError("matrix contains non-finite entries")
+        if problem_type != ProblemType.SVD and \
+                A_dev.shape[0] != A_dev.shape[1]:
+            raise ValueError(f"{problem_type.name} requires a square matrix, "
+                             f"got {A_dev.shape}")
+        return None, A_dev, prefetched, exact
+
     input_c64_exact = np.dtype(
         getattr(matrix, "dtype", np.complex128)) \
         in (np.dtype(np.float32), np.dtype(np.complex64))
@@ -209,7 +270,8 @@ class MausSolver:
         # Diagnose the ORIGINAL operand — densifying first would lose the
         # sparse-input classification (AMS:380 semantics).
         self.knowledge = knowledge if knowledge is not None \
-            else diagnose(matrix, problem_type, device_operand=A_dev,
+            else diagnose(matrix if A_host is not None else None,
+                          problem_type, device_operand=A_dev,
                           device_planes=_prefetched_A64,
                           device_exact=input_c64_exact)
         m, n = self.knowledge.shape
@@ -259,20 +321,35 @@ class MausSolver:
             default_target_solutions(config, self.knowledge), config.num_candidates)
 
         self.A_host = A_host
-        self.A = A_dev if config.dtype == compute_dtype \
-            else to_device_complex(A_host, config.dtype)
+        if config.dtype == compute_dtype:
+            self.A = A_dev
+        elif A_host is not None:
+            self.A = to_device_complex(A_host, config.dtype)
+        else:
+            self.A = _cast_dev(A_dev, jnp.dtype(config.dtype))
         self.b = None
+        self.b_host = None
         if problem_type == ProblemType.SOLVE_LINEAR_SYSTEM:
             if b_vector is None:
                 raise ValueError("SOLVE_LINEAR_SYSTEM requires b_vector")
-            self.b_host = np.asarray(b_vector).astype(np.complex128)
-            if self.b_host.shape != (n,):
-                raise ValueError(f"b_vector shape {self.b_host.shape} does not "
-                                 f"match matrix ({n},)")
-            if not (np.all(np.isfinite(self.b_host.real)) and
-                    np.all(np.isfinite(self.b_host.imag))):
-                raise ValueError("b_vector contains non-finite entries")
-            self.b = to_device_complex(self.b_host, config.dtype)
+            if isinstance(b_vector, jax.Array) and _device_staging_ok():
+                # device-resident rhs: stays on device (complex cannot cross
+                # the host boundary on this runtime anyway)
+                if b_vector.shape != (n,):
+                    raise ValueError(f"b_vector shape {b_vector.shape} does "
+                                     f"not match matrix ({n},)")
+                self.b = _cast_dev(b_vector, jnp.dtype(config.dtype))
+                if not _finite_probe_dev(self.b):
+                    raise ValueError("b_vector contains non-finite entries")
+            else:
+                self.b_host = np.asarray(b_vector).astype(np.complex128)
+                if self.b_host.shape != (n,):
+                    raise ValueError(f"b_vector shape {self.b_host.shape} "
+                                     f"does not match matrix ({n},)")
+                if not (np.all(np.isfinite(self.b_host.real)) and
+                        np.all(np.isfinite(self.b_host.imag))):
+                    raise ValueError("b_vector contains non-finite entries")
+                self.b = to_device_complex(self.b_host, config.dtype)
         self._key = jax.random.PRNGKey(seed)
         self._fac_cache = None
         # float32/complex64 user input: the c64 device copy already carries
@@ -297,10 +374,10 @@ class MausSolver:
             self.A_host = A_host
             self.A = A_dev
             self._input_c64_exact = exact
-            self.knowledge = diagnose(matrix, self.config.problem_type,
-                                      device_operand=A_dev,
-                                      device_planes=planes,
-                                      device_exact=exact)
+            self.knowledge = diagnose(
+                matrix if A_host is not None else None,
+                self.config.problem_type, device_operand=A_dev,
+                device_planes=planes, device_exact=exact)
             self.target_solutions = min(
                 default_target_solutions(self.config, self.knowledge),
                 self.config.num_candidates)
@@ -317,13 +394,22 @@ class MausSolver:
             if planes is not None and jax.config.jax_enable_x64:
                 self._A64_cache = SplitComplex(*planes)
         if b_vector is not None:
-            self.b_host = np.asarray(b_vector).astype(np.complex128)
-            if self.config.problem_type == ProblemType.SOLVE_LINEAR_SYSTEM \
-                    and self.b_host.shape != (self.knowledge.shape[-1],):
-                raise ValueError(
-                    f"b_vector shape {self.b_host.shape} does not match "
-                    f"matrix ({self.knowledge.shape[-1]},)")
-            self.b = to_device_complex(self.b_host, self.config.dtype)
+            if isinstance(b_vector, jax.Array) and _device_staging_ok():
+                if self.config.problem_type == ProblemType.SOLVE_LINEAR_SYSTEM \
+                        and b_vector.shape != (self.knowledge.shape[-1],):
+                    raise ValueError(
+                        f"b_vector shape {b_vector.shape} does not match "
+                        f"matrix ({self.knowledge.shape[-1]},)")
+                self.b_host = None
+                self.b = _cast_dev(b_vector, jnp.dtype(self.config.dtype))
+            else:
+                self.b_host = np.asarray(b_vector).astype(np.complex128)
+                if self.config.problem_type == ProblemType.SOLVE_LINEAR_SYSTEM \
+                        and self.b_host.shape != (self.knowledge.shape[-1],):
+                    raise ValueError(
+                        f"b_vector shape {self.b_host.shape} does not match "
+                        f"matrix ({self.knowledge.shape[-1]},)")
+                self.b = to_device_complex(self.b_host, self.config.dtype)
         self._fac_cache = None
 
     def evolve(self, max_iterations: int = 100,
@@ -549,12 +635,14 @@ class MausSolver:
         dominant cost of report assembly at large N (measured ~8 s at 4096²)."""
         if self._A64_cache is None:
             rdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-            if jax.default_backend() == "cpu":
+            if self.A_host is not None and jax.default_backend() == "cpu":
                 self._A64_cache = SplitComplex(
                     jnp.asarray(self.A_host.real.astype(rdt)),
                     jnp.asarray(self.A_host.imag.astype(rdt)))
-            elif self._input_c64_exact:
-                # widen the existing c64 device copy — exact, zero transfer
+            elif self._input_c64_exact or self.A_host is None:
+                # widen the existing c64 device copy — exact for c64/f32
+                # inputs, and for a device-resident operand the device copy
+                # IS the best available data (no host original exists)
                 widen = jax.jit(lambda a: (a.real.astype(rdt),
                                            a.imag.astype(rdt)))
                 re64, im64 = widen(self.A)
@@ -629,8 +717,14 @@ class MausSolver:
         # system, not its c64 rounding. The A planes are transferred once and
         # cached (_get_A64); b is small.
         rdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-        b_split = SplitComplex(jnp.asarray(self.b_host.real.astype(rdt)),
-                               jnp.asarray(self.b_host.imag.astype(rdt)))
+        if self.b_host is not None:
+            b_split = SplitComplex(jnp.asarray(self.b_host.real.astype(rdt)),
+                                   jnp.asarray(self.b_host.imag.astype(rdt)))
+        else:
+            # device-resident rhs: widen on device (exact — b is held in the
+            # working dtype)
+            b_split = SplitComplex(*jax.jit(
+                lambda v: (v.real.astype(rdt), v.imag.astype(rdt)))(self.b))
         n = self.knowledge.shape[-1]
         from ..ops.pallas.slice_residual import fused_ok
         if self._input_c64_exact and jax.config.jax_enable_x64 and \

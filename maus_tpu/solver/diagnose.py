@@ -277,6 +277,50 @@ def _structure_probe(Ad):
     return float(out[0]), float(out[1]), int(nnz)
 
 
+_nnz_jit = None
+_svd_probe_jit = None
+
+
+def _nnz_probe_dev(Ad) -> int:
+    """Device nnz count (rectangular operands — no host copy exists)."""
+    global _nnz_jit
+    import jax
+    import jax.numpy as jnp
+
+    if _nnz_jit is None:
+        _nnz_jit = jax.jit(
+            lambda a: jnp.sum((jnp.abs(a) > 1e-12).astype(jnp.int32)))
+    return int(_nnz_jit(Ad))
+
+
+def _svd_probe_dev(Ad) -> np.ndarray:
+    """Singular-value sketch entirely on device: exact (jnp.linalg.svd) for
+    small operands, randomized range-finder + small SVD above 512. Returns a
+    descending f64 host vector (real readback is fine on this runtime; only
+    complex cannot cross)."""
+    global _svd_probe_jit
+    import jax
+    import jax.numpy as jnp
+
+    if _svd_probe_jit is None:
+        @jax.jit
+        def probe(a):
+            with jax.default_matmul_precision("highest"):
+                m_, n_ = a.shape
+                k_ = min(m_, n_)
+                if k_ <= 512:
+                    s = jnp.linalg.svd(a, compute_uv=False)
+                else:
+                    key = jax.random.PRNGKey(1)
+                    G = jax.random.normal(key, (n_, min(64, k_)),
+                                          jnp.float32).astype(a.dtype)
+                    Q, _ = jnp.linalg.qr(a @ G)
+                    s = jnp.linalg.svd(jnp.conj(Q.T) @ a, compute_uv=False)
+                return s.real.astype(jnp.float32)
+        _svd_probe_jit = probe
+    return np.asarray(_svd_probe_jit(Ad), np.float64)
+
+
 def _chol_ok_dev(Ad) -> bool:
     global _chol_jit
     import jax
@@ -331,12 +375,28 @@ def diagnose(A, problem_type: ProblemType,
     (:func:`estimate_cond_device`) instead of host LAPACK.
     ``device_planes``: optional (re64, im64) full-precision device planes —
     structure checks then run on the exact data. ``device_exact``: the c64
-    device copy IS the user's exact data (float32/complex64 input)."""
-    was_sparse = hasattr(A, "toarray")
-    Ad = _to_dense_numpy(A)
-    if Ad.ndim != 2:
-        raise ValueError(f"expected a 2-D operand, got shape {Ad.shape}")
-    m, n = Ad.shape
+    device copy IS the user's exact data (float32/complex64 input).
+
+    ``A=None``: DEVICE-RESIDENT diagnosis — the operand exists only as
+    ``device_operand`` (complex arrays cannot cross the host boundary on this
+    TPU runtime, and fetching a large operand over the ~70 MB/s tunnel would
+    dominate construction); every probe runs on device."""
+    if A is None:
+        if device_operand is None:
+            raise ValueError("diagnose needs either a host operand or "
+                             "device_operand")
+        was_sparse = False
+        Ad = None
+        if device_operand.ndim != 2:
+            raise ValueError(f"expected a 2-D operand, got shape "
+                             f"{device_operand.shape}")
+        m, n = device_operand.shape
+    else:
+        was_sparse = hasattr(A, "toarray")
+        Ad = _to_dense_numpy(A)
+        if Ad.ndim != 2:
+            raise ValueError(f"expected a 2-D operand, got shape {Ad.shape}")
+        m, n = Ad.shape
     big = m * n > 10_000_000
     is_hermitian = False
     is_complex_symmetric = False
@@ -357,7 +417,7 @@ def diagnose(A, problem_type: ProblemType,
         # where a misclassification risk from c64 rounding does not arise
         # because the host check below would see the same values anyway —
         # prefer the device probe (one program, no 0.3 s host scans)
-        if device_exact:
+        if device_exact or Ad is None:
             dh, ds, nnz = _structure_probe(device_operand)
             is_hermitian = dh <= 1e-9
             if not is_hermitian:
@@ -384,6 +444,10 @@ def diagnose(A, problem_type: ProblemType,
         # real eigenvalues — classify as general (correct, just not
         # fast-pathed). Density still comes from the device count.
         _, _, nnz = _structure_probe(device_operand)
+    elif Ad is None:
+        # rectangular device-resident operand (SVD): density from a device
+        # count, structure flags stay False (not meaningful off-square)
+        nnz = _nnz_probe_dev(device_operand)
     else:
         nnz = int(np.count_nonzero(np.abs(Ad) > 1e-12))
         if m == n and not big:                  # densify guard (AMS:390-395)
@@ -399,8 +463,13 @@ def diagnose(A, problem_type: ProblemType,
     density = nnz / max(1, m * n)
     is_sparse = was_sparse or density < sparse_density_threshold
 
-    if device_operand is not None and max(m, n) > 512 and m == n:
+    if device_operand is not None and m == n and (max(m, n) > 512
+                                                  or Ad is None):
         cond = estimate_cond_device(device_operand)
+    elif Ad is None:
+        # rectangular device-resident operand: σ ratio from the device sketch
+        s = _svd_probe_dev(device_operand)
+        cond = float(s[0] / s[-1]) if s[-1] > 0 else np.inf
     else:
         cond = estimate_cond(Ad)
     is_singular = (not np.isfinite(cond)) or cond > 1e15
@@ -410,7 +479,9 @@ def diagnose(A, problem_type: ProblemType,
         # cheap rank probe from a few power iterations' worth of singular values:
         # exact for small operands, top-k randomized sketch otherwise
         k = min(m, n)
-        if k <= 512:
+        if Ad is None:
+            s = _svd_probe_dev(device_operand)
+        elif k <= 512:
             s = np.linalg.svd(Ad, compute_uv=False)
         else:
             rng_ = np.random.default_rng(1)
