@@ -209,3 +209,62 @@ class TestRefineSplit:
         x0 = to_device_complex(np.zeros_like(b), jnp.complex64)
         xs, rel = refine_split(A64, fac, b64, x0, steps=30, tol=1e-12)
         assert float(rel) < 1e-10
+
+
+class TestHostRefactorOnChip:
+    """Round-3 machinery on real hardware: host-mediated refactorization and
+    the c64-exact hi-only fused refinement path (the 16k enablers), exercised
+    at the tier's small shape — same code paths, bounded compile cost."""
+
+    def test_host_refactor_solve(self):
+        import maus_tpu
+        from maus_tpu.core.types import ProblemType, SolverConfig
+
+        A, b = _host_problem(seed=7, cond=1e3)
+        cfg = SolverConfig(problem_type=ProblemType.SOLVE_LINEAR_SYSTEM,
+                           num_candidates=K, tol=1e-8,
+                           convergence_floor=1e-4, host_refactor=True)
+        s = maus_tpu.MausSolver(A, ProblemType.SOLVE_LINEAR_SYSTEM,
+                                b_vector=b, config=cfg)
+        rep = s.evolve(40)
+        assert rep.residuals and rep.residuals[0] < 1e-8
+
+    def test_c64exact_hi_only_refinement(self):
+        """refine_split_c64exact on chip: hi-only digit triple, fused kernel,
+        no f64 planes. N=256 is the kernel's minimum tile shape."""
+        from maus_tpu.ops.batched_solve import factor_qr
+        from maus_tpu.ops.refine import SplitComplex, refine_split_c64exact
+        from maus_tpu.utils.xfer import to_device_complex
+
+        n = 256
+        rng = np.random.default_rng(11)
+        q1, _ = np.linalg.qr(rng.standard_normal((n, n))
+                             + 1j * rng.standard_normal((n, n)))
+        q2, _ = np.linalg.qr(rng.standard_normal((n, n))
+                             + 1j * rng.standard_normal((n, n)))
+        sv = np.logspace(0, -3, n)
+        A = ((q1 * sv[None, :]) @ q2.conj().T).astype(np.complex64)
+        x_true = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        b = A.astype(np.complex128) @ x_true
+        Ad = to_device_complex(A, jnp.complex64)
+        fac = factor_qr(Ad)
+        b64 = SplitComplex(jnp.asarray(b.real), jnp.asarray(b.imag))
+        x0 = to_device_complex(np.zeros_like(b), jnp.complex64)
+        xs, rel = refine_split_c64exact(Ad, fac, b64, x0, steps=30, tol=1e-12)
+        assert float(rel) < 1e-10
+
+    def test_device_resident_operand_solve(self):
+        """A jax.Array operand goes through MausSolver with zero host
+        round-trip (device diagnosis + device rhs)."""
+        import maus_tpu
+        from maus_tpu.core.types import ProblemType
+        from maus_tpu.utils.xfer import to_device_complex
+
+        A, b = _host_problem(seed=8, cond=1e3)
+        Ad = to_device_complex(A, jnp.complex64)
+        bd = to_device_complex(b, jnp.complex64)
+        s = maus_tpu.MausSolver(Ad, ProblemType.SOLVE_LINEAR_SYSTEM,
+                                b_vector=bd, initial_num_candidates=K)
+        assert s.A_host is None and s.b_host is None
+        rep = s.evolve(40)
+        assert rep.residuals and rep.residuals[0] < 1e-8
