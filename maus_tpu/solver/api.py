@@ -450,6 +450,17 @@ class MausSolver:
             from ..utils.checkpoint import save_state
             save_state(checkpoint_path, carry)
 
+        if cfg.problem_type == ProblemType.SOLVE_LINEAR_SYSTEM and \
+                carry.fac is not None and self._fac_cache is None:
+            # reuse the evolve loop's carried factorization as refinement's
+            # correction-solve preconditioner instead of building a second
+            # O(N³) QR (at 16384² that second QR costs ~10 s). Its Ψ shift is
+            # at most the escalation rung the run ended on — a slightly
+            # larger shift only slows the IR contraction, never fakes it
+            # (residuals are certified against the ORIGINAL operand), and
+            # the GMRES-IR escalation still engages on stall.
+            self._fac_cache = carry.fac
+
         pop, strat = carry.pop, carry.strat
         if cfg.problem_type == ProblemType.SVD:
             # the run's final view of the effective rank (re-derived on device
