@@ -65,7 +65,18 @@ def load_state(path: str, template):
         for n in files:
             if n.startswith("leaf_"):
                 idxs.add(int(n[5:9]))
-        if len(idxs) != len(t_leaves):
+        legacy_pad = False
+        if len(idxs) == len(t_leaves) - 1 and \
+                idxs == set(range(len(t_leaves) - 1)) and \
+                np.shape(t_leaves[-1]) == () and \
+                not jnp.issubdtype(
+                    getattr(t_leaves[-1], "dtype", np.float32),
+                    jnp.complexfloating):
+            # round-3 carry format: EvolveCarry gained a trailing scalar
+            # (refactor_psi, 0 = no pending host refactorization). A file
+            # written before the field resumes exactly by defaulting it.
+            legacy_pad = True
+        elif len(idxs) != len(t_leaves):
             raise ValueError(
                 f"checkpoint has {len(idxs)} leaves, template expects "
                 f"{len(t_leaves)} — config/shape mismatch")
@@ -74,6 +85,9 @@ def load_state(path: str, template):
             want_dtype = jnp.asarray(want).dtype if not hasattr(want, "dtype") \
                 else want.dtype
             want_shape = tuple(np.shape(want))
+            if legacy_pad and i == len(t_leaves) - 1:
+                out.append(jnp.zeros((), want_dtype))
+                continue
             tag = f"leaf_{i:04d}"
             if jnp.issubdtype(want_dtype, jnp.complexfloating):
                 if f"{tag}_re" in files:

@@ -46,6 +46,31 @@ class TestCheckpoint:
         np.testing.assert_array_equal(np.asarray(ref.pop.status),
                                       np.asarray(loaded.pop.status))
 
+    def test_legacy_carry_without_refactor_psi_resumes(self, tmp_path):
+        """A checkpoint written before EvolveCarry gained its trailing
+        refactor_psi scalar loads against the new template with the field
+        defaulted to 0 (no pending host refactorization)."""
+        A_h, b_h = gen.well_conditioned_system(32, seed=0)
+        s = maus_tpu.MausSolver(A_h, ProblemType.SOLVE_LINEAR_SYSTEM,
+                                b_vector=b_h, initial_num_candidates=8)
+        cfg, kn = s.config, s.knowledge
+        carry = ev.init_carry(cfg, kn, s.A, s._key)
+        path = str(tmp_path / "legacy.npz")
+        checkpoint.save_state(path, carry)
+        # strip the final leaf (refactor_psi) to simulate the old format
+        with np.load(path) as data:
+            arrays = {k: data[k] for k in data.files}
+        n_leaves = len(jax.tree.leaves(carry))
+        last = f"leaf_{n_leaves - 1:04d}"
+        assert last in arrays
+        del arrays[last]
+        np.savez(path, **arrays)
+        template = ev.init_carry(cfg, kn, s.A, s._key)
+        loaded = checkpoint.load_state(path, template)
+        assert float(loaded.refactor_psi) == 0.0
+        np.testing.assert_array_equal(np.asarray(loaded.pop.v),
+                                      np.asarray(carry.pop.v))
+
     def test_shape_mismatch_fails_loudly(self, tmp_path):
         path = str(tmp_path / "bad.npz")
         checkpoint.save_state(path, {"a": np.zeros(3)})
