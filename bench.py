@@ -96,16 +96,8 @@ def main():
     import jax
 
     jax.config.update("jax_enable_x64", True)   # f64 for split-residual refinement
-    if jax.default_backend() != "cpu":
-        # persistent compilation cache (probed: works with the axon backend,
-        # warmup 116 s → 17.5 s at 2048²): the remote compile helper takes
-        # 20-120 s per distinct shape and is flaky at very large shapes — a
-        # banked successful compile never re-runs
-        import os as _os
-        _cache = _os.path.expanduser("~/.cache/jax_comp_cache")
-        _os.makedirs(_cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", _cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    from maus_tpu.utils.compile_cache import enable as enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from maus_tpu.core.types import (ProblemKnowledge, ProblemType, SolverConfig)
@@ -193,14 +185,10 @@ def main():
             carry0 = ev.init_carry(cfg, kn, A, key)
             while True:
                 carry, x0 = _evolve(A, b, key, carry0)
-                rp = float(carry.refactor_psi)
-                if rp == 0.0:
+                nxt = api_mod.resolve_refactor_carry(A, carry)
+                if nxt is None:
                     break
-                carry0 = carry._replace(
-                    fac=api_mod._host_refactor_program(
-                        A, jnp.asarray(rp, jnp.float32), False),
-                    psi_cached=jnp.asarray(rp, jnp.float32),
-                    refactor_psi=jnp.zeros((), jnp.float32))
+                carry0 = nxt
             xs, rel = _refine_prog(A, carry.fac, b64, x0,
                                    cfg.max_refine_steps, tol * 0.3)
             return rel, carry.iteration

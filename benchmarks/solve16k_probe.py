@@ -30,23 +30,19 @@ def main():
     ap.add_argument("--tol", type=float, default=1e-8)
     args = ap.parse_args()
 
-    import os
-
     import jax
     jax.config.update("jax_enable_x64", True)
-    if jax.default_backend() != "cpu":
-        # persistent compile cache: the remote helper is flaky at 16k shapes —
-        # bank each successful compile so a retry loop converges
-        cache = os.path.expanduser("~/.cache/jax_comp_cache")
-        os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
     import numpy as np
 
     import pathlib
     import sys
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    from maus_tpu.utils.compile_cache import enable as enable_compile_cache
+
+    # persistent compile cache: the remote helper is flaky at 16k shapes —
+    # bank each successful compile so a retry loop converges
+    enable_compile_cache()
     from bench import _device_problem
     from maus_tpu.core.types import ProblemKnowledge, ProblemType, SolverConfig
     from maus_tpu.ops.refine import SplitComplex, refine_split_c64exact
@@ -103,15 +99,11 @@ def main():
         hosted = 0
         while True:
             carry, x0 = _evolve(A, b, key, carry0)
-            rp = float(carry.refactor_psi)
-            if rp == 0.0:
+            nxt = api_mod.resolve_refactor_carry(A, carry)
+            if nxt is None:
                 break
             hosted += 1
-            carry0 = carry._replace(
-                fac=api_mod._host_refactor_program(A, jnp.asarray(
-                    rp, jnp.float32), False),
-                psi_cached=jnp.asarray(rp, jnp.float32),
-                refactor_psi=jnp.zeros((), jnp.float32))
+            carry0 = nxt
         b64 = _widen_b(b)
         xs, rel = _refine(A, carry.fac, b64, x0, cfg.max_refine_steps,
                           tol * 0.3)

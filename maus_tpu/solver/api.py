@@ -86,6 +86,21 @@ def _finite_probe_dev(a) -> bool:
     return bool(_finite_probe_jit(a))
 
 
+def _widen_wide_rhs(b_vector):
+    """Full-precision split planes of a device rhs whose dtype is WIDER than
+    the working dtype (f64 real / c128) — refinement must certify against the
+    user's b, not its working-dtype rounding (the host path keeps b_host as
+    complex128 for exactly this). Returns None when the working-dtype cast is
+    exact (f32/c64 inputs) or x64 is off."""
+    dt = b_vector.dtype
+    if not jax.config.jax_enable_x64 or dt not in (np.dtype(np.float64),
+                                                   np.dtype(np.complex128)):
+        return None
+    re64, im64 = jax.jit(lambda v: (v.real.astype(jnp.float64),
+                                    v.imag.astype(jnp.float64)))(b_vector)
+    return SplitComplex(re64, im64)
+
+
 def _stage_operand(matrix, problem_type: ProblemType, compute_dtype):
     """Shared operand staging for construction AND mid-run swaps
     (``update_problem``, AMS:645-652 — the swap must keep constructor parity:
@@ -110,10 +125,21 @@ def _stage_operand(matrix, problem_type: ProblemType, compute_dtype):
     """
     if isinstance(matrix, jax.Array) and not hasattr(matrix, "toarray") \
             and _device_staging_ok():
+        if matrix.ndim != 2:
+            raise ValueError(f"expected a 2-D operand, got shape "
+                             f"{matrix.shape}")
         dt = matrix.dtype
         exact = dt in (np.dtype(np.float32), np.dtype(np.complex64))
         prefetched = None
         if jnp.issubdtype(dt, jnp.complexfloating):
+            if dt == np.dtype(np.complex128) and jax.config.jax_enable_x64:
+                # wide complex device input (CPU/forced-staging paths — the
+                # TPU runtime cannot hold c128): prefetch the full-precision
+                # planes so refinement targets the user's operand, not its
+                # working-dtype rounding
+                prefetched = jax.jit(
+                    lambda a: (a.real.astype(jnp.float64),
+                               a.imag.astype(jnp.float64)))(matrix)
             A_dev = matrix if dt == compute_dtype \
                 else _cast_dev(matrix, compute_dtype)
         elif dt == np.dtype(np.float64) and jax.config.jax_enable_x64:
@@ -242,6 +268,21 @@ def _host_refactor_program(A, psi, hpd: bool):
     return _host_refactor_hpd(A, psi) if hpd else _host_refactor_qr(A, psi)
 
 
+def resolve_refactor_carry(A, carry, hpd: bool = False):
+    """ONE implementation of the host-refactor handoff protocol, shared by
+    ``MausSolver`` and the bench/probe drivers: when the evolve loop exited
+    with ``carry.refactor_psi`` set, rebuild the shared factorization at that
+    Ψ in a standalone program and return the carry ready for re-entry;
+    ``None`` when no refactorization is pending."""
+    rp = float(carry.refactor_psi)
+    if rp == 0.0:
+        return None
+    fac = _host_refactor_program(A, jnp.asarray(rp, jnp.float32), hpd)
+    return carry._replace(fac=fac,
+                          psi_cached=jnp.asarray(rp, jnp.float32),
+                          refactor_psi=jnp.zeros((), jnp.float32))
+
+
 class MausSolver:
     """Population-based meta-heuristic matrix solver (TPU-native MAUS)."""
 
@@ -329,6 +370,7 @@ class MausSolver:
             self.A = _cast_dev(A_dev, jnp.dtype(config.dtype))
         self.b = None
         self.b_host = None
+        self._b64_dev = None   # wide device rhs planes (see _widen_wide_rhs)
         if problem_type == ProblemType.SOLVE_LINEAR_SYSTEM:
             if b_vector is None:
                 raise ValueError("SOLVE_LINEAR_SYSTEM requires b_vector")
@@ -338,6 +380,7 @@ class MausSolver:
                 if b_vector.shape != (n,):
                     raise ValueError(f"b_vector shape {b_vector.shape} does "
                                      f"not match matrix ({n},)")
+                self._b64_dev = _widen_wide_rhs(b_vector)
                 self.b = _cast_dev(b_vector, jnp.dtype(config.dtype))
                 if not _finite_probe_dev(self.b):
                     raise ValueError("b_vector contains non-finite entries")
@@ -401,9 +444,11 @@ class MausSolver:
                         f"b_vector shape {b_vector.shape} does not match "
                         f"matrix ({self.knowledge.shape[-1]},)")
                 self.b_host = None
+                self._b64_dev = _widen_wide_rhs(b_vector)
                 self.b = _cast_dev(b_vector, jnp.dtype(self.config.dtype))
             else:
                 self.b_host = np.asarray(b_vector).astype(np.complex128)
+                self._b64_dev = None
                 if self.config.problem_type == ProblemType.SOLVE_LINEAR_SYSTEM \
                         and self.b_host.shape != (self.knowledge.shape[-1],):
                     raise ValueError(
@@ -454,12 +499,18 @@ class MausSolver:
                 carry.fac is not None and self._fac_cache is None:
             # reuse the evolve loop's carried factorization as refinement's
             # correction-solve preconditioner instead of building a second
-            # O(N³) QR (at 16384² that second QR costs ~10 s). Its Ψ shift is
-            # at most the escalation rung the run ended on — a slightly
-            # larger shift only slows the IR contraction, never fakes it
-            # (residuals are certified against the ORIGINAL operand), and
-            # the GMRES-IR escalation still engages on stall.
-            self._fac_cache = carry.fac
+            # O(N³) QR (at 16384² that second QR costs ~10 s) — but ONLY
+            # while its Ψ shift is provably harmless: IR contracts per step
+            # by an extra ψ/(σ_min+ψ), so require ψ ≲ 1e-3·σ_min, i.e.
+            # aggression·psi_base ≤ 1e-3/κ with zero frustration rungs (a
+            # frustrated run's ψ approaches ε·‖A‖ and would stall refinement
+            # where a fresh psi_base QR converges).
+            cond_k = self.knowledge.cond_estimate
+            cond_k = float(cond_k) if np.isfinite(cond_k) else 1e15
+            aggr_cap = max(1.5, 1e-3 / (cfg.psi_base * cond_k))
+            if float(carry.strat.frustration) == 0.0 and \
+                    float(carry.strat.psi_aggression) <= aggr_cap:
+                self._fac_cache = carry.fac
 
         pop, strat = carry.pop, carry.strat
         if cfg.problem_type == ProblemType.SVD:
@@ -529,15 +580,8 @@ class MausSolver:
         inside the loop's lax.cond — XLA's 16 MB scoped-VMEM branch cap) and
         return the carry ready for re-entry. Returns None when no
         refactorization is pending."""
-        rp = float(carry.refactor_psi)
-        if rp == 0.0:
-            return None
-        fac = _host_refactor_program(
-            self.A, jnp.asarray(rp, jnp.float32),
-            bool(self.knowledge.is_positive_definite))
-        return carry._replace(fac=fac,
-                              psi_cached=jnp.asarray(rp, jnp.float32),
-                              refactor_psi=jnp.zeros((), jnp.float32))
+        return resolve_refactor_carry(
+            self.A, carry, hpd=bool(self.knowledge.is_positive_definite))
 
     def _while_hosted(self, max_iterations: int, carry0):
         """evolve_while + host-refactor resolution loop."""
@@ -547,6 +591,7 @@ class MausSolver:
             # program: inlined into the while-loop program its peak stacks on
             # the double-buffered Q,R carry and overflows HBM at 16384²
             carry0 = evolve_mod.init_carry(cfg, kn, self.A, self._key)
+        seen_handoffs = set()
         while True:
             carry, metrics = evolve_mod.evolve_while(
                 cfg, kn, self.A, self.b, self._key, max_iterations,
@@ -554,45 +599,60 @@ class MausSolver:
             nxt = self._resolve_refactor(carry)
             if nxt is None:
                 return carry, metrics
-            if carry0 is not None and \
-                    int(nxt.iteration) == int(carry0.iteration) and \
-                    float(carry.refactor_psi) == float(carry0.psi_cached):
+            # progress guard: every re-entry must advance the iteration
+            # counter or request a DIFFERENT Ψ at it. A repeated
+            # (iteration, Ψ) handoff means the pure-recomputation assumption
+            # broke (the bug class this detects) and the loop would spin
+            # forever rebuilding the same factorization.
+            handoff = (int(carry.iteration), float(carry.refactor_psi))
+            if handoff in seen_handoffs:
                 raise RuntimeError(
-                    "host refactorization loop made no progress (requested "
-                    "the Ψ it already has) — this is a bug, please report")
+                    "host refactorization loop made no progress (repeated "
+                    f"handoff at iteration {handoff[0]}, Ψ={handoff[1]:g}) — "
+                    "this is a bug, please report")
+            seen_handoffs.add(handoff)
             carry0 = nxt
 
     def _scan_hosted(self, num_iterations: int, carry0):
-        """evolve_scan + host-refactor resolution. Re-entry runs a scan of the
-        REMAINING length (one compile per distinct remaining length — rare:
-        only when the Ψ rung actually moves mid-run) and the metric chunks are
-        concatenated, zero-row padding preserved exactly as the single-entry
-        scan would have produced past the stop condition."""
+        """evolve_scan + host-refactor resolution. Every re-entry uses the
+        SAME static scan length plus a traced total-iteration bound, so the
+        whole hosted run costs one compiled program; metric chunks are
+        trimmed to their executed rows and concatenated — identical rows
+        (including trailing frozen zero-rows) to a single uninterrupted
+        scan."""
         import jax as _jax
         cfg, kn = self.config, self.knowledge
         if carry0 is None and cfg.host_refactor:
             # see _while_hosted: keep the one-time QR out of the loop program
             carry0 = evolve_mod.init_carry(cfg, kn, self.A, self._key)
+        start0 = 0 if carry0 is None else int(carry0.iteration)
+        bound = jnp.asarray(start0 + num_iterations, jnp.int32)
         chunks = []
-        remaining = num_iterations
+        seen_handoffs = set()
         while True:
             start_iter = 0 if carry0 is None else int(carry0.iteration)
             carry, m = evolve_mod.evolve_scan(
-                cfg, kn, self.A, self.b, self._key, remaining,
-                self.target_solutions, carry0=carry0)
+                cfg, kn, self.A, self.b, self._key, num_iterations,
+                self.target_solutions, carry0=carry0, iteration_bound=bound)
             nxt = self._resolve_refactor(carry)
             if nxt is None:
-                chunks.append(m)
+                # final chunk: keep exactly the rows this entry was
+                # responsible for (rows past them are bound-frozen zeros)
+                keep = num_iterations - (start_iter - start0)
+                chunks.append(_jax.tree.map(lambda x: x[:keep], m))
                 break
             # the flagged iteration froze itself and everything after it:
             # keep only the rows that actually executed; the rest re-run
             # (post-refactor) in the next chunk, so total rows stay exact
             done = int(carry.iteration) - start_iter
             chunks.append(_jax.tree.map(lambda x: x[:done], m))
-            remaining -= done
-            if remaining <= 0:   # unreachable (the frozen row never counts)
-                chunks.append(_jax.tree.map(lambda x: x[done:done], m))
-                break
+            handoff = (int(carry.iteration), float(carry.refactor_psi))
+            if handoff in seen_handoffs:
+                raise RuntimeError(
+                    "host refactorization loop made no progress (repeated "
+                    f"handoff at iteration {handoff[0]}, Ψ={handoff[1]:g}) — "
+                    "this is a bug, please report")
+            seen_handoffs.add(handoff)
             carry0 = nxt
         if len(chunks) == 1:
             return carry, chunks[0]
@@ -731,9 +791,12 @@ class MausSolver:
         if self.b_host is not None:
             b_split = SplitComplex(jnp.asarray(self.b_host.real.astype(rdt)),
                                    jnp.asarray(self.b_host.imag.astype(rdt)))
+        elif self._b64_dev is not None:
+            # the user's rhs was WIDER than the working dtype: certify
+            # against its prefetched full-precision planes
+            b_split = self._b64_dev
         else:
-            # device-resident rhs: widen on device (exact — b is held in the
-            # working dtype)
+            # device-resident rhs in the working dtype: widening is exact
             b_split = SplitComplex(*jax.jit(
                 lambda v: (v.real.astype(rdt), v.imag.astype(rdt)))(self.b))
         n = self.knowledge.shape[-1]

@@ -463,13 +463,19 @@ def diagnose(A, problem_type: ProblemType,
     density = nnz / max(1, m * n)
     is_sparse = was_sparse or density < sparse_density_threshold
 
+    dev_sketch = None   # device σ sketch, computed at most once
     if device_operand is not None and m == n and (max(m, n) > 512
                                                   or Ad is None):
         cond = estimate_cond_device(device_operand)
     elif Ad is None:
-        # rectangular device-resident operand: σ ratio from the device sketch
-        s = _svd_probe_dev(device_operand)
-        cond = float(s[0] / s[-1]) if s[-1] > 0 else np.inf
+        # rectangular device-resident operand: σ ratio from the device
+        # sketch. Above min(m,n)=512 the sketch captures only the top ~64
+        # σ's, so this is a LOWER bound on κ — it can miss singularity; for
+        # SVD (the only rectangular consumer) misclassification only softens
+        # the initial Ψ aggression, which the strategy loop re-adapts.
+        dev_sketch = _svd_probe_dev(device_operand)
+        cond = float(dev_sketch[0] / dev_sketch[-1]) \
+            if dev_sketch[-1] > 0 else np.inf
     else:
         cond = estimate_cond(Ad)
     is_singular = (not np.isfinite(cond)) or cond > 1e15
@@ -480,7 +486,8 @@ def diagnose(A, problem_type: ProblemType,
         # exact for small operands, top-k randomized sketch otherwise
         k = min(m, n)
         if Ad is None:
-            s = _svd_probe_dev(device_operand)
+            s = dev_sketch if dev_sketch is not None \
+                else _svd_probe_dev(device_operand)
         elif k <= 512:
             s = np.linalg.svd(Ad, compute_uv=False)
         else:

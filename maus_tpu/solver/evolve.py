@@ -435,9 +435,16 @@ def evolve_scan(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
                 target_solutions: int,
                 carry0: Optional[EvolveCarry] = None, mesh=None,
                 dist_block: int = 128,
-                hess0=None) -> tuple[EvolveCarry, Metrics]:
+                hess0=None,
+                iteration_bound=None) -> tuple[EvolveCarry, Metrics]:
     """Fixed-length run returning stacked per-iteration metrics (frozen once the
-    stop condition hits, so trailing iterations are cheap no-ops)."""
+    stop condition hits, so trailing iterations are cheap no-ops).
+
+    ``iteration_bound``: optional TRACED total-iteration cap — iterations
+    freeze once ``carry.iteration`` reaches it. The host-refactor driver
+    re-enters with the SAME static ``num_iterations`` and this bound, so
+    every re-entry reuses one compiled program (a static remaining-length
+    would recompile per handoff — 20-120 s each on this backend)."""
     if hess0 is not None:
         # caller pre-built the (possibly distributed) Hessenberg form — e.g.
         # eig(mesh=) builds it once and reuses it for the finisher
@@ -457,6 +464,8 @@ def evolve_scan(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
         done = _stop_condition(cfg, target_solutions, carry) | \
             (carry.refactor_psi != 0.0)   # host-refactor handoff: freeze until
                                           # the host rebuilds the factorization
+        if iteration_bound is not None:
+            done = done | (carry.iteration >= iteration_bound)
 
         def frozen(c):
             return c, zero_metrics

@@ -22,7 +22,8 @@ import numpy as np
 
 from .xfer import to_device_complex, to_host_complex
 
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3   # v3: EvolveCarry gained the trailing refactor_psi scalar
+#                      (v2 files load with it defaulted; see load_state)
 
 
 def _is_complex(x) -> bool:
@@ -66,15 +67,16 @@ def load_state(path: str, template):
             if n.startswith("leaf_"):
                 idxs.add(int(n[5:9]))
         legacy_pad = False
-        if len(idxs) == len(t_leaves) - 1 and \
+        if version <= 2 and len(idxs) == len(t_leaves) - 1 and \
                 idxs == set(range(len(t_leaves) - 1)) and \
                 np.shape(t_leaves[-1]) == () and \
                 not jnp.issubdtype(
                     getattr(t_leaves[-1], "dtype", np.float32),
                     jnp.complexfloating):
-            # round-3 carry format: EvolveCarry gained a trailing scalar
-            # (refactor_psi, 0 = no pending host refactorization). A file
-            # written before the field resumes exactly by defaulting it.
+            # round-3 carry format (v3): EvolveCarry gained a trailing scalar
+            # (refactor_psi, 0 = no pending host refactorization). Only a
+            # pre-v3 file resumes by defaulting it — a v3 file missing its
+            # last leaf is truncated/corrupt and still fails loudly below.
             legacy_pad = True
         elif len(idxs) != len(t_leaves):
             raise ValueError(

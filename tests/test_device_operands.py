@@ -128,6 +128,60 @@ def test_device_update_problem(force_device_staging):
     assert r / np.linalg.norm(b) < 1e-7
 
 
+def test_device_wide_rhs_certified_against_user_b(force_device_staging):
+    """A float64/complex128 device rhs must be certified against ITS values,
+    not their working-dtype rounding (code-review r3 finding #1)."""
+    rng = _rng(9)
+    n = 64
+    A = ((rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n)))
+         / np.sqrt(n) + 2 * np.eye(n)).astype(np.complex64)
+    x_true = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    b128 = A.astype(np.complex128) @ x_true          # full-precision rhs
+    s = api_mod.MausSolver(jnp.asarray(A), ProblemType.SOLVE_LINEAR_SYSTEM,
+                           b_vector=jnp.asarray(b128),
+                           initial_num_candidates=8,
+                           global_convergence_tol=1e-12)
+    assert s._b64_dev is not None                    # wide planes kept
+    rep = s.evolve(60)
+    x = rep.solutions[0][0]
+    # residual against the USER's b — reachable only if refinement targeted
+    # the unrounded rhs (c64 rounding of b floors at ~1e-8 relative)
+    r = np.linalg.norm(A.astype(np.complex128) @ x - b128) \
+        / np.linalg.norm(b128)
+    assert r < 1e-12
+    assert rep.residuals[0] < 1e-12
+
+
+def test_device_c128_operand_prefetches_planes(force_device_staging):
+    """A complex128 device operand keeps full-precision planes for refinement
+    (code-review r3 finding #3; CPU/forced-staging path — TPU has no c128)."""
+    rng = _rng(10)
+    n = 48
+    A = (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))) \
+        / np.sqrt(n) + 2 * np.eye(n)
+    b = A @ (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    s = api_mod.MausSolver(jnp.asarray(A, jnp.complex128),
+                           ProblemType.SOLVE_LINEAR_SYSTEM,
+                           b_vector=jnp.asarray(b),
+                           initial_num_candidates=8,
+                           global_convergence_tol=1e-12)
+    assert s.A_host is None
+    assert s._A64_cache is not None
+    np.testing.assert_allclose(np.asarray(s._A64_cache.re), A.real,
+                               rtol=0, atol=0)
+    rep = s.evolve(60)
+    x = rep.solutions[0][0]
+    r = np.linalg.norm(A @ x - b) / np.linalg.norm(b)
+    assert r < 1e-12
+
+
+def test_1d_device_operand_clean_error(force_device_staging):
+    with pytest.raises(ValueError, match="2-D"):
+        api_mod.MausSolver(jnp.ones(8, jnp.complex64),
+                           ProblemType.SOLVE_LINEAR_SYSTEM,
+                           b_vector=np.ones(8))
+
+
 def test_nonfinite_device_operand_rejected(force_device_staging):
     A = np.eye(8, dtype=np.complex64)
     A[3, 3] = np.nan

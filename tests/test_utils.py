@@ -57,19 +57,27 @@ class TestCheckpoint:
         carry = ev.init_carry(cfg, kn, s.A, s._key)
         path = str(tmp_path / "legacy.npz")
         checkpoint.save_state(path, carry)
-        # strip the final leaf (refactor_psi) to simulate the old format
+        # strip the final leaf (refactor_psi) and mark the file as the v2
+        # format, simulating a checkpoint written before the field existed
         with np.load(path) as data:
             arrays = {k: data[k] for k in data.files}
         n_leaves = len(jax.tree.leaves(carry))
         last = f"leaf_{n_leaves - 1:04d}"
         assert last in arrays
         del arrays[last]
+        arrays["__version__"] = np.asarray(2, np.int64)
         np.savez(path, **arrays)
         template = ev.init_carry(cfg, kn, s.A, s._key)
         loaded = checkpoint.load_state(path, template)
         assert float(loaded.refactor_psi) == 0.0
         np.testing.assert_array_equal(np.asarray(loaded.pop.v),
                                       np.asarray(carry.pop.v))
+        # the SAME truncation in a current-format file is corruption and
+        # must stay loud (the pad is gated on the file's version stamp)
+        arrays["__version__"] = np.asarray(3, np.int64)
+        np.savez(path, **arrays)
+        with pytest.raises(ValueError, match="leaves"):
+            checkpoint.load_state(path, template)
 
     def test_shape_mismatch_fails_loudly(self, tmp_path):
         path = str(tmp_path / "bad.npz")
