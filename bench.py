@@ -130,9 +130,20 @@ def main():
 
     import functools
 
+    # MAUS_BENCH_C64EXACT=1: refine through the hi-only-triple path
+    # (refine_split_c64exact) instead of the widened-plane ladder. The bench
+    # operand is c64-exact, so both certify the same residual; the hi-only
+    # path skips the one-time ladder extraction (~24 ms at 4096²) at the cost
+    # of per-cert VPU digit re-extraction. A/B-able on hardware via
+    # benchmarks/run_hw_suite.sh; flip the default if it wins.
+    import os as _os
+    c64exact_mode = _os.environ.get("MAUS_BENCH_C64EXACT") == "1"
+
     if not host_mode:
-        A64 = SplitComplex(A.real.astype(jnp.float64),
-                           A.imag.astype(jnp.float64))
+        from maus_tpu.ops.refine import refine_split_c64exact
+
+        A64 = None if c64exact_mode else SplitComplex(
+            A.real.astype(jnp.float64), A.imag.astype(jnp.float64))
         b64 = SplitComplex(b.real.astype(jnp.float64),
                            b.imag.astype(jnp.float64))
 
@@ -145,8 +156,13 @@ def main():
             pop = carry.pop
             best = jnp.argmin(jnp.where(jnp.isfinite(pop.residual),
                                         pop.residual, jnp.inf))
-            xs, rel = refine_split(A64_, carry.fac, b64_, pop.v[best],
-                                   steps=steps, tol=tol_)
+            if A64_ is None:
+                xs, rel = refine_split_c64exact(A_, carry.fac, b64_,
+                                                pop.v[best], steps=steps,
+                                                tol=tol_)
+            else:
+                xs, rel = refine_split(A64_, carry.fac, b64_, pop.v[best],
+                                       steps=steps, tol=tol_)
             return xs, rel, carry.iteration
 
         def full_solve():

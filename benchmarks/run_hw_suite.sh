@@ -29,6 +29,9 @@ retry () {  # retry <name> <max_attempts> <timeout_s> <cmd...>
 
 # 1. headline bench (4096^2, writes the driver-format JSON line)
 retry bench4096 3 1800 python bench.py
+# 1b. A/B: hi-only-triple refinement (skips the one-time ladder extraction);
+#     flip bench.py's default if this wins the headline
+retry bench4096_c64exact 2 1800 env MAUS_BENCH_C64EXACT=1 python bench.py --no-mfu
 # 2. the 16384^2 end-to-end solve (STATUS round-3 measurement debt)
 retry solve16k 6 2400 python -u benchmarks/solve16k_probe.py --n 16384
 # 3. TPU hardware test tier
