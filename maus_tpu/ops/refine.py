@@ -474,6 +474,7 @@ def use_fused_sliced(A64: SplitComplex) -> bool:
         and not _slices_fit(A64)
 
 
+@functools.partial(jax.jit, static_argnames=("steps",))
 def refine_split_c64exact(A: jax.Array, fac: LUFactors, b, x0: jax.Array,
                           steps: int = 3, tol: float = 0.0
                           ) -> tuple[SplitComplex, jax.Array]:
