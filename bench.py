@@ -93,11 +93,32 @@ def main():
                     help="skip the per-kernel MFU/roofline scorecard")
     args = ap.parse_args()
 
+    import os
+    import threading
+
     import jax
 
     jax.config.update("jax_enable_x64", True)   # f64 for split-residual refinement
+
+    # Fail FAST (with a parseable JSON line) instead of hanging forever when
+    # the TPU tunnel is down: backend initialization on this runtime blocks
+    # indefinitely if the relay died (observed 2026-08-17), and a silent hang
+    # gives the driver nothing to record.
+    _backend_up = threading.Event()
+
+    def _watchdog():
+        if not _backend_up.wait(600):
+            print(json.dumps({
+                "metric": "bench_backend_init_timeout",
+                "value": -1, "unit": "s", "vs_baseline": 0.0,
+                "error": "TPU backend initialization exceeded 600s — "
+                         "tunnel/relay down?"}), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     from maus_tpu.utils.compile_cache import enable as enable_compile_cache
-    enable_compile_cache()
+    enable_compile_cache()              # first backend touch
+    _backend_up.set()
     import jax.numpy as jnp
 
     from maus_tpu.core.types import (ProblemKnowledge, ProblemType, SolverConfig)
