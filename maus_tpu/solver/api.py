@@ -292,6 +292,9 @@ class MausSolver:
                  config: Optional[SolverConfig] = None, seed: int = 0,
                  knowledge: Optional[ProblemKnowledge] = None):
         problem_type = ProblemType(problem_type)
+        from ..utils.compile_cache import enable_once
+        enable_once()   # bank 20-120 s remote compiles (no-op on CPU;
+        #                 opt out with MAUS_NO_COMPILE_CACHE=1)
         # Compute dtype is decided before diagnosis so the operand can move to
         # the device first — the condition estimate then runs on device for
         # large N (estimate_cond_device) instead of stalling on host LAPACK.

@@ -28,3 +28,29 @@ def enable(cache_dir: str = DEFAULT_DIR, min_compile_secs: int = 5) -> bool:
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       min_compile_secs)
     return True
+
+
+_auto_done = False
+
+
+def enable_once() -> None:
+    """Library-level auto-enable (MausSolver construction, accelerator
+    backends): compiles on this runtime cost 20-120 s each, so banking them
+    is almost always what the user wants. Opt out with
+    ``MAUS_NO_COMPILE_CACHE=1``; an explicit user-set cache dir is never
+    overridden."""
+    global _auto_done
+    if _auto_done:
+        return
+    _auto_done = True
+    if os.environ.get("MAUS_NO_COMPILE_CACHE") == "1":
+        return
+    try:
+        if jax.config.jax_compilation_cache_dir:
+            return      # user already configured one
+    except AttributeError:
+        pass
+    try:
+        enable()
+    except Exception:   # cache setup must never break a solve
+        pass
