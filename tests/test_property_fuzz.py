@@ -54,6 +54,32 @@ def test_solve_reaches_tol_and_reports_honestly(seed, kind):
         <= 1e-8 + 0.5 * true_rel
 
 
+@pytest.mark.parametrize("seed,kind", [(s, k) for s in (0,) for k in KINDS])
+def test_solve_device_staged_matches_host_staged(seed, kind, monkeypatch):
+    """Device-resident staging (round 3) across the structure draws: the
+    device-staged solve must reach tol with honest residuals exactly like the
+    host-staged one — diagnosis, refinement planes, and result assembly all
+    run on device in this mode."""
+    import jax.numpy as jnp
+
+    from maus_tpu.solver import api as api_mod
+    monkeypatch.setattr(api_mod, "_device_staging_ok", lambda: True)
+    rng = np.random.default_rng(seed + 20)
+    n = 48
+    A = _case_matrix(rng, n, kind).astype(np.complex64)
+    b = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64)
+    rep = maus_tpu.solve(jnp.asarray(A), jnp.asarray(b), tol=1e-8,
+                         max_iterations=60, num_candidates=8, seed=seed)
+    assert rep.converged, f"{kind}: device-staged did not converge"
+    x = rep.best()[0]
+    A128, b128 = A.astype(np.complex128), b.astype(np.complex128)
+    true_rel = np.linalg.norm(A128 @ x - b128) / np.linalg.norm(b128)
+    assert true_rel <= 1e-8, f"{kind}: true rel {true_rel}"
+    assert abs(rep.residuals[np.argmin(rep.residuals)] - true_rel) \
+        <= 1e-8 + 0.5 * true_rel
+
+
 @pytest.mark.parametrize("seed,kind", [(0, "general"), (1, "hermitian"),
                                        (0, "scaled_huge"), (1, "real")])
 def test_eig_pairs_match_lapack_spectrum(seed, kind):
