@@ -167,6 +167,12 @@ def _partials(tri: PlaneTriple, X, inv_sigma, *, tile_m: int, tile_k: int,
     comps = _COMPONENTS[:len(planes)]
     D = sum(nd for _, nd in comps)
     m, n = tri.hi.shape
+    if m % tile_m != 0 or n % tile_k != 0:
+        # floor-divided grids silently DROP trailing rows/columns of the
+        # contraction; fused_ok() gates the library call sites but direct
+        # callers with custom tiles must fail loudly
+        raise ValueError(f"operand {m}×{n} not divisible by tiles "
+                         f"({tile_m}, {tile_k})")
     grid = (m // tile_m, n // tile_k)
 
     def _tile(i, j):

@@ -54,7 +54,17 @@ class SplitComplex(NamedTuple):
                                self.im.astype(rdt)).astype(dtype)
 
     def norm(self) -> jax.Array:
-        return jnp.sqrt(jnp.sum(self.re * self.re + self.im * self.im, axis=-1))
+        # scaled form: the naive sum of squares overflows under the TPU's
+        # emulated f64 (f64 PRECISION, f32 RANGE — see _pow2_ceil) already
+        # for entries ~1e19, silently turning relative residuals into 0/inf.
+        # |z|/m ≤ 1 keeps the accumulation within any range. 1e-30 floor:
+        # the smallest guard that is itself f32-range-representable.
+        m = jnp.maximum(jnp.max(jnp.abs(self.re), axis=-1),
+                        jnp.max(jnp.abs(self.im), axis=-1))
+        safe = jnp.maximum(m, jnp.asarray(1e-30, self.re.dtype))
+        r = self.re / safe[..., None]
+        i = self.im / safe[..., None]
+        return safe * jnp.sqrt(jnp.sum(r * r + i * i, axis=-1))
 
 
 def split_matvec(A: SplitComplex, x: SplitComplex) -> SplitComplex:
@@ -241,6 +251,43 @@ def slice_split_matrix(A64: SplitComplex, mant_bits: int = 53,
     return SlicedMatrix(sl_re, sl_im, sigma)
 
 
+def _slice_x_cols(x: SplitComplex, sx: int, w: int):
+    """Slice the x-vector into the shared (N, 2·sx) bf16 column block + its
+    per-column f64 recombination scales (one implementation for the dense,
+    streamed, and sharded ladders)."""
+    f64 = jnp.float64
+    sxr, sig_xr = _slice_array(x.re, sx, w)          # (sx, N) bf16
+    sxi, sig_xi = _slice_array(x.im, sx, w)
+    X = jnp.concatenate([sxr, sxi], axis=0).T        # (N, 2sx) bf16
+    jpow = jnp.exp2(-w * (jnp.arange(sx, dtype=f64) + 1.0))
+    colscale = jnp.concatenate([sig_xr * jpow, sig_xi * jpow])   # (2sx,)
+    return X, colscale
+
+
+def _accumulate_ladder(sl_re, sl_im, X, sigma, colscale, acc,
+                       w: int = 5, sx: int = 12):
+    """Contract one ladder (sA, M, K) against the sliced x block (K, 2·sx)
+    and fold the exactly-scaled partials into the four f64 accumulators —
+    the ONE slice-GEMM recombination shared by the dense and streamed
+    residuals (the distributed path mirrors it per shard)."""
+    f64 = jnp.float64
+    arxr, arxi, aixr, aixi = acc
+    dn = (((1,), (0,)), ((), ()))
+    for k in range(sl_re.shape[0]):
+        kscale = sigma * (2.0 ** (-w * (k + 1)))
+        Yr = jax.lax.dot_general(sl_re[k], X, dn,
+                                 preferred_element_type=jnp.float32)
+        Yi = jax.lax.dot_general(sl_im[k], X, dn,
+                                 preferred_element_type=jnp.float32)
+        cr = Yr.astype(f64) * (colscale * kscale)[None, :]
+        ci = Yi.astype(f64) * (colscale * kscale)[None, :]
+        arxr = arxr + jnp.sum(cr[:, :sx], axis=-1)
+        arxi = arxi + jnp.sum(cr[:, sx:], axis=-1)
+        aixr = aixr + jnp.sum(ci[:, :sx], axis=-1)
+        aixi = aixi + jnp.sum(ci[:, sx:], axis=-1)
+    return arxr, arxi, aixr, aixi
+
+
 def _sliced_residual(sp: SlicedMatrix, x: SplitComplex, b: SplitComplex,
                      w: int = 5, sx: int = 12) -> SplitComplex:
     """r = b − A x via exact bf16 slice GEMMs (see module comment above).
@@ -249,44 +296,23 @@ def _sliced_residual(sp: SlicedMatrix, x: SplitComplex, b: SplitComplex,
     x-slicing is exact; per A-plane-slice one (N,N)@(N,2·sx) bf16→f32 GEMM.
     Bandwidth: sA passes over bf16 A-slices (half the bytes of one f32 A)."""
     f64 = jnp.float64
-    sxr, sig_xr = _slice_array(x.re, sx, w)          # (sx, N) bf16
-    sxi, sig_xi = _slice_array(x.im, sx, w)
-    X = jnp.concatenate([sxr, sxi], axis=0).T        # (N, 2sx) bf16
-    jpow = jnp.exp2(-w * (jnp.arange(sx, dtype=f64) + 1.0))
-    colscale = jnp.concatenate([sig_xr * jpow, sig_xi * jpow])   # (2sx,)
-
+    X, colscale = _slice_x_cols(x, sx, w)
     m_rows = sp.sl_re.shape[1]          # output length = operand rows
-    arxr = jnp.zeros((m_rows,), f64)
-    arxi = jnp.zeros((m_rows,), f64)
-    aixr = jnp.zeros((m_rows,), f64)
-    aixi = jnp.zeros((m_rows,), f64)
-    sA = sp.sl_re.shape[0]
-    dn = (((1,), (0,)), ((), ()))
-    for k in range(sA):
-        kscale = sp.sigma * (2.0 ** (-w * (k + 1)))
-        Yr = jax.lax.dot_general(sp.sl_re[k], X, dn,
-                                 preferred_element_type=jnp.float32)
-        Yi = jax.lax.dot_general(sp.sl_im[k], X, dn,
-                                 preferred_element_type=jnp.float32)
-        cr = Yr.astype(f64) * (colscale * kscale)[None, :]
-        ci = Yi.astype(f64) * (colscale * kscale)[None, :]
-        arxr = arxr + jnp.sum(cr[:, :sx], axis=-1)
-        arxi = arxi + jnp.sum(cr[:, sx:], axis=-1)
-        aixr = aixr + jnp.sum(ci[:, :sx], axis=-1)
-        aixi = aixi + jnp.sum(ci[:, sx:], axis=-1)
+    z = jnp.zeros((m_rows,), f64)
+    arxr, arxi, aixr, aixi = _accumulate_ladder(
+        sp.sl_re, sp.sl_im, X, sp.sigma, colscale, (z, z, z, z), w, sx)
     return SplitComplex(b.re - (arxr - aixi), b.im - (arxi + aixr))
 
 
 def streamed_panels(A64: SplitComplex, budget_bytes: float = 3e9) -> int:
     """Panel count for the STREAMED slice residual at sizes where the full
     ladder no longer fits (N ≳ 12k single-chip): only ladder/panels bytes of
-    bf16 slices are live at once. Panels must divide the column count."""
-    n = A64.re.shape[1]
+    bf16 slices are live at once. Purely memory-driven — panels need NOT
+    divide the column count (the last panel is simply narrower; the previous
+    smallest-divisor search degenerated to ~N one-column panels for prime or
+    2·prime N)."""
     total = 24 * 2 * A64.re.size
-    p = max(1, -(-total // int(budget_bytes)))
-    while n % p != 0:           # smallest divisor of n ≥ the memory-driven p
-        p += 1
-    return p
+    return max(1, -(-total // int(budget_bytes)))
 
 
 def use_streamed_sliced(A64: SplitComplex) -> bool:
@@ -310,49 +336,32 @@ def _sliced_residual_streamed(A64: SplitComplex, x: SplitComplex,
     (VERDICT r2 #4): the operand's columns are processed in ``panels``
     chunks under ONE global power-of-two scale — each chunk's bf16 ladder is
     extracted, GEMM'd against the matching x-slice rows, accumulated in f64,
-    and freed (lax.fori_loop keeps exactly one panel's slices live). Identical
+    and freed (the unrolled loop keeps only one panel's slices live). Identical
     f64 result to :func:`_sliced_residual` (same grid, same exact products,
     f64 accumulation reordered by panel). ``sigma``: precomputed global scale
     (refinement hoists it — two full-plane emulated-f64 abs-max passes per
     call otherwise; it only depends on A)."""
     f64 = jnp.float64
     m_rows, n = A64.re.shape
-    per = n // panels
+    per = -(-n // panels)          # ceil: the last panel may be narrower
     if sigma is None:
         sigma = _pow2_ceil(jnp.maximum(jnp.max(jnp.abs(A64.re)),
                                        jnp.max(jnp.abs(A64.im))))
-    sxr, sig_xr = _slice_array(x.re, sx, w)          # (sx, N) bf16
-    sxi, sig_xi = _slice_array(x.im, sx, w)
-    X = jnp.concatenate([sxr, sxi], axis=0).T        # (N, 2sx) bf16
-    jpow = jnp.exp2(-w * (jnp.arange(sx, dtype=f64) + 1.0))
-    colscale = jnp.concatenate([sig_xr * jpow, sig_xi * jpow])   # (2sx,)
-    s = -(-mant_bits // w)
-    sA = 3 * (-(-s // 3))
-    dn = (((1,), (0,)), ((), ()))
-
-    def panel_body(p, acc):
-        arxr, arxi, aixr, aixi = acc
-        re_p = jax.lax.dynamic_slice(A64.re, (0, p * per), (m_rows, per))
-        im_p = jax.lax.dynamic_slice(A64.im, (0, p * per), (m_rows, per))
-        sl_re, sl_im = extract_ladder(re_p, im_p, sigma, mant_bits, w)
-        X_p = jax.lax.dynamic_slice(X, (p * per, 0), (per, 2 * sx))
-        for k in range(sA):
-            kscale = sigma * (2.0 ** (-w * (k + 1)))
-            Yr = jax.lax.dot_general(sl_re[k], X_p, dn,
-                                     preferred_element_type=jnp.float32)
-            Yi = jax.lax.dot_general(sl_im[k], X_p, dn,
-                                     preferred_element_type=jnp.float32)
-            cr = Yr.astype(f64) * (colscale * kscale)[None, :]
-            ci = Yi.astype(f64) * (colscale * kscale)[None, :]
-            arxr = arxr + jnp.sum(cr[:, :sx], axis=-1)
-            arxi = arxi + jnp.sum(cr[:, sx:], axis=-1)
-            aixr = aixr + jnp.sum(ci[:, :sx], axis=-1)
-            aixi = aixi + jnp.sum(ci[:, sx:], axis=-1)
-        return arxr, arxi, aixr, aixi
+    X, colscale = _slice_x_cols(x, sx, w)
 
     z = jnp.zeros((m_rows,), f64)
-    arxr, arxi, aixr, aixi = jax.lax.fori_loop(0, panels, panel_body,
-                                               (z, z, z, z))
+    acc = (z, z, z, z)
+    # statically unrolled — the panel count is memory-driven and small
+    # (~O(10)), so program size stays modest and the final panel is free to
+    # have its own (narrower) shape: equal panels when panels | n, otherwise
+    # a remainder panel (a divisor requirement degenerated for prime N)
+    for c0 in range(0, n, per):
+        c1 = min(c0 + per, n)
+        sl_re, sl_im = extract_ladder(A64.re[:, c0:c1], A64.im[:, c0:c1],
+                                      sigma, mant_bits, w)
+        acc = _accumulate_ladder(sl_re, sl_im, X[c0:c1], sigma, colscale,
+                                 acc, w, sx)
+    arxr, arxi, aixr, aixi = acc
     return SplitComplex(b.re - (arxr - aixi), b.im - (arxi + aixr))
 
 
@@ -453,8 +462,16 @@ def refine_split(A, fac: LUFactors, b, x0: jax.Array,
     """
     A64 = A if isinstance(A, SplitComplex) else SplitComplex.from_complex(A)
     b64 = b if isinstance(b, SplitComplex) else SplitComplex.from_complex(b)
+    # when the caller passed the complex array itself, reuse it as the
+    # incremental-matvec copy — rebuilding it from the widened planes is two
+    # emulated-f64 downcast passes plus a second N² array in HBM for a
+    # bitwise-equal result
+    Ac = A if not isinstance(A, SplitComplex) and \
+        jnp.issubdtype(A.dtype, jnp.complexfloating) and \
+        A.dtype == x0.dtype else None
     with jax.default_matmul_precision("highest"):
-        return _refine_split_impl(A64, fac, b64, x0, steps, tol, a_mant_bits)
+        return _refine_split_impl(A64, fac, b64, x0, steps, tol, a_mant_bits,
+                                  Ac=Ac)
 
 
 def use_fused_sliced(A64: SplitComplex) -> bool:
@@ -506,36 +523,49 @@ def refine_split_c64exact(A: jax.Array, fac: LUFactors, b, x0: jax.Array,
         return _refine_split_impl(A64, fac, b64, x0, steps, tol)
 
 
-def _refine_split_impl(A64, fac, b64, x0, steps, tol, a_mant_bits=53,
-                       true_resid=None, Ac=None):
-    bnorm = jnp.maximum(b64.norm(), jnp.asarray(1e-300, jnp.float64))
-    if true_resid is not None:
-        pass                            # caller supplied (c64-exact fast path)
-    elif a_mant_bits == 53 and use_fused_sliced(A64):
+def make_true_resid(A64: SplitComplex, b64: SplitComplex,
+                    a_mant_bits: int = 53):
+    """ONE dispatch ladder for the true-f64 residual ``x64 → b − A x``:
+
+    1. fused in-VMEM slice kernel (accelerator, tileable, ladder doesn't fit);
+    2. resident exact-slicing bf16 ladder (it fits);
+    3. streamed per-panel ladder (too big to keep resident);
+    4. 3M-trick plane GEMVs (CPU native f64, or the memory-light fallback).
+
+    Shared by plain IR and GMRES-IR (they previously carried drifting copies
+    of this block)."""
+    if a_mant_bits == 53 and use_fused_sliced(A64):
         from .pallas.slice_residual import (sliced_residual_fused,
                                             split_triple)
 
         tri = split_triple(A64)
-        true_resid = lambda x64: sliced_residual_fused(tri, x64, b64)
-    elif use_sliced_matvecs(A64):
+        return lambda x64: sliced_residual_fused(tri, x64, b64)
+    if use_sliced_matvecs(A64):
         # emulated-f64 GEMVs run ~50× below bandwidth on TPU; exact-slicing
         # bf16 MXU residual instead (identical f64 result, see SlicedMatrix)
         spA = slice_split_matrix(A64, mant_bits=a_mant_bits)
-        true_resid = lambda x64: _sliced_residual(spA, x64, b64)
-    elif use_streamed_sliced(A64):
+        return lambda x64: _sliced_residual(spA, x64, b64)
+    if use_streamed_sliced(A64):
         # ladder too big to keep resident (N ≳ 12k): stream it per column
         # panel — same exact-slicing accuracy, re-extraction per call
         panels = streamed_panels(A64)
         sigma_s = _pow2_ceil(jnp.maximum(jnp.max(jnp.abs(A64.re)),
                                          jnp.max(jnp.abs(A64.im))))
-        true_resid = lambda x64: _sliced_residual_streamed(
+        return lambda x64: _sliced_residual_streamed(
             A64, x64, b64, panels, mant_bits=a_mant_bits, sigma=sigma_s)
-    else:
-        # native f64 BLAS on CPU — the 3M-trick GEMV path is already
-        # bandwidth-fast there; the emulated-f64 path is the safe fallback
-        # elsewhere (slow, but O(N²) and memory-light)
-        Asum = A64.re + A64.im          # one-time plane sum for the 3M matvec
-        true_resid = lambda x64: _residual_3m(A64, Asum, x64, b64)
+    # native f64 BLAS on CPU — the 3M-trick GEMV path is already
+    # bandwidth-fast there; the emulated-f64 path is the safe fallback
+    # elsewhere (slow, but O(N²) and memory-light)
+    Asum = A64.re + A64.im              # one-time plane sum for the 3M matvec
+    return lambda x64: _residual_3m(A64, Asum, x64, b64)
+
+
+def _refine_split_impl(A64, fac, b64, x0, steps, tol, a_mant_bits=53,
+                       true_resid=None, Ac=None):
+    # 1e-30: smallest f32-RANGE-safe floor (TPU emulated f64, see _pow2_ceil)
+    bnorm = jnp.maximum(b64.norm(), jnp.asarray(1e-30, jnp.float64))
+    if true_resid is None:
+        true_resid = make_true_resid(A64, b64, a_mant_bits)
 
     # Certified-incremental refinement. The emulated-f64 residual matvec is the
     # dominant TPU cost (measured 35 ms/step at 4096² vs 2.8 ms for the
@@ -619,7 +649,7 @@ def true_residual_norm(A: jax.Array, x: jax.Array, b: jax.Array) -> jax.Array:
         x64 = SplitComplex.from_complex(x)
         b64 = SplitComplex.from_complex(b)
         r = split_residual(A64, x64, b64)
-        return r.norm() / jnp.maximum(b64.norm(), 1e-300)
+        return r.norm() / jnp.maximum(b64.norm(), 1e-30)
 
 
 def refine_gmres(A, fac, b, x0: jax.Array, steps: int = 3, tol: float = 0.0,
@@ -645,30 +675,10 @@ def refine_gmres(A, fac, b, x0: jax.Array, steps: int = 3, tol: float = 0.0,
 
 
 def _refine_gmres_impl(A64, fac, b64, x0, steps, tol, restart, gmres_batched):
-    bnorm = jnp.maximum(b64.norm(), jnp.asarray(1e-300, jnp.float64))
-    if use_fused_sliced(A64):
-        from .pallas.slice_residual import (sliced_residual_fused,
-                                            split_triple)
-
-        tri = split_triple(A64)
-        true_resid = lambda x64: sliced_residual_fused(tri, x64, b64)
-    elif use_sliced_matvecs(A64):
-        # same exact-slicing MXU residual as _refine_split_impl (the emulated
-        # f64 GEMV is the dominant outer-step cost here too)
-        spA = slice_split_matrix(A64)
-        true_resid = lambda x64: _sliced_residual(spA, x64, b64)
-    elif use_streamed_sliced(A64):
-        panels = streamed_panels(A64)
-        sigma_s = _pow2_ceil(jnp.maximum(jnp.max(jnp.abs(A64.re)),
-                                         jnp.max(jnp.abs(A64.im))))
-        true_resid = lambda x64: _sliced_residual_streamed(A64, x64, b64,
-                                                           panels,
-                                                           sigma=sigma_s)
-    else:
-        Asum = A64.re + A64.im          # one-time plane sum for the 3M matvec
-        true_resid = lambda x64: _residual_3m(A64, Asum, x64, b64)
-    Ac = SplitComplex(A64.re.astype(jnp.float32),
-                      A64.im.astype(jnp.float32)).to_complex(x0.dtype)
+    # 1e-30: smallest f32-RANGE-safe floor (TPU emulated f64, see _pow2_ceil)
+    bnorm = jnp.maximum(b64.norm(), jnp.asarray(1e-30, jnp.float64))
+    true_resid = make_true_resid(A64, b64)
+    Ac = A64.to_complex(x0.dtype)
 
     def matvec(Z):
         # right-preconditioned operator: A · P⁻¹ (batched over one row)
@@ -694,7 +704,10 @@ def _refine_gmres_impl(A64, fac, b64, x0, steps, tol, restart, gmres_batched):
                              x_new, x64)
         r_out = jax.tree.map(lambda new, old: jnp.where(better, new, old),
                              r_new, r64)
-        return x_out, r_out, jnp.minimum(rel_new, rel), rel, it + 1
+        # where, not minimum: a NaN rel_new from a broken-down GMRES round
+        # must not poison the carried (certified) rel — the iterate itself is
+        # already guarded by ``better``
+        return x_out, r_out, jnp.where(better, rel_new, rel), rel, it + 1
 
     x64 = SplitComplex.from_complex(x0)
     r0 = true_resid(x64)

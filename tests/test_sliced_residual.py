@@ -263,8 +263,31 @@ class TestStreamedSlicedResidual:
         z = jax.ShapeDtypeStruct((16384, 16384), jnp.float64)
         sp = SplitComplex(z, z)
         p = streamed_panels(sp)
-        assert 16384 % p == 0
         assert 24 * 2 * z.size / p <= 3e9
+        # prime N must NOT degenerate (the old smallest-divisor search gave
+        # p = N one-column panels for prime column counts)
+        zp = jax.ShapeDtypeStruct((11213, 11213), jnp.float64)
+        pp = streamed_panels(SplitComplex(zp, zp))
+        assert pp <= 8
+        assert 24 * 2 * zp.size / pp <= 3e9 * 1.25   # ceil panel ≤ 25% over
+
+    def test_streamed_residual_nondivisible_panels(self):
+        """The unrolled panel loop handles panel counts that do not divide
+        the column count (remainder panel) exactly."""
+        from maus_tpu.ops.refine import (_sliced_residual_streamed,
+                                         _pow2_ceil)
+        rng = np.random.default_rng(12)
+        m, n = 96, 67                                 # prime column count
+        A = rng.standard_normal((m, n)) + 1j * rng.standard_normal((m, n))
+        x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        b = A @ x * (1 + 1e-13)
+        for panels in (1, 2, 3, 5):
+            r = jax.jit(lambda a, xx, bb: _sliced_residual_streamed(
+                a, xx, bb, panels))(_sc(A), _sc(x), _sc(b))
+            rf = np.asarray(r.re) + 1j * np.asarray(r.im)
+            r_ref = b - A @ x
+            scale = np.linalg.norm(A) * np.linalg.norm(x)
+            assert np.max(np.abs(rf - r_ref)) < 1e-15 * scale, panels
 
 
 class TestFusedSliceResidual:
