@@ -67,6 +67,18 @@ class SplitComplex(NamedTuple):
         return safe * jnp.sqrt(jnp.sum(r * r + i * i, axis=-1))
 
 
+def scaled_fro(re, im, axis=None):
+    """Overflow-safe ‖·‖_F² building block: returns ``(scale, sum((|·|/scale)²))``
+    so ``fro2 = scale² · s``. The naive sum of squares overflows under TPU's
+    f32-RANGE emulated f64 already for entries ~1e19 (same class as
+    :meth:`SplitComplex.norm`'s scaled form)."""
+    m = jnp.maximum(jnp.max(jnp.abs(re)), jnp.max(jnp.abs(im)))
+    scale = jnp.maximum(m, jnp.asarray(1e-30, re.dtype))
+    r = re / scale
+    i = im / scale
+    return scale, jnp.sum(r * r + i * i, axis=axis)
+
+
 def split_matvec(A: SplitComplex, x: SplitComplex) -> SplitComplex:
     """``A @ x`` on split-complex operands: 4 real matvecs.
 
@@ -251,13 +263,14 @@ def slice_split_matrix(A64: SplitComplex, mant_bits: int = 53,
     return SlicedMatrix(sl_re, sl_im, sigma)
 
 
-def _slice_x_cols(x: SplitComplex, sx: int, w: int):
+def _slice_x_cols(x: SplitComplex, sx: int, w: int, sig_re=None, sig_im=None):
     """Slice the x-vector into the shared (N, 2·sx) bf16 column block + its
     per-column f64 recombination scales (one implementation for the dense,
-    streamed, and sharded ladders)."""
+    streamed, and sharded ladders). ``sig_re``/``sig_im``: externally supplied
+    power-of-two scales (the sharded path pmax-shares them across shards)."""
     f64 = jnp.float64
-    sxr, sig_xr = _slice_array(x.re, sx, w)          # (sx, N) bf16
-    sxi, sig_xi = _slice_array(x.im, sx, w)
+    sxr, sig_xr = _slice_array(x.re, sx, w, sigma=sig_re)    # (sx, N) bf16
+    sxi, sig_xi = _slice_array(x.im, sx, w, sigma=sig_im)
     X = jnp.concatenate([sxr, sxi], axis=0).T        # (N, 2sx) bf16
     jpow = jnp.exp2(-w * (jnp.arange(sx, dtype=f64) + 1.0))
     colscale = jnp.concatenate([sig_xr * jpow, sig_xi * jpow])   # (2sx,)

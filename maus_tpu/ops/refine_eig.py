@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsla
 
-from .refine import SplitComplex, slice_split_matrix, sliced_matvec_batch
+from .refine import (SplitComplex, scaled_fro, slice_split_matrix,
+                     sliced_matvec_batch)
 
 
 # ---------------------------------------------------------------------------
@@ -71,7 +72,7 @@ def _sdot(a: SplitComplex, b: SplitComplex) -> SplitComplex:
 
 
 def _sdiv(x: SplitComplex, y: SplitComplex) -> SplitComplex:
-    den = jnp.maximum(y.re * y.re + y.im * y.im, 1e-300)
+    den = jnp.maximum(y.re * y.re + y.im * y.im, 1e-30)
     return SplitComplex((x.re * y.re + x.im * y.im) / den,
                         (x.im * y.re - x.re * y.im) / den)
 
@@ -118,8 +119,8 @@ def refine_eigenpairs(A64: SplitComplex, lam0: jax.Array, V0: jax.Array,
     rdt = A64.re.dtype
     K, N = V0.shape
     with jax.default_matmul_precision("highest"):
-        anorm = jnp.sqrt(jnp.sum(A64.re * A64.re + A64.im * A64.im)
-                         / N).astype(rdt)
+        scale_f, s2_f = scaled_fro(A64.re, A64.im)
+        anorm = (scale_f * jnp.sqrt(s2_f / N)).astype(rdt)
         psi = (psi_rel * anorm).astype(jnp.float32)
 
         smv, _ = _matvec_fns(A64)
@@ -137,7 +138,7 @@ def refine_eigenpairs(A64: SplitComplex, lam0: jax.Array, V0: jax.Array,
             return jax.vmap(lambda l, p, b: jsla.lu_solve((l, p), b))(lu, piv, B)
 
         V = _from_c(V0, rdt)
-        nrm = jnp.maximum(_snorm(V), 1e-300)
+        nrm = jnp.maximum(_snorm(V), 1e-30)
         V = SplitComplex(V.re / nrm[:, None], V.im / nrm[:, None])
 
         def body(_, carry):
@@ -158,7 +159,7 @@ def refine_eigenpairs(A64: SplitComplex, lam0: jax.Array, V0: jax.Array,
             dv = dlam[:, None] * u1 - u2                  # δv = δλ H⁻¹v − H⁻¹r
             dv64 = _from_c(dv, rdt)
             V_new = SplitComplex(V.re + dv64.re, V.im + dv64.im)
-            nn = jnp.maximum(_snorm(V_new), 1e-300)
+            nn = jnp.maximum(_snorm(V_new), 1e-30)
             V_new = SplitComplex(V_new.re / nn[:, None], V_new.im / nn[:, None])
             # keep the better iterate per candidate (guards divergent steps on
             # defective/clustered eigenvalues)
@@ -174,7 +175,9 @@ def refine_eigenpairs(A64: SplitComplex, lam0: jax.Array, V0: jax.Array,
                               jnp.where(better[:, None], V_new.im, V.im))
             lo = SplitComplex(jnp.where(better, lam2.re, lam_new.re),
                               jnp.where(better, lam2.im, lam_new.im))
-            return Vo, lo, jnp.minimum(rn, rn2)
+            # where, not minimum: report the residual OF THE RETURNED
+            # state; a NaN rn2 from a blown-up step must not poison it
+            return Vo, lo, jnp.where(better, rn2, rn)
 
         lam_init = SplitComplex(lam0.real.astype(rdt), lam0.imag.astype(rdt))
         resid0 = jnp.full((K,), jnp.inf, rdt)
@@ -207,8 +210,8 @@ def refine_svd_triplets(A64: SplitComplex, sig0: jax.Array, U0: jax.Array,
     rdt = A64.re.dtype
     K, N = V0.shape
     with jax.default_matmul_precision("highest"):
-        anorm = jnp.sqrt(jnp.sum(A64.re * A64.re + A64.im * A64.im)
-                         / min(A64.re.shape)).astype(rdt)
+        scale_f, s2_f = scaled_fro(A64.re, A64.im)
+        anorm = (scale_f * jnp.sqrt(s2_f / min(A64.re.shape))).astype(rdt)
         psi = (psi_rel * anorm).astype(jnp.float32)
         smv, smva = _matvec_fns(A64)
         Ac = _to_c(A64, cdtype)
@@ -228,14 +231,17 @@ def refine_svd_triplets(A64: SplitComplex, sig0: jax.Array, U0: jax.Array,
 
         U = _from_c(U0, rdt)
         V = _from_c(V0, rdt)
-        un = jnp.maximum(_snorm(U), 1e-300)
-        vn = jnp.maximum(_snorm(V), 1e-300)
+        un = jnp.maximum(_snorm(U), 1e-30)
+        vn = jnp.maximum(_snorm(V), 1e-30)
         U = SplitComplex(U.re / un[:, None], U.im / un[:, None])
         V = SplitComplex(V.re / vn[:, None], V.im / vn[:, None])
         sig = sig0.real.astype(rdt)
 
-        def resid_of(sig, U, V):
-            Av = smv(V)
+        def resid_of(sig, U, V, Av=None):
+            # ``Av``: caller-provided A·V (the Newton body already computed
+            # it for the sigma update)
+            if Av is None:
+                Av = smv(V)
             Ahu = smva(U)
             r1 = SplitComplex(Av.re - sig[:, None] * U.re,
                               Av.im - sig[:, None] * U.im)
@@ -248,7 +254,7 @@ def refine_svd_triplets(A64: SplitComplex, sig0: jax.Array, U0: jax.Array,
             # f64 σ update: σ = Re⟨u, Av⟩ for unit u, v
             Av = smv(V)
             sig_new = _sdot(U, Av).re
-            r1, r2, rn = resid_of(sig_new, U, V)
+            r1, r2, rn = resid_of(sig_new, U, V, Av=Av)
             # Newton with dσ folded into the RQ update: A dv − σ du = −r1,
             # Aᴴ du − σ dv = −r2  ⇒  (AᴴA − σ²) dv = −(σ r2 + Aᴴ r1),
             # du = (A dv + r1)/σ  (σ ≈ 0 candidates are masked out entirely)
@@ -263,13 +269,13 @@ def refine_svd_triplets(A64: SplitComplex, sig0: jax.Array, U0: jax.Array,
                               (Adv.im + r1.im) / sig_safe)
             V_new = SplitComplex(V.re + dv64.re, V.im + dv64.im)
             U_new = SplitComplex(U.re + du.re, U.im + du.im)
-            nn = jnp.maximum(_snorm(V_new), 1e-300)
+            nn = jnp.maximum(_snorm(V_new), 1e-30)
             V_new = SplitComplex(V_new.re / nn[:, None], V_new.im / nn[:, None])
-            nn = jnp.maximum(_snorm(U_new), 1e-300)
+            nn = jnp.maximum(_snorm(U_new), 1e-30)
             U_new = SplitComplex(U_new.re / nn[:, None], U_new.im / nn[:, None])
             Av2 = smv(V_new)
             sig2 = _sdot(U_new, Av2).re
-            _, _, rn2 = resid_of(sig2, U_new, V_new)
+            _, _, rn2 = resid_of(sig2, U_new, V_new, Av=Av2)
             better = (rn2 < rn) & ~small
             keep_new = better
             Uo = SplitComplex(jnp.where(keep_new[:, None], U_new.re, U.re),
@@ -277,7 +283,14 @@ def refine_svd_triplets(A64: SplitComplex, sig0: jax.Array, U0: jax.Array,
             Vo = SplitComplex(jnp.where(keep_new[:, None], V_new.re, V.re),
                               jnp.where(keep_new[:, None], V_new.im, V.im))
             so = jnp.where(keep_new, sig2, jnp.where(small, sig, sig_new))
-            return so, Uo, Vo, jnp.minimum(rbest, jnp.minimum(rn, rn2))
+            # residual OF THE RETURNED STATE (code-review r3, reproduced on
+            # the mesh variant): better keeps rn2, rejected keeps rn
+            # (evaluated exactly at the returned sig_new/U/V), sigma~0
+            # pass-throughs keep their entry residual; the old running min
+            # folded in residuals of never-returned states and let a NaN
+            # trial poison the report
+            return so, Uo, Vo, jnp.where(small, rbest,
+                                         jnp.where(keep_new, rn2, rn))
 
         r10, r20, rn0 = resid_of(sig, U, V)
         sig, U, V, resid = jax.lax.fori_loop(0, steps, body, (sig, U, V, rn0))

@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.refine import SplitComplex
+from ..ops.refine import SplitComplex, scaled_fro
 from ..ops.refine_eig import (_from_c, _sdiv, _sdot, _smatvec, _smatvec_adj,
                               _snorm, _to_c)
 from .dist_hessenberg import DistHess, dist_solve_shifted
@@ -81,9 +81,12 @@ def stage_spectral(mesh: Mesh, A, dtype=None):
         else:
             A_dev = jax.device_put(to_device_complex(A_host, dtype), col_shard)
     else:
-        Are = jax.device_put(A.real.astype(rdt), col_shard)
-        Aim = jax.device_put(A.imag.astype(rdt), col_shard)
-        A_dev = jax.device_put(A.astype(dtype), col_shard)
+        # already-on-device operand: ALL complex math stays jitted — eager
+        # .real/.imag/.astype on complex device arrays crash this TPU runtime
+        Are, Aim, A_dev = jax.jit(
+            lambda a: (a.real.astype(rdt), a.imag.astype(rdt),
+                       a.astype(dtype)),
+            out_shardings=(col_shard, col_shard, col_shard))(A)
     return A_dev, SplitComplex(Are, Aim)
 
 
@@ -108,8 +111,8 @@ def dist_refine_eigenpairs(mesh: Mesh, hess: DistHess, A64: SplitComplex,
     rdt = A64.re.dtype
     K, N = V0.shape
     with jax.default_matmul_precision("highest"):
-        anorm = jnp.sqrt(jnp.sum(A64.re * A64.re + A64.im * A64.im)
-                         / N).astype(rdt)
+        scale, s2 = scaled_fro(A64.re, A64.im)
+        anorm = (scale * jnp.sqrt(s2 / N)).astype(rdt)
         psi = (psi_rel * anorm).astype(jnp.float32)
         psi_k = jnp.broadcast_to(psi, (K,))
 
@@ -154,7 +157,10 @@ def dist_refine_eigenpairs(mesh: Mesh, hess: DistHess, A64: SplitComplex,
                               jnp.where(better[:, None], V_new.im, V.im))
             lo = SplitComplex(jnp.where(better, lam2.re, lam_new.re),
                               jnp.where(better, lam2.im, lam_new.im))
-            return Vo, lo, jnp.minimum(rn, rn2)
+            # where, not minimum: the reported residual must be the residual
+            # OF THE RETURNED STATE, and a NaN rn2 from a blown-up step (inf
+            # pivot → NaN normalization) must not poison it
+            return Vo, lo, jnp.where(better, rn2, rn)
 
         lam_init = SplitComplex(lam0.real.astype(rdt), lam0.imag.astype(rdt))
         resid0 = jnp.full((K,), jnp.inf, rdt)
@@ -190,8 +196,8 @@ def dist_refine_svd(mesh: Mesh, A_dev: jax.Array, A64: SplitComplex,
     rdt = A64.re.dtype
     K, N = V0.shape
     with jax.default_matmul_precision("highest"):
-        anorm = jnp.sqrt(jnp.sum(A64.re * A64.re + A64.im * A64.im)
-                         / min(A64.re.shape)).astype(rdt)
+        scale, s2 = scaled_fro(A64.re, A64.im)
+        anorm = (scale * jnp.sqrt(s2 / min(A64.re.shape))).astype(rdt)
         psi = (psi_rel * anorm * anorm).astype(jnp.float32)   # Gram scale ‖A‖²
         smv = lambda X: _smatvec(A64, X)
         smva = lambda X: _smatvec_adj(A64, X)
@@ -199,9 +205,10 @@ def dist_refine_svd(mesh: Mesh, A_dev: jax.Array, A64: SplitComplex,
         small = sig_f < 1e-6 * jnp.maximum(anorm.astype(jnp.float32), 1e-30)
 
         # Jacobi diagonal of the Gram operator: column norms of A (sharded
-        # reduction, GSPMD) — (N,) real
-        coldiag = jnp.sum(A64.re * A64.re + A64.im * A64.im, axis=0) \
-            .astype(jnp.float32)
+        # reduction, GSPMD; scaled — the naive per-column sum of squares
+        # overflows f32-range for entries ~1e19) — (N,) real
+        _, col_s = scaled_fro(A64.re, A64.im, axis=0)
+        coldiag = ((scale * scale) * col_s).astype(jnp.float32)
 
         U = _from_c(U0, rdt)
         V = _from_c(V0, rdt)
@@ -211,8 +218,12 @@ def dist_refine_svd(mesh: Mesh, A_dev: jax.Array, A64: SplitComplex,
         V = SplitComplex(V.re / vn[:, None], V.im / vn[:, None])
         sig = sig0.real.astype(rdt)
 
-        def resid_of(sig, U, V):
-            Av = smv(V)
+        def resid_of(sig, U, V, Av=None):
+            # ``Av``: caller-provided A·V (the Newton body already computed it
+            # for the σ update — recomputing cost ~25% of the step's split-f64
+            # GEMM work)
+            if Av is None:
+                Av = smv(V)
             Ahu = smva(U)
             r1 = SplitComplex(Av.re - sig[:, None] * U.re,
                               Av.im - sig[:, None] * U.im)
@@ -250,7 +261,7 @@ def dist_refine_svd(mesh: Mesh, A_dev: jax.Array, A64: SplitComplex,
             sig, U, V, rbest, eta = carry
             Av = smv(V)
             sig_new = _sdot(U, Av).re                     # f64 σ update
-            r1, r2, rn = resid_of(sig_new, U, V)
+            r1, r2, rn = resid_of(sig_new, U, V, Av=Av)
             Ahr1 = smva(r1)
             rhs = SplitComplex(-(sig_new[:, None] * r2.re + Ahr1.re),
                                -(sig_new[:, None] * r2.im + Ahr1.im))
@@ -269,7 +280,7 @@ def dist_refine_svd(mesh: Mesh, A_dev: jax.Array, A64: SplitComplex,
             U_new = SplitComplex(U_new.re / nn[:, None], U_new.im / nn[:, None])
             Av2 = smv(V_new)
             sig2 = _sdot(U_new, Av2).re
-            _, _, rn2 = resid_of(sig2, U_new, V_new)
+            _, _, rn2 = resid_of(sig2, U_new, V_new, Av=Av2)
             better = (rn2 < rn) & ~small
             Uo = SplitComplex(jnp.where(better[:, None], U_new.re, U.re),
                               jnp.where(better[:, None], U_new.im, U.im))
@@ -282,15 +293,27 @@ def dist_refine_svd(mesh: Mesh, A_dev: jax.Array, A64: SplitComplex,
             # outer contraction → tighter inner solves exactly when a Newton
             # step can use them; a rejected step (ratio ≈ 1) relaxes η instead
             # of burning inner iterations (STATUS r3 gap 5).
-            ratio = (jnp.minimum(rn2, rn)
+            # residual OF THE RETURNED STATE (code-review r3, confirmed on
+            # the CPU mesh): ``better`` states certify rn2, rejected steps
+            # certify rn (evaluated exactly at the returned sig_new/U/V), and
+            # σ≈0 pass-through candidates keep their ENTRY residual — the old
+            # min over rn/rn2 folded in residuals of states never returned
+            # (measured: reported 1.044 vs actual 1.273) and let a NaN rn2
+            # poison the report. The sequence is monotone by construction
+            # (rejected steps leave U/V unchanged, accepted ones have
+            # rn2 < rn), so no running min is needed.
+            step_resid = jnp.where(better, rn2, rn)
+            resid_out = jnp.where(small, rbest, step_resid)
+            # NaN-safe Eisenstat–Walker ratio: a rejected step contributes
+            # ratio = 1 (relax η), never a NaN from a blown-up trial state
+            ratio = (step_resid
                      / jnp.maximum(rn, 1e-30)).astype(jnp.float32)
             eta_raw = 0.9 * ratio * ratio
             guard = 0.9 * eta * eta
             eta_new = jnp.where(guard > 0.1, jnp.maximum(eta_raw, guard),
                                 eta_raw)
             eta_new = jnp.clip(eta_new, 1e-4, 0.5)
-            return (so, Uo, Vo, jnp.minimum(rbest, jnp.minimum(rn, rn2)),
-                    eta_new)
+            return so, Uo, Vo, resid_out, eta_new
 
         _, _, rn0 = resid_of(sig, U, V)
         eta0 = jnp.full((K,), 1e-2, jnp.float32)
@@ -342,12 +365,12 @@ def dist_sliced_residual(mesh: Mesh, sl_re: jax.Array, sl_im: jax.Array,
                          w: int = 5, sx: int = 12) -> SplitComplex:
     """r = b − A x with A column-sharded as bf16 slice ladders; x, b
     replicated (N,) split-f64. One psum of four (N,) f64 partials."""
-    from ..ops.refine import _pow2_ceil, _slice_array
+    from ..ops.refine import _accumulate_ladder, _pow2_ceil, _slice_x_cols
 
     n = x.re.shape[0]
     m = mesh.shape[MODEL_AXIS]
     c = n // m
-    f64 = jnp.float64 if x.re.dtype == jnp.float64 else x.re.dtype
+    f64 = x.re.dtype
 
     def local(slr, sli, sig, xre, xim, bre, bim):
         me = jax.lax.axis_index(MODEL_AXIS)
@@ -360,30 +383,13 @@ def dist_sliced_residual(mesh: Mesh, sl_re: jax.Array, sl_im: jax.Array,
                                          MODEL_AXIS))
         sig_xi = _pow2_ceil(jax.lax.pmax(jnp.max(jnp.abs(xim_loc)),
                                          MODEL_AXIS))
-        sxr, _ = _slice_array(xre_loc, sx, w, sigma=sig_xr)   # (sx, C)
-        sxi, _ = _slice_array(xim_loc, sx, w, sigma=sig_xi)
-        X = jnp.concatenate([sxr, sxi], axis=0).T             # (C, 2sx) bf16
-        jpow = jnp.exp2(-w * (jnp.arange(sx, dtype=f64) + 1.0))
-        colscale = jnp.concatenate([sig_xr * jpow, sig_xi * jpow])
-
-        arxr = jnp.zeros((n,), f64)
-        arxi = jnp.zeros((n,), f64)
-        aixr = jnp.zeros((n,), f64)
-        aixi = jnp.zeros((n,), f64)
-        sA = slr.shape[0]
-        dn = (((1,), (0,)), ((), ()))
-        for k in range(sA):
-            kscale = sig * (2.0 ** (-w * (k + 1)))
-            Yr = jax.lax.dot_general(slr[k], X, dn,
-                                     preferred_element_type=jnp.float32)
-            Yi = jax.lax.dot_general(sli[k], X, dn,
-                                     preferred_element_type=jnp.float32)
-            cr = Yr.astype(f64) * (colscale * kscale)[None, :]
-            ci = Yi.astype(f64) * (colscale * kscale)[None, :]
-            arxr = arxr + jnp.sum(cr[:, :sx], axis=-1)
-            arxi = arxi + jnp.sum(cr[:, sx:], axis=-1)
-            aixr = aixr + jnp.sum(ci[:, :sx], axis=-1)
-            aixi = aixi + jnp.sum(ci[:, sx:], axis=-1)
+        # the shared slice-x + ladder-recombination helpers (ops.refine) —
+        # this path previously carried a fourth drifting copy of the k-loop
+        X, colscale = _slice_x_cols(SplitComplex(xre_loc, xim_loc), sx, w,
+                                    sig_re=sig_xr, sig_im=sig_xi)
+        z = jnp.zeros((n,), f64)
+        arxr, arxi, aixr, aixi = _accumulate_ladder(
+            slr, sli, X, sig, colscale, (z, z, z, z), w, sx)
         parts = jax.lax.psum(jnp.stack([arxr, arxi, aixr, aixi]), MODEL_AXIS)
         return bre - (parts[0] - parts[3]), bim - (parts[1] + parts[2])
 

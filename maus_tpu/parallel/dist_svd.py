@@ -61,7 +61,6 @@ def _svd_iterate(mesh: Mesh, A: jax.Array, key: jax.Array, k: int,
 
     def local(a_loc, v0):
         me = _axis_me()
-        gcols = me * c + jnp.arange(c)
 
         def vslice(v):
             """Local-column slice of a replicated (k, N) array → (k, C)."""
@@ -121,9 +120,15 @@ def _svd_iterate(mesh: Mesh, A: jax.Array, key: jax.Array, k: int,
         # so iterating past convergence wastes ICI wall-clock. Patience-based
         # early exit, mirroring _eig_iterate (parallel/dist_hessenberg.py).
         eps = jnp.asarray(jnp.finfo(rdt).eps, rdt)
-        fro2 = jax.lax.psum(jnp.sum(jnp.abs(a_loc) ** 2).real, MODEL_AXIS)
+        # scaled local sum + psum of (scale, partial): the naive local sum of
+        # squares overflows f32-range for entries ~1e19 (c64 compute dtype)
+        mloc = jax.lax.pmax(jnp.max(jnp.abs(a_loc)).real.astype(rdt),
+                            MODEL_AXIS)
+        sc = jnp.maximum(mloc, jnp.asarray(1e-30, rdt))
+        z_loc = (jnp.abs(a_loc).real.astype(rdt) / sc)
+        fro2s = jax.lax.psum(jnp.sum(z_loc * z_loc), MODEL_AXIS)
         floor = 5.0 * eps * jnp.sqrt(jnp.asarray(float(max(mrows, n)), rdt)) \
-            * jnp.maximum(jnp.sqrt(fro2 / min(mrows, n)),
+            * jnp.maximum(sc * jnp.sqrt(fro2s / min(mrows, n)),
                           jnp.asarray(1e-30, rdt))
 
         def cond(carry):

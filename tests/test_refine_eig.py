@@ -6,6 +6,7 @@ exist to close (c64 floor ≈ √N·ε_f32 → tol 1e-8)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import maus_tpu
 from maus_tpu.core.types import ProblemType, SolverConfig
@@ -69,6 +70,33 @@ class TestSvdNewton:
         anorm = s[0]
         assert np.all(res < 1e-10 * anorm), res / anorm
         assert np.allclose(np.asarray(sig), s[:k], rtol=1e-10)
+
+    def test_small_sigma_residual_is_honest(self):
+        """A σ≈0 (null-vector) candidate passes through UNCHANGED — the
+        reported residual must be the residual of the returned (unchanged)
+        triplet, not a min over trial states that were never returned
+        (code-review r3, reproduced: reported 1.044 vs actual 1.273)."""
+        rng = np.random.default_rng(5)
+        m, n = 32, 24
+        B = rng.standard_normal((m, 3)) + 1j * rng.standard_normal((m, 3))
+        C = rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n))
+        A = B @ C                                       # rank 3: null σ exist
+        # a small-σ candidate with deliberately imperfect u, v
+        u0 = (rng.standard_normal((1, m)) + 1j * rng.standard_normal((1, m)))
+        v0 = (rng.standard_normal((1, n)) + 1j * rng.standard_normal((1, n)))
+        u0 /= np.linalg.norm(u0)
+        v0 /= np.linalg.norm(v0)
+        sig0 = np.asarray([0.0])
+        sig, U_s, V_s, res = refine_svd_triplets(
+            _split64(A), jnp.asarray(sig0, jnp.complex64),
+            jnp.asarray(u0, jnp.complex64), jnp.asarray(v0, jnp.complex64),
+            steps=4)
+        sig_h = np.asarray(sig)
+        u_h = np.asarray(U_s.re) + 1j * np.asarray(U_s.im)
+        v_h = np.asarray(V_s.re) + 1j * np.asarray(V_s.im)
+        actual = (np.linalg.norm(A @ v_h[0] - sig_h[0] * u_h[0])
+                  + np.linalg.norm(A.conj().T @ u_h[0] - sig_h[0] * v_h[0]))
+        assert np.asarray(res)[0] == pytest.approx(actual, rel=1e-10)
 
 
 class TestApiEngagement:
