@@ -41,11 +41,22 @@ class StepStats(NamedTuple):
                                   # regressed (> regress_ratio × previous)
 
 
+def _regressed_mask(cfg: SolverConfig, prev: jax.Array,
+                    new_residual: jax.Array, floor_scale=1.0) -> jax.Array:
+    """ONE regression predicate (AMS:310-312) for the per-candidate dynamics
+    and the population statistic. The near-floor gate is RELATIVE to the
+    problem's residual scale (1 for linear — already relative; ‖A‖-scale for
+    eig/SVD absolute residuals): the reference's absolute 1e-5 silently
+    disabled stuck/α-shrink dynamics for small-norm operands."""
+    return (new_residual > cfg.regress_ratio * prev) & \
+        (prev > 1e-5 * floor_scale) & jnp.isfinite(prev)
+
+
 def _regress_frac(cfg: SolverConfig, pop_before: Population,
-                  new_residual: jax.Array, frozen: jax.Array) -> jax.Array:
-    prev = pop_before.residual
-    regressed = (new_residual > cfg.regress_ratio * prev) & (prev > 1e-5) & \
-        jnp.isfinite(prev)
+                  new_residual: jax.Array, frozen: jax.Array,
+                  floor_scale=1.0) -> jax.Array:
+    regressed = _regressed_mask(cfg, pop_before.residual, new_residual,
+                                floor_scale)
     active_f = (~frozen).astype(jnp.float32)
     nact = jnp.maximum(active_f.sum(), 1.0)
     return (regressed.astype(jnp.float32) * active_f).sum() / nact
@@ -111,7 +122,7 @@ def _adapt_and_classify(cfg: SolverConfig, pop: Population, new_residual: jax.Ar
 
     prev = pop.residual
     improved = new_residual < cfg.improve_ratio * prev
-    regressed = (new_residual > cfg.regress_ratio * prev) & (prev > 1e-5)
+    regressed = _regressed_mask(cfg, prev, new_residual, floor_scale)
 
     alpha = jnp.where(
         improved, jnp.minimum(pop.alpha * cfg.alpha_grow, 1.0),
@@ -343,8 +354,14 @@ def step_eigen(cfg: SolverConfig, A: jax.Array, pop: Population,
     W, attempts = jax.lax.cond(strat.solver_pref == SolverPreference.DIRECT,
                                direct, iterative, operand=None)
     solve_ok = _finite_rows(W) & (jnp.linalg.norm(W, axis=-1) > 0)
-    # record the Ψ-ladder rung each candidate needed (reference num_psi_attempts)
-    pop = dataclasses.replace(pop, psi_level=attempts.astype(jnp.int32))
+    # record the Ψ-ladder rung each candidate needed (reference
+    # num_psi_attempts) — FROZEN slots keep their convergence-time rung
+    # (parity with the linear path's telemetry contract)
+    frozen_tel = (pop.status == CandidateStatus.CONVERGED) | \
+        (pop.status == CandidateStatus.RETIRED)
+    pop = dataclasses.replace(
+        pop, psi_level=jnp.where(frozen_tel, pop.psi_level,
+                                 attempts.astype(jnp.int32)))
 
     # damped update + renormalize (AMS:280-283). The solve returns w ∝ (A−λI)⁻¹v —
     # normalize before mixing so α mixes directions, not magnitudes.
@@ -371,7 +388,8 @@ def step_eigen(cfg: SolverConfig, A: jax.Array, pop: Population,
     pop = dataclasses.replace(pop,
                               v=jnp.where(frozen[:, None], pop.v, v_new),
                               lam=jnp.where(frozen, pop.lam, lam_new))
-    regress = _regress_frac(cfg, pop, resid.astype(cfg.real_dtype), frozen)
+    regress = _regress_frac(cfg, pop, resid.astype(cfg.real_dtype), frozen,
+                            floor_scale=anorm.astype(cfg.real_dtype))
     pop = _adapt_and_classify(cfg, pop, resid.astype(cfg.real_dtype), solve_ok, strat,
                               _finite_rows(v_new) & _finite_rows(lam_new[:, None]),
                               floor_scale=anorm.astype(cfg.real_dtype))
@@ -500,7 +518,12 @@ def step_svd(cfg: SolverConfig, A: jax.Array, pop: Population,
     # machine's frozen mask) so deflation against them has no accuracy floor.
     retired = pop.status == CandidateStatus.RETIRED
     frozen = conv | retired
-    keep = retired | ~solve_ok
+    # converged NULL triplets (sigma = 0 exactly) have no Ritz counterpart —
+    # null directions are orthogonal to the row space the block spans, so the
+    # polish mix would teleport them onto a sigma>0 triplet while status
+    # stays CONVERGED (code-review r3). Freeze their data outright.
+    null_conv = conv & (jnp.abs(pop.lam) == 0.0)
+    keep = retired | ~solve_ok | null_conv
     # SVD failure telemetry (the reference's num_psi_attempts analogue for a
     # path with no solve ladder, AMS:249-255): a candidate "attempt" here is a
     # failed/collapsed step (reseed or non-finite update) — psi_level counts
@@ -512,10 +535,11 @@ def step_svd(cfg: SolverConfig, A: jax.Array, pop: Population,
                       u=jnp.where(keep[:, None], pop.u, u_new),
                       lam=jnp.where(keep, pop.lam, sigma.astype(cfg.dtype)),
                       psi_level=pop.psi_level + failed_step.astype(jnp.int32))
-    regress = _regress_frac(cfg, pop, resid, frozen)
+    regress = _regress_frac(cfg, pop, resid, frozen, floor_scale=a_scale)
     # refresh the residual of polished converged candidates in place
     pop = dataclasses.replace(
-        pop, residual=jnp.where(conv & solve_ok, resid, pop.residual))
+        pop, residual=jnp.where(conv & solve_ok & ~null_conv, resid,
+                                pop.residual))
     pop = _adapt_and_classify(cfg, pop, resid, solve_ok, strat,
                               _finite_rows(v_new) & _finite_rows(u_new),
                               floor_scale=a_scale)

@@ -56,8 +56,13 @@ def _pairwise_same(cfg: SolverConfig, pop: Population) -> jax.Array:
             + band
         return (dlam < tol) & (gram_v > cfg.vector_similarity_tol)
     if cfg.problem_type == ProblemType.SOLVE_LINEAR_SYSTEM:
-        dist = jnp.linalg.norm(pop.v[:, None, :] - pop.v[None, :, :], axis=-1)
-        return dist < cfg.tol * 100
+        # ‖x_i − x_j‖² = n_i + n_j − 2·Re G_ij via one K×K Gram — the
+        # (K, K, N) pairwise-difference tensor this replaces materialized
+        # K²N complex temporaries per iteration (~134 MB at K=16, N=65536)
+        nrm2 = jnp.sum(jnp.abs(pop.v) ** 2, axis=-1).real
+        G = (jnp.conj(pop.v) @ pop.v.T).real
+        d2 = jnp.maximum(nrm2[:, None] + nrm2[None, :] - 2.0 * G, 0.0)
+        return d2 < (cfg.tol * 100) ** 2
     # SVD
     sig = pop.lam.real
     dsig = jnp.abs(sig[:, None] - sig[None, :])
@@ -113,7 +118,6 @@ def compute_diagnostics(cfg: SolverConfig, pop: Population, strat: StrategyState
         floor_found = jnp.any(conv & (sig < cut))
         tgt = jnp.where(floor_found, rank_det,
                         jnp.minimum(rank_det + 1, cap))
-        tgt = jnp.maximum(tgt, rank_det)
         target_dynamic = jnp.where(have, tgt, strat.target_dynamic) \
             .astype(jnp.int32)
     else:
