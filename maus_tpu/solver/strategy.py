@@ -82,15 +82,27 @@ def compute_diagnostics(cfg: SolverConfig, pop: Population, strat: StrategyState
 
     same = _pairwise_same(cfg, pop)
 
-    # Leader election among converged duplicates: the best (lowest residual, ties by
-    # slot index) of each duplicate class survives; the rest are duplicates.
-    # 'j beats i' ⇔ both converged, same class, and j has strictly better priority.
+    # Leader election among converged duplicates, SEQUENTIAL in priority
+    # order (lowest residual first, ties by slot index) — the reference's
+    # registry semantics (AMS:507-521): a candidate is a leader iff it is not
+    # similar to any ALREADY-ACCEPTED leader. The earlier "beaten by any
+    # better similar candidate" rule was not transitive: with same(a,b) and
+    # same(b,c) but not same(a,c) (borderline bands), c was beaten by the
+    # non-leader b and a genuinely distinct solution got retired.
     prio = jnp.where(jnp.isfinite(pop.residual), pop.residual, jnp.inf)
     idx = jnp.arange(K)
-    better = (prio[None, :] < prio[:, None]) | \
-             ((prio[None, :] == prio[:, None]) & (idx[None, :] < idx[:, None]))
-    beaten = jnp.any(same & better & conv[None, :] & conv[:, None], axis=1)
-    leader = conv & ~beaten
+    order = jnp.lexsort((idx, jnp.where(conv, prio, jnp.inf)))
+
+    def accept(leader_mask, i):
+        dup = jnp.any(same[i] & leader_mask)
+        is_leader = conv[i] & ~dup
+        return leader_mask.at[i].set(is_leader), None
+
+    leader, _ = jax.lax.scan(accept, jnp.zeros((K,), bool), order)
+    # similarity duplicates (retirement candidates) — decided BEFORE the SVD
+    # tiny-σ exclusion below: a tiny-σ leader is excluded from the COUNT but
+    # is not a duplicate to retire
+    duplicate = conv & ~leader
     if cfg.problem_type == ProblemType.SVD:
         # σ below rel-tol × the largest σ in play doesn't count as a distinct
         # triplet (AMS:443-445) — unless it is a genuine null vector (σ == 0,
@@ -99,7 +111,6 @@ def compute_diagnostics(cfg: SolverConfig, pop: Population, strat: StrategyState
         max_sig = jnp.maximum(jnp.max(jnp.where(conv, sig, 0.0)), 1e-30)
         tiny = (sig < max_sig * cfg.sigma_similarity_rel) & (sig > 0.0)
         leader = leader & ~tiny
-    duplicate = conv & beaten
     num_distinct = jnp.sum(leader).astype(jnp.int32)
 
     # Dynamic SVD effective-rank target (AMS:463-470): the reference re-derives
