@@ -154,8 +154,14 @@ def _adapt_and_classify(cfg: SolverConfig, pop: Population, new_residual: jax.Ar
     # problem's residual units: 1 for linear (already relative), ‖A‖-scale for
     # eig/SVD (absolute residuals, AMS:297/301) — without it nothing converges
     # on c64 hardware once ‖A‖ ≫ 1.
+    # BOTH threshold terms scale with the problem's residual units
+    # (floor_scale = 1 for linear — already relative; ‖A‖-scale for eig/SVD
+    # absolute residuals): an absolute threshold spuriously converges random
+    # vectors on small-norm operands (resid ≤ 2‖A‖ for ANY unit vector) and
+    # is unreachable on large-norm ones (code-review r3; the reference's
+    # absolute thresholds are the same bug class as its absolute Ψ base)
     thresh_eff = jnp.maximum(strat.threshold,
-                             cfg.convergence_floor * floor_scale)
+                             cfg.convergence_floor) * floor_scale
     conv = active & (new_residual < thresh_eff) & params_finite & solve_ok
     status = jnp.where(conv, jnp.int8(CandidateStatus.CONVERGED), status)
     weight = jnp.where(conv, jnp.ones_like(weight), weight)
@@ -442,7 +448,14 @@ def step_svd(cfg: SolverConfig, A: jax.Array, pop: Population,
         U_ritz = Qu @ Us                                         # (M, r)
         V_ritz = Qv @ jnp.conj(Vsh).T                            # (N, r)
 
-        idx = jnp.arange(K) % r          # K > r: extra slots duplicate (dedup'd)
+        # assignment: ACTIVE slots take their slot-rank Ritz triplet (full
+        # coverage of the block — the diversity mechanism), CONVERGED slots
+        # take the Ritz triplet they OVERLAP most with — a slot-rank
+        # assignment teleports a converged candidate whenever two clustered
+        # Ritz values swap order between iterations (code-review r3)
+        slot_idx = jnp.arange(K) % r     # K > r: extra slots duplicate
+        ovl = jnp.abs(jnp.conj(V) @ V_ritz)                      # (K, r)
+        idx = jnp.where(conv, jnp.argmax(ovl, axis=-1), slot_idx)
         v_ritz = V_ritz.T[idx]                                   # (K, N)
         u_ritz = U_ritz.T[idx]
 

@@ -69,7 +69,9 @@ def step_hermitian(cfg: SolverConfig, A: jax.Array, cache: EighCache,
     # convergence floor scales with ‖A‖ — eig residuals are absolute (AMS:297)
     anorm = (jnp.linalg.norm(A) / jnp.sqrt(jnp.asarray(float(N)))).real \
         .astype(cfg.real_dtype)
-    thresh_eff = jnp.maximum(strat.threshold, cfg.convergence_floor * anorm)
+    # both terms scale with the eig residual's units (see candidate.py's
+    # _adapt_and_classify note on absolute thresholds)
+    thresh_eff = jnp.maximum(strat.threshold, cfg.convergence_floor) * anorm
 
     take = active & any_unclaimed
     pop = dataclasses.replace(
@@ -145,7 +147,7 @@ def step_hermitian_lanczos(cfg: SolverConfig, A: jax.Array, pop: Population,
     anorm = (jnp.linalg.norm(A) / jnp.sqrt(jnp.asarray(float(N)))).real \
         .astype(cfg.real_dtype)
     good = take & (resid_new < jnp.maximum(strat.threshold,
-                                           cfg.convergence_floor * anorm))
+                                           cfg.convergence_floor) * anorm)
     pop = dataclasses.replace(
         pop,
         v=jnp.where(take[:, None], v_new, pop.v),
