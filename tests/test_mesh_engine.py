@@ -137,6 +137,59 @@ class TestSvdMeshEngine:
         assert abs(sigs[1] - 2.5) < 1e-6
         assert rep.target_solutions == 2
 
+    def test_staged_operand_is_column_sharded(self, mesh):
+        """VERDICT r3 weak #4: `_svd_mesh` relies on GSPMD propagating the
+        column-sharded A through the engine. Pin the staging contract: every
+        device holds exactly (M, N/m) columns — no silent replication."""
+        from maus_tpu.parallel.dist_refine import stage_spectral
+
+        rng = np.random.default_rng(7)
+        mr, n = 48, 64
+        m = mesh.shape["model"]
+        B = _rand_complex(rng, (mr, n))
+        A_dev, A64 = stage_spectral(mesh, B)
+        shards = A_dev.addressable_shards
+        assert len(shards) == m
+        for s in shards:
+            assert s.data.shape == (mr, n // m), \
+                f"staged operand shard is {s.data.shape}, not column-sharded"
+        # the split-f64 finisher planes are column-sharded too
+        for plane in (A64.re, A64.im):
+            for s in plane.addressable_shards:
+                assert s.data.shape == (mr, n // m)
+
+    def test_engine_step_keeps_operand_sharded(self, mesh):
+        """The compiled engine program must not reassemble A on any device:
+        no collective instruction in the optimized HLO moves a full-operand-
+        sized array (GSPMD replicating A would show up as an (M, N)
+        all-gather)."""
+        from maus_tpu.core.types import ProblemKnowledge
+        from maus_tpu.parallel.dist_refine import stage_spectral
+        from maus_tpu.solver import evolve as evolve_mod
+        from maus_tpu.utils.comm_budget import compiled_collective_shapes
+
+        rng = np.random.default_rng(8)
+        mr, n, k = 48, 64, 8
+        B = _rand_complex(rng, (mr, n))
+        A_dev, _ = stage_spectral(mesh, B)
+        eps32 = float(np.finfo(np.float32).eps)
+        cfg = SolverConfig(problem_type=ProblemType.SVD, num_candidates=k,
+                           tol=1e-8, dtype=A_dev.dtype,
+                           convergence_floor=float(50.0 * eps32))
+        kn = ProblemKnowledge(shape=(mr, n))
+        key = jax.random.PRNGKey(0)
+
+        def engine(A):
+            carry, _ = evolve_mod.evolve_while(cfg, kn, A, None, key, 5, k)
+            return carry.pop.residual
+
+        full_operand = mr * n * A_dev.dtype.itemsize
+        insts = compiled_collective_shapes(engine, A_dev)
+        for op, nbytes in insts:
+            assert nbytes < full_operand, \
+                f"engine step {op} moves {nbytes}B ≥ the full operand " \
+                f"({full_operand}B): A was silently reassembled"
+
     def test_max_iterations_honored(self, mesh):
         """No silent clamp: the engine runs past 60 iterations if asked
         (iterations reported = actual count, bounded by the caller)."""
