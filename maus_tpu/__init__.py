@@ -18,13 +18,14 @@ from .core.types import (CandidateStatus, ProblemKnowledge, ProblemType,
                          SolverConfig, SolverPreference, StabilityState)
 from .parallel.dist_hessenberg import eig_distributed
 from .parallel.dist_qr import solve_distributed
-from .solver.api import MausSolver, SolutionReport, eig, solve, svd
+from .solver.api import (MausSolver, MeshSolver, SolutionReport, eig, solve,
+                         svd)
 
 __version__ = "0.2.0"
 
 __all__ = [
-    "CandidateStatus", "MausSolver", "ProblemKnowledge", "ProblemType",
-    "SolutionReport", "SolverConfig", "SolverPreference", "StabilityState",
-    "eig", "eig_distributed", "solve", "solve_distributed", "svd",
-    "__version__",
+    "CandidateStatus", "MausSolver", "MeshSolver", "ProblemKnowledge",
+    "ProblemType", "SolutionReport", "SolverConfig", "SolverPreference",
+    "StabilityState", "eig", "eig_distributed", "solve", "solve_distributed",
+    "svd", "__version__",
 ]

@@ -464,7 +464,8 @@ class MausSolver:
                collect_metrics: bool = False,
                checkpoint_path: Optional[str] = None,
                resume_from: Optional[str] = None,
-               checkpoint_every: Optional[int] = None) -> SolutionReport:
+               checkpoint_every: Optional[int] = None,
+               reopen: bool = False) -> SolutionReport:
         """Run the evolution loop.
 
         ``resume_from`` restores a carry saved by a previous ``checkpoint_path``
@@ -476,6 +477,12 @@ class MausSolver:
         iterations (in-loop periodic checkpointing, SURVEY §5.4): the run
         executes as chunks of k iterations of the same jitted loop, so a
         resumed run reproduces the uninterrupted one bit-exactly.
+
+        ``reopen=True`` resumes a checkpoint written BEFORE an
+        ``update_problem`` swap: the restored carry's convergence bookkeeping
+        (converged candidates, distinct count, stall counter) refers to the
+        old operand and is reset so the population re-evaluates against the
+        current one (scenario-1 swap semantics, AMS:645-652).
         """
         cfg, kn = self.config, self.knowledge
         carry0 = None
@@ -483,6 +490,15 @@ class MausSolver:
             from ..utils.checkpoint import load_state
             template = evolve_mod.init_carry(cfg, kn, self.A, self._key)
             carry0 = load_state(resume_from, template)
+            if reopen:
+                carry0 = _reopen_carry(cfg, carry0)
+                if carry0.fac is not None:
+                    # stale factorization of the pre-swap operand: rebuild
+                    # against the current one at the carried Ψ
+                    fac = _host_refactor_program(
+                        self.A, carry0.psi_cached,
+                        hpd=bool(kn.is_positive_definite))
+                    carry0 = carry0._replace(fac=fac)
         if checkpoint_every is not None:
             if checkpoint_path is None:
                 raise ValueError("checkpoint_every requires checkpoint_path")
@@ -846,7 +862,9 @@ class MausSolver:
 def solve(A, b, tol: float = 1e-8, max_iterations: int = 100,
           num_candidates: Optional[int] = None, seed: int = 0,
           config: Optional[SolverConfig] = None,
-          mesh=None) -> SolutionReport:
+          mesh=None, checkpoint_path: Optional[str] = None,
+          resume_from: Optional[str] = None,
+          checkpoint_every: Optional[int] = None) -> SolutionReport:
     """Solve Ax = b.
 
     ``mesh``: optional ``jax.sharding.Mesh`` with a ``model`` axis of size > 1 —
@@ -856,69 +874,91 @@ def solve(A, b, tol: float = 1e-8, max_iterations: int = 100,
     inside the evolve carry), followed by split-f64 refinement whose
     correction solves reuse the sharded factors — operands larger than one
     device's factorization memory solve in place with the same engine.
+
+    ``checkpoint_path`` / ``resume_from`` / ``checkpoint_every`` work on both
+    the single-chip path (via :meth:`MausSolver.evolve`) and the mesh path
+    (sharded carry leaves — including the DistQR factors — are saved and
+    restored WITH their shardings; SURVEY §5.4).
     """
-    if mesh is not None and dict(zip(mesh.axis_names, mesh.devices.shape)) \
-            .get("model", 1) > 1:
-        from ..parallel.dist_qr import refine_distributed, stage_operands
-        from . import evolve as evolve_mod_
-
-        n = np.asarray(A).shape[0] if not hasattr(A, "sharding") else A.shape[0]
-        m = dict(zip(mesh.axis_names, mesh.devices.shape))["model"]
-        if n % m != 0:
-            raise ValueError(f"distributed solve needs N divisible by the "
-                             f"model axis: N={n}, model={m}")
-        local = n // m
-        block = max(b_ for b_ in (128, 64, 32, 16, 8, 4, 2, 1)
-                    if local % b_ == 0)
-        A_dev, b_dev, Are, Aim, bre, bim = stage_operands(mesh, A, b)
-
-        # compute dtype follows the staged operand (c128 on CPU x64, c64 on
-        # TPU — stage_operands only downcasts where the backend requires it)
-        cdtype = A_dev.dtype
-        eps_c = float(np.finfo(np.float64 if cdtype == jnp.complex128
-                               else np.float32).eps)
-        cfg = config or SolverConfig(
-            problem_type=ProblemType.SOLVE_LINEAR_SYSTEM,
-            num_candidates=num_candidates or 16, tol=tol,
-            dtype=cdtype, convergence_floor=50 * eps_c,
-            refine=True)
-        kn = ProblemKnowledge(shape=(n, n))
-        carry, metrics = evolve_mod_.evolve_while(
-            cfg, kn, A_dev, b_dev, jax.random.PRNGKey(seed), max_iterations,
-            1, mesh=mesh, dist_block=block)
-        pop = carry.pop
-
-        # jitted best-candidate extraction (eager complex gathers crash the
-        # TPU runtime)
-        @jax.jit
-        def _best(v, res):
-            i = jnp.argmin(jnp.where(jnp.isfinite(res), res, jnp.inf))
-            return v[i]
-
-        x0 = _best(pop.v, pop.residual)
-        from ..parallel.dist_qr import use_dist_sliced
-        xre, xim, rel = refine_distributed(
-            mesh, carry.fac, Are, Aim, bre, bim, x0, block,
-            cfg.max_refine_steps, tol * 0.3,
-            sliced=use_dist_sliced(mesh, Are))
-        x = np.asarray(xre, np.float64) + 1j * np.asarray(xim, np.float64)
-        rel_f = float(rel)
-        return SolutionReport(
-            problem_type=ProblemType.SOLVE_LINEAR_SYSTEM,
-            solutions=[(x,)], residuals=[rel_f],
-            iterations=int(carry.iteration),
-            num_distinct=1 if rel_f <= tol else 0, target_solutions=1,
-            landscape_energy=float(metrics.landscape_energy),
-            knowledge=kn)
+    if mesh is not None and _mesh_model_size(mesh) > 1:
+        return _solve_mesh(A, b, mesh, tol, max_iterations, num_candidates,
+                           seed, config, checkpoint_path=checkpoint_path,
+                           resume_from=resume_from,
+                           checkpoint_every=checkpoint_every)
     s = MausSolver(A, ProblemType.SOLVE_LINEAR_SYSTEM, b_vector=b,
                    initial_num_candidates=num_candidates,
                    global_convergence_tol=tol, config=config, seed=seed)
-    return s.evolve(max_iterations)
+    return s.evolve(max_iterations, checkpoint_path=checkpoint_path,
+                    resume_from=resume_from, checkpoint_every=checkpoint_every)
+
+
+def _solve_mesh(A, b, mesh, tol, max_iterations, num_candidates, seed,
+                config, checkpoint_path=None, resume_from=None,
+                checkpoint_every=None, reopen: bool = False
+                ) -> SolutionReport:
+    """Linear solve over a mesh: the FULL engine with the shared factorization
+    column-sharded, driven through the checkpoint/resume-capable hosted loop
+    (:func:`_mesh_hosted_drive`), then distributed split-f64 refinement."""
+    from ..parallel.dist_qr import (refine_distributed, stage_operands,
+                                    use_dist_sliced)
+
+    n = np.asarray(A).shape[0] if not hasattr(A, "sharding") else A.shape[0]
+    m = _mesh_model_size(mesh)
+    if n % m != 0:
+        raise ValueError(f"distributed solve needs N divisible by the "
+                         f"model axis: N={n}, model={m}")
+    local = n // m
+    block = max(b_ for b_ in (128, 64, 32, 16, 8, 4, 2, 1)
+                if local % b_ == 0)
+    A_dev, b_dev, Are, Aim, bre, bim = stage_operands(mesh, A, b)
+
+    # compute dtype follows the staged operand (c128 on CPU x64, c64 on
+    # TPU — stage_operands only downcasts where the backend requires it)
+    cdtype = A_dev.dtype
+    eps_c = float(np.finfo(np.float64 if cdtype == jnp.complex128
+                           else np.float32).eps)
+    cfg = config or SolverConfig(
+        problem_type=ProblemType.SOLVE_LINEAR_SYSTEM,
+        num_candidates=num_candidates or 16, tol=tol,
+        dtype=cdtype, convergence_floor=50 * eps_c,
+        refine=True)
+    kn = ProblemKnowledge(shape=(n, n))
+    carry, metrics = _mesh_hosted_drive(
+        cfg, kn, A_dev, b_dev, jax.random.PRNGKey(seed), max_iterations,
+        1, mesh=mesh, dist_block=block, checkpoint_path=checkpoint_path,
+        resume_from=resume_from, checkpoint_every=checkpoint_every,
+        reopen=reopen)
+    pop = carry.pop
+
+    # jitted best-candidate extraction (eager complex gathers crash the
+    # TPU runtime)
+    @jax.jit
+    def _best(v, res):
+        i = jnp.argmin(jnp.where(jnp.isfinite(res), res, jnp.inf))
+        return v[i]
+
+    x0 = _best(pop.v, pop.residual)
+    xre, xim, rel = refine_distributed(
+        mesh, carry.fac, Are, Aim, bre, bim, x0, block,
+        cfg.max_refine_steps, tol * 0.3,
+        sliced=use_dist_sliced(mesh, Are))
+    x = np.asarray(xre, np.float64) + 1j * np.asarray(xim, np.float64)
+    rel_f = float(rel)
+    return SolutionReport(
+        problem_type=ProblemType.SOLVE_LINEAR_SYSTEM,
+        solutions=[(x,)], residuals=[rel_f],
+        iterations=int(carry.iteration),
+        num_distinct=1 if rel_f <= tol else 0, target_solutions=1,
+        landscape_energy=float(metrics.landscape_energy),
+        knowledge=kn)
 
 
 def eig(A, tol: float = 1e-8, max_iterations: int = 200,
         num_candidates: Optional[int] = None, seed: int = 0,
-        config: Optional[SolverConfig] = None, mesh=None) -> SolutionReport:
+        config: Optional[SolverConfig] = None, mesh=None,
+        checkpoint_path: Optional[str] = None,
+        resume_from: Optional[str] = None,
+        checkpoint_every: Optional[int] = None) -> SolutionReport:
     """Eigenpairs of A.
 
     ``mesh``: optional ``jax.sharding.Mesh`` with a ``model`` axis of size > 1
@@ -931,19 +971,24 @@ def eig(A, tol: float = 1e-8, max_iterations: int = 200,
     larger than one device's memory solve in place with the same engine and
     the same tolerance contract as the single-chip path.
     """
-    if mesh is not None and dict(zip(mesh.axis_names, mesh.devices.shape)) \
-            .get("model", 1) > 1:
+    if mesh is not None and _mesh_model_size(mesh) > 1:
         return _eig_mesh(A, mesh, tol, max_iterations, num_candidates, seed,
-                         config)
+                         config, checkpoint_path=checkpoint_path,
+                         resume_from=resume_from,
+                         checkpoint_every=checkpoint_every)
     s = MausSolver(A, ProblemType.EIGENVALUE,
                    initial_num_candidates=num_candidates,
                    global_convergence_tol=tol, config=config, seed=seed)
-    return s.evolve(max_iterations)
+    return s.evolve(max_iterations, checkpoint_path=checkpoint_path,
+                    resume_from=resume_from, checkpoint_every=checkpoint_every)
 
 
 def svd(A, tol: float = 1e-6, max_iterations: int = 300,
         num_candidates: Optional[int] = None, seed: int = 0,
-        config: Optional[SolverConfig] = None, mesh=None) -> SolutionReport:
+        config: Optional[SolverConfig] = None, mesh=None,
+        checkpoint_path: Optional[str] = None,
+        resume_from: Optional[str] = None,
+        checkpoint_every: Optional[int] = None) -> SolutionReport:
     """Singular triplets of A.
 
     ``mesh``: optional ``jax.sharding.Mesh`` with a ``model`` axis of size > 1
@@ -954,14 +999,16 @@ def svd(A, tol: float = 1e-6, max_iterations: int = 300,
     same tolerance contract as the single-chip path, operands wider than one
     chip's HBM.
     """
-    if mesh is not None and dict(zip(mesh.axis_names, mesh.devices.shape)) \
-            .get("model", 1) > 1:
+    if mesh is not None and _mesh_model_size(mesh) > 1:
         return _svd_mesh(A, mesh, tol, max_iterations, num_candidates, seed,
-                         config)
+                         config, checkpoint_path=checkpoint_path,
+                         resume_from=resume_from,
+                         checkpoint_every=checkpoint_every)
     s = MausSolver(A, ProblemType.SVD,
                    initial_num_candidates=num_candidates,
                    global_convergence_tol=tol, config=config, seed=seed)
-    return s.evolve(max_iterations)
+    return s.evolve(max_iterations, checkpoint_path=checkpoint_path,
+                    resume_from=resume_from, checkpoint_every=checkpoint_every)
 
 
 # ---------------------------------------------------------------------------
@@ -970,6 +1017,117 @@ def svd(A, tol: float = 1e-6, max_iterations: int = 300,
 
 def _mesh_model_size(mesh) -> int:
     return dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
+
+
+def _reopen_carry(cfg, carry):
+    """Reopen a restored carry against a SWAPPED operand (the reference's
+    scenario-1 swap continues the same population against the new system,
+    AMS:645-652): the saved convergence bookkeeping refers to the OLD
+    operand — converged candidates and the carried distinct count would stop
+    the loop before a single step against the new one. Converged candidates
+    drop to REFINING keeping their iterates as warm starts (with α restored
+    to its initial value — frozen slots carry whatever α they converged
+    with); residual history and the stop-condition counters reset. The
+    factorization/Ψ caches are kept: a stale factorization is just an
+    approximate solver, and the Ψ-ladder/refactor machinery recovers from it
+    the same way it recovers from any poor factorization."""
+    import dataclasses as _dc
+
+    from ..core.types import CandidateStatus
+
+    pop = carry.pop
+    conv = pop.status == jnp.int8(CandidateStatus.CONVERGED)
+    pop = _dc.replace(
+        pop,
+        status=jnp.where(conv, jnp.int8(CandidateStatus.REFINING),
+                         pop.status),
+        alpha=jnp.where(conv, jnp.full_like(pop.alpha, cfg.alpha_initial),
+                        pop.alpha),
+        residual=jnp.full_like(pop.residual, jnp.inf),
+        prev_residual=jnp.full_like(pop.prev_residual, jnp.inf))
+    strat = _dc.replace(carry.strat,
+                        num_distinct=jnp.zeros_like(carry.strat.num_distinct))
+    return carry._replace(
+        pop=pop, strat=strat,
+        best_residual=jnp.asarray(jnp.inf, carry.best_residual.dtype),
+        stall_count=jnp.zeros_like(carry.stall_count))
+
+
+def _mesh_hosted_drive(cfg, kn, A_dev, b_dev, key, max_iterations, target,
+                       mesh=None, dist_block: int = 128, hess0=None,
+                       checkpoint_path=None, checkpoint_every=None,
+                       resume_from=None, reopen: bool = False):
+    """Checkpoint/resume-capable driver for the mesh engine paths (the mesh
+    counterpart of :meth:`MausSolver.evolve`'s chunked loop, SURVEY §5.4):
+    runs the SAME jitted ``evolve_while`` in chunks of ``checkpoint_every``
+    iterations with a carry save at every boundary, so a resumed run
+    reproduces the uninterrupted one bit-exactly. ``resume_from`` restores
+    every carry leaf WITH its mesh sharding (``utils/checkpoint.load_state``
+    places leaves by template sharding — the column-sharded DistQR factors
+    come back as (N, N/m) shards, not replicated).
+
+    ``mesh`` is forwarded only for paths whose evolve step takes explicit
+    mesh routing (linear dist-QR); the SVD mesh engine shards under GSPMD
+    with no routing and passes ``mesh=None``. ``max_iterations`` bounds the
+    TOTAL iteration count (consistent with a resumed carry's counter).
+    """
+    kwargs = {}
+    if mesh is not None:
+        kwargs.update(mesh=mesh, dist_block=dist_block)
+    if hess0 is not None:
+        kwargs.update(hess0=hess0)
+
+    carry = None
+    if resume_from is not None:
+        from ..utils.checkpoint import load_state
+        template = evolve_mod.init_carry(
+            cfg, kn, A_dev, key,
+            **({"mesh": mesh, "dist_block": dist_block}
+               if mesh is not None else {}))
+        carry = load_state(resume_from, template)
+        if reopen:
+            carry = _reopen_carry(cfg, carry)
+            if carry.fac is not None and mesh is not None:
+                # the carried factorization belongs to the OLD operand; the
+                # reference re-solves against the current matrix every step
+                # (AMS:645-652 swap), so refactorize the NEW one at the
+                # carried Ψ before re-entering the loop
+                from ..ops.regularize import apply_shift
+                from ..parallel.dist_qr import dist_qr
+
+                fac = dist_qr(mesh, apply_shift(A_dev, carry.psi_cached),
+                              block=dist_block)
+                carry = carry._replace(fac=fac)
+
+    if checkpoint_every is None:
+        carry, metrics = evolve_mod.evolve_while(
+            cfg, kn, A_dev, b_dev, key, max_iterations, target,
+            carry0=carry, **kwargs)
+    else:
+        if checkpoint_path is None:
+            raise ValueError("checkpoint_every requires checkpoint_path")
+        from ..utils.checkpoint import save_state
+        every = int(checkpoint_every)
+        while True:
+            start = 0 if carry is None else int(carry.iteration)
+            bound = min(start + every, max_iterations)
+            carry, metrics = evolve_mod.evolve_while(
+                cfg, kn, A_dev, b_dev, key, bound, target,
+                carry0=carry, **kwargs)
+            save_state(checkpoint_path, carry)
+            if bound >= max_iterations:
+                break
+            # mirror the in-loop stop (evolve._stop_condition): SVD re-derives
+            # its distinct target from the converged σ spectrum (AMS:463-470)
+            tgt = int(carry.strat.target_dynamic) \
+                if cfg.problem_type == ProblemType.SVD else target
+            if int(carry.strat.num_distinct) >= min(tgt, target) or \
+                    int(carry.stall_count) >= cfg.stall_limit:
+                break
+    if checkpoint_path is not None and checkpoint_every is None:
+        from ..utils.checkpoint import save_state
+        save_state(checkpoint_path, carry)
+    return carry, metrics
 
 
 def _spectral_floor(cdtype, n: int) -> float:
@@ -983,7 +1141,8 @@ def _spectral_floor(cdtype, n: int) -> float:
 
 
 def _eig_mesh(A, mesh, tol, max_iterations, num_candidates, seed,
-              config) -> SolutionReport:
+              config, checkpoint_path=None, resume_from=None,
+              checkpoint_every=None, reopen: bool = False) -> SolutionReport:
     """eig over a mesh: the FULL MAUS engine (Ψ ladder, α adaptation,
     retire/respawn, strategy regimes — solver/evolve.py) with every shifted
     solve routed through the column-sharded Hessenberg form, then the
@@ -1009,9 +1168,11 @@ def _eig_mesh(A, mesh, tol, max_iterations, num_candidates, seed,
     target = min(n, cfg.num_candidates)
 
     hess = dist_hessenberg(mesh, A_dev)     # built once: engine + finisher
-    carry, _ = evolve_mod.evolve_while(
+    carry, _ = _mesh_hosted_drive(
         cfg, kn, A_dev, None, jax.random.PRNGKey(seed), max_iterations,
-        target, mesh=mesh, hess0=hess)
+        target, mesh=mesh, hess0=hess, checkpoint_path=checkpoint_path,
+        resume_from=resume_from, checkpoint_every=checkpoint_every,
+        reopen=reopen)
 
     pop, strat = carry.pop, carry.strat
     diag = strat_mod.compute_diagnostics(cfg, pop, strat, target)
@@ -1062,7 +1223,8 @@ def _eig_mesh(A, mesh, tol, max_iterations, num_candidates, seed,
 
 
 def _svd_mesh(A, mesh, tol, max_iterations, num_candidates, seed,
-              config) -> SolutionReport:
+              config, checkpoint_path=None, resume_from=None,
+              checkpoint_every=None, reopen: bool = False) -> SolutionReport:
     """SVD over a mesh: the FULL MAUS engine with A column-sharded — the
     block subspace round in candidate.step_svd is plain matmuls + thin QRs,
     which GSPMD distributes with A as the only O(M·N) object — then the
@@ -1085,9 +1247,11 @@ def _svd_mesh(A, mesh, tol, max_iterations, num_candidates, seed,
     kn = ProblemKnowledge(shape=(mr, n))
     target0 = min(min(mr, n), cfg.num_candidates)
 
-    carry, _ = evolve_mod.evolve_while(
+    carry, _ = _mesh_hosted_drive(
         cfg, kn, A_dev, None, jax.random.PRNGKey(seed), max_iterations,
-        target0)                     # GSPMD shards the SVD step; no routing
+        target0, checkpoint_path=checkpoint_path, resume_from=resume_from,
+        checkpoint_every=checkpoint_every, reopen=reopen)
+    #                                  GSPMD shards the SVD step; no routing
     pop, strat = carry.pop, carry.strat
     # the run's final effective-rank view supersedes the initial target
     # (re-derived on device from the converged σ spectrum, AMS:463-470)
@@ -1143,3 +1307,98 @@ def _svd_mesh(A, mesh, tol, max_iterations, num_candidates, seed,
         residuals=residuals, iterations=int(carry.iteration),
         num_distinct=len(solutions), target_solutions=target,
         landscape_energy=float(strat.landscape_energy), knowledge=kn)
+
+
+class MeshSolver:
+    """Stateful driver for mesh runs — the :class:`MausSolver`-parity surface
+    (checkpoint/resume via :meth:`evolve`, mid-run operand swap via
+    :meth:`update_problem`, AMS:645-652) for operands column-sharded over a
+    device mesh. Wraps the SAME full-engine mesh paths as
+    ``solve/eig/svd(mesh=...)``; operands are staged once at construction
+    (one tunnel crossing on the TPU runtime) and re-used as device arrays by
+    every subsequent :meth:`evolve` call.
+
+    Like the reference's scenario-1 swap (AMS:645-652), ``update_problem``
+    keeps the solver's configuration and re-stages only the changed operands;
+    the next :meth:`evolve` run factorizes the new system. Continuing a
+    population across the swap is done the same way as on the single-chip
+    path: checkpoint the pre-swap run (``checkpoint_path``) and resume the
+    post-swap run from it (``resume_from``) — the restored candidates then
+    iterate against the NEW operand.
+    """
+
+    def __init__(self, matrix, problem_type: ProblemType, mesh,
+                 b_vector=None, initial_num_candidates: Optional[int] = None,
+                 global_convergence_tol: float = 1e-8,
+                 config: Optional[SolverConfig] = None, seed: int = 0):
+        self.problem_type = ProblemType(problem_type)
+        if mesh is None or _mesh_model_size(mesh) <= 1:
+            raise ValueError("MeshSolver needs a mesh with a 'model' axis "
+                             "of size > 1 (use MausSolver otherwise)")
+        if self.problem_type == ProblemType.SOLVE_LINEAR_SYSTEM and \
+                b_vector is None:
+            raise ValueError("SOLVE_LINEAR_SYSTEM requires b_vector")
+        from ..utils.compile_cache import enable_once
+        enable_once()
+        self.mesh = mesh
+        self.tol = float(global_convergence_tol)
+        self.num_candidates = initial_num_candidates
+        self.config = config
+        self.seed = seed
+        self._A = None
+        self._b = None
+        self.update_problem(matrix=matrix, b_vector=b_vector)
+        self._swapped = False   # constructor staging is not a swap
+
+    def update_problem(self, matrix=None, b_vector=None) -> None:
+        """Swap operands mid-run (scenario-1 parity): the swap goes through
+        the SAME mesh staging as construction, so the stored operands are
+        always column-sharded device arrays; an unchanged operand is a
+        device-side pass-through, not a re-transfer. A subsequent
+        ``evolve(resume_from=...)`` automatically REOPENS the restored carry
+        (see ``_reopen_carry``) so the population re-evaluates against the
+        new system instead of stopping on stale convergence bookkeeping."""
+        self._swapped = True
+        if matrix is not None:
+            self._A = matrix
+        if b_vector is not None:
+            self._b = b_vector
+        if self.problem_type == ProblemType.SOLVE_LINEAR_SYSTEM:
+            from ..parallel.dist_qr import stage_operands
+
+            A_dev, b_dev, *_ = stage_operands(self.mesh, self._A, self._b)
+            self._A, self._b = A_dev, b_dev
+        else:
+            from ..parallel.dist_refine import stage_spectral
+
+            A_dev, _ = stage_spectral(
+                self.mesh, self._A,
+                dtype=(self.config.dtype if self.config is not None
+                       else None))
+            self._A = A_dev
+
+    def evolve(self, max_iterations: int = 100,
+               checkpoint_path: Optional[str] = None,
+               resume_from: Optional[str] = None,
+               checkpoint_every: Optional[int] = None) -> SolutionReport:
+        """Run the full mesh engine + distributed finishers; same
+        checkpoint/resume semantics as :meth:`MausSolver.evolve` (chunks of
+        the one jitted loop, bit-exact resume, sharded leaves restored with
+        their shardings)."""
+        kw = dict(checkpoint_path=checkpoint_path, resume_from=resume_from,
+                  checkpoint_every=checkpoint_every,
+                  reopen=(resume_from is not None and self._swapped))
+        if self.problem_type == ProblemType.SOLVE_LINEAR_SYSTEM:
+            rep = _solve_mesh(self._A, self._b, self.mesh, self.tol,
+                              max_iterations, self.num_candidates,
+                              self.seed, self.config, **kw)
+        elif self.problem_type == ProblemType.EIGENVALUE:
+            rep = _eig_mesh(self._A, self.mesh, self.tol, max_iterations,
+                            self.num_candidates, self.seed, self.config,
+                            **kw)
+        else:
+            rep = _svd_mesh(self._A, self.mesh, self.tol, max_iterations,
+                            self.num_candidates, self.seed, self.config,
+                            **kw)
+        self._swapped = False
+        return rep

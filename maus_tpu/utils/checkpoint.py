@@ -31,6 +31,21 @@ def _is_complex(x) -> bool:
                           else x.dtype, jnp.complexfloating)
 
 
+def _place_like(arr, template_leaf):
+    """Restore a loaded leaf with the template leaf's sharding (VERDICT r3
+    #5): mesh-run carries hold column-sharded factors (DistQR / DistHess
+    leaves), and resuming them replicated would silently undo the memory
+    scaling the mesh exists for. Single-device templates re-place on the
+    template's device (a no-op cost-wise)."""
+    sharding = getattr(template_leaf, "sharding", None)
+    if sharding is None or len(sharding.device_set) <= 1:
+        # single-device leaves stay UNCOMMITTED: committing them to the
+        # template's device would make jit reject mixing them with
+        # mesh-sharded operands (committed arrays on disjoint device sets)
+        return arr
+    return jax.device_put(arr, sharding)
+
+
 def save_state(path: str, state) -> int:
     """Dump any pytree's leaves to ``path`` (.npz). Returns the leaf count.
 
@@ -113,7 +128,8 @@ def load_state(path: str, template):
                 if got.shape != want_shape:
                     raise ValueError(f"leaf {i}: checkpoint shape {got.shape} "
                                      f"!= template {want_shape}")
-                out.append(to_device_complex(got, want_dtype))
+                out.append(_place_like(to_device_complex(got, want_dtype),
+                                       want))
             else:
                 if tag not in files:
                     raise ValueError(f"leaf {i}: template is real "
@@ -127,5 +143,5 @@ def load_state(path: str, template):
                 if got.shape != want_shape:
                     raise ValueError(f"leaf {i}: checkpoint shape {got.shape} "
                                      f"!= template {want_shape}")
-                out.append(jnp.asarray(got))
+                out.append(_place_like(jnp.asarray(got), want))
     return jax.tree.unflatten(treedef, out)

@@ -1,0 +1,213 @@
+"""Mesh-path feature parity with the single-chip API (VERDICT r3 #5):
+checkpoint/resume for ``solve/eig/svd(mesh=)`` — sharded carry leaves
+(including the column-sharded DistQR factors) saved and restored WITH their
+shardings, chunk boundaries on the same jitted loop so resume is bit-exact —
+and mid-run operand swap (``MeshSolver.update_problem``, the mesh counterpart
+of AMS:645-652's scenario-1 swap).
+
+Runs on the 8-virtual-device CPU mesh (conftest).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+import maus_tpu
+from maus_tpu.core.types import ProblemType
+from maus_tpu.problems import generators as gen
+
+M_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < M_DEV:
+        pytest.skip("needs 8 devices")
+    return Mesh(np.array(jax.devices()).reshape(-1), ("model",))
+
+
+def _linear_problem(n=32, seed=0, cond=1e3):
+    return gen.ill_conditioned_system(n, cond=cond, seed=seed)
+
+
+class TestSolveMeshCheckpoint:
+    def test_resume_bit_exact(self, mesh, tmp_path):
+        """Kill a mesh run mid-way, resume from the periodic checkpoint, and
+        match the uninterrupted run bit-exactly (the single-chip contract of
+        test_utils.test_checkpoint_every_resume_bit_exact, now on the mesh)."""
+        A, b = _linear_problem(seed=3)
+        path = str(tmp_path / "mesh_periodic.npz")
+        common = dict(tol=1e-10, num_candidates=6, seed=5, mesh=mesh)
+
+        rep_ref = maus_tpu.solve(A, b, max_iterations=6, **common)
+        maus_tpu.solve(A, b, max_iterations=4, checkpoint_path=path,
+                       checkpoint_every=2, **common)
+        rep_b = maus_tpu.solve(A, b, max_iterations=6, resume_from=path,
+                               **common)
+
+        assert rep_ref.iterations == rep_b.iterations
+        assert rep_ref.residuals == rep_b.residuals
+        np.testing.assert_array_equal(rep_ref.solutions[0][0],
+                                      rep_b.solutions[0][0])
+
+    def test_restored_factors_keep_sharding(self, mesh, tmp_path):
+        """The carry's DistQR leaves must come back column-sharded
+        ((N, N/m) per device), not replicated — a replicated restore would
+        silently undo the memory scaling the mesh exists for."""
+        from maus_tpu.core.types import ProblemKnowledge, SolverConfig
+        from maus_tpu.parallel.dist_qr import stage_operands
+        from maus_tpu.solver import evolve as evolve_mod
+        from maus_tpu.utils.checkpoint import load_state, save_state
+
+        n = 32
+        A, b = _linear_problem(n=n, seed=4)
+        A_dev, b_dev, *_ = stage_operands(mesh, A, b)
+        eps = float(np.finfo(np.float64).eps)
+        cfg = SolverConfig(problem_type=ProblemType.SOLVE_LINEAR_SYSTEM,
+                           num_candidates=6, tol=1e-10, dtype=A_dev.dtype,
+                           convergence_floor=50 * eps, refine=True)
+        kn = ProblemKnowledge(shape=(n, n))
+        key = jax.random.PRNGKey(0)
+        carry = evolve_mod.init_carry(cfg, kn, A_dev, key, mesh=mesh,
+                                      dist_block=4)
+        path = str(tmp_path / "sharded_carry.npz")
+        save_state(path, carry)
+        template = evolve_mod.init_carry(cfg, kn, A_dev, key, mesh=mesh,
+                                         dist_block=4)
+        loaded = load_state(path, template)
+        for leaf in (loaded.fac.q, loaded.fac.r):
+            shards = leaf.addressable_shards
+            assert len(shards) == M_DEV
+            for s in shards:
+                assert s.data.shape == (n, n // M_DEV)
+        # and the restored values equal the saved ones exactly
+        np.testing.assert_array_equal(np.asarray(loaded.fac.q),
+                                      np.asarray(carry.fac.q))
+
+    def test_checkpoint_every_requires_path(self, mesh):
+        A, b = _linear_problem(seed=6)
+        with pytest.raises(ValueError, match="checkpoint_path"):
+            maus_tpu.solve(A, b, mesh=mesh, checkpoint_every=2)
+
+
+class TestEigSvdMeshCheckpoint:
+    def test_eig_resume_matches_uninterrupted(self, mesh, tmp_path):
+        rng = np.random.default_rng(7)
+        n = 32
+        A = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        path = str(tmp_path / "eig_mesh.npz")
+        common = dict(tol=1e-8, num_candidates=8, seed=2, mesh=mesh)
+
+        rep_ref = maus_tpu.eig(A, max_iterations=30, **common)
+        maus_tpu.eig(A, max_iterations=10, checkpoint_path=path,
+                     checkpoint_every=5, **common)
+        rep_b = maus_tpu.eig(A, max_iterations=30, resume_from=path, **common)
+
+        assert rep_b.iterations == rep_ref.iterations
+        assert rep_b.num_distinct == rep_ref.num_distinct
+        assert rep_b.residuals == rep_ref.residuals
+        for (l1, v1), (l2, v2) in zip(rep_ref.solutions, rep_b.solutions):
+            assert l1 == l2
+            np.testing.assert_array_equal(v1, v2)
+
+    def test_svd_resume_converges(self, mesh, tmp_path):
+        rng = np.random.default_rng(8)
+        mr, n = 24, 32
+        B = rng.standard_normal((mr, n)) + 1j * rng.standard_normal((mr, n))
+        path = str(tmp_path / "svd_mesh.npz")
+        common = dict(tol=1e-8, num_candidates=6, seed=3, mesh=mesh)
+
+        rep_ref = maus_tpu.svd(B, max_iterations=60, **common)
+        maus_tpu.svd(B, max_iterations=20, checkpoint_path=path,
+                     checkpoint_every=10, **common)
+        rep_b = maus_tpu.svd(B, max_iterations=60, resume_from=path, **common)
+
+        assert rep_b.iterations == rep_ref.iterations
+        assert rep_b.num_distinct == rep_ref.num_distinct
+        s_true = np.linalg.svd(B, compute_uv=False)
+        for sig, u, v in rep_b.solutions:
+            assert np.min(np.abs(s_true - sig)) < 1e-6
+            r = np.linalg.norm(B @ v - sig * u) + \
+                np.linalg.norm(B.conj().T @ u - sig * v)
+            assert r < 1e-8 * np.linalg.norm(B)
+
+
+class TestMeshSolverUpdateProblem:
+    def test_swap_solves_new_system(self, mesh):
+        """Scenario-1 parity (AMS:645-652) on the mesh: swap the operand
+        mid-run and the next evolve solves the NEW system."""
+        n = 32
+        A1, b1 = gen.dynamic_solve_system(n, t_step=0)
+        A2, b2 = gen.dynamic_solve_system(n, t_step=25)
+        s = maus_tpu.MeshSolver(A1, ProblemType.SOLVE_LINEAR_SYSTEM, mesh,
+                                b_vector=b1, initial_num_candidates=6,
+                                global_convergence_tol=1e-8)
+        rep1 = s.evolve(max_iterations=30)
+        assert rep1.converged
+        x1 = rep1.solutions[0][0]
+        assert np.linalg.norm(A1 @ x1 - b1) / np.linalg.norm(b1) <= 1e-8
+
+        s.update_problem(matrix=A2, b_vector=b2)
+        rep2 = s.evolve(max_iterations=30)
+        assert rep2.converged
+        x2 = rep2.solutions[0][0]
+        assert np.linalg.norm(A2 @ x2 - b2) / np.linalg.norm(b2) <= 1e-8
+        # the two systems genuinely differ — x1 does not satisfy system 2
+        assert np.linalg.norm(A2 @ x1 - b2) / np.linalg.norm(b2) > 1e-6
+
+    def test_swap_with_population_carryover(self, mesh, tmp_path):
+        """The reference's swap continues the SAME population against the new
+        operand (AMS:645-652). Mesh route: checkpoint the pre-swap run,
+        resume post-swap — the restored candidates and their stale
+        factorization iterate against the new system and still reach tol
+        (the Ψ ladder refactors against the new operand on regression)."""
+        n = 32
+        A1, b1 = gen.dynamic_solve_system(n, t_step=0)
+        A2, b2 = gen.dynamic_solve_system(n, t_step=1)   # nearby time step
+        path = str(tmp_path / "swap_carry.npz")
+        s = maus_tpu.MeshSolver(A1, ProblemType.SOLVE_LINEAR_SYSTEM, mesh,
+                                b_vector=b1, initial_num_candidates=6,
+                                global_convergence_tol=1e-8)
+        rep_pre = s.evolve(max_iterations=4, checkpoint_path=path,
+                           checkpoint_every=4)
+        s.update_problem(matrix=A2, b_vector=b2)
+        # MeshSolver reopens the restored carry automatically after a swap:
+        # without it the stale convergence bookkeeping (the pre-swap run
+        # already converged on system 1) would stop the loop at step zero
+        rep = s.evolve(max_iterations=40, resume_from=path)
+        assert rep.iterations > rep_pre.iterations   # continued, not stopped
+        x = rep.solutions[0][0]
+        assert np.linalg.norm(A2 @ x - b2) / np.linalg.norm(b2) <= 1e-8
+
+    def test_b_only_swap(self, mesh):
+        n = 32
+        A, b1 = gen.dynamic_solve_system(n, t_step=0)
+        rng = np.random.default_rng(9)
+        b2 = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        s = maus_tpu.MeshSolver(A, ProblemType.SOLVE_LINEAR_SYSTEM, mesh,
+                                b_vector=b1, initial_num_candidates=6)
+        s.update_problem(b_vector=b2)
+        rep = s.evolve(max_iterations=30)
+        x = rep.solutions[0][0]
+        assert np.linalg.norm(A @ x - b2) / np.linalg.norm(b2) <= 1e-8
+
+    def test_requires_model_axis(self):
+        A, b = _linear_problem()
+        single = Mesh(np.array(jax.devices()[:1]).reshape(1), ("model",))
+        with pytest.raises(ValueError, match="model"):
+            maus_tpu.MeshSolver(A, ProblemType.SOLVE_LINEAR_SYSTEM, single,
+                                b_vector=b)
+
+    def test_eig_mesh_solver(self, mesh):
+        rng = np.random.default_rng(10)
+        n = 32
+        A = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        s = maus_tpu.MeshSolver(A, ProblemType.EIGENVALUE, mesh,
+                                initial_num_candidates=8)
+        rep = s.evolve(max_iterations=30)
+        assert rep.num_distinct >= 1
+        lam_true = np.linalg.eigvals(A)
+        for lam, v in rep.solutions:
+            assert np.min(np.abs(lam_true - lam)) < 1e-6
