@@ -295,20 +295,30 @@ def main():
                         for k, v in sc["kernels"].items()},
         }
         if from_cache:
-            # always-live canary: re-measure one cheap kernel and fail the
-            # bench if it drifts >20% from the artifact (a regression must
-            # not sail through behind cached numbers)
-            from benchmarks.mfu import canary
+            # always-live canary SUITE (VERDICT r3 #9): re-measure one cheap
+            # probe per production kernel family and fail the bench if ANY
+            # drifts >20% from the artifact — a regression in any kernel must
+            # not sail through behind cached numbers. Probes without an
+            # artifact entry yet (e.g. the fused kernel before its first live
+            # scorecard) are reported but not gated.
+            from benchmarks.mfu import canary_suite
 
-            live = canary()
-            ref_gf = sc["kernels"].get("population_matvec", {}).get("gflops")
-            drift = abs(live["gflops"] - ref_gf) / ref_gf if ref_gf else 0.0
-            result["mfu"]["canary"] = {
-                "kernel": live["kernel"], "live_gflops": live["gflops"],
-                "cached_gflops": ref_gf, "drift": round(drift, 4),
-                "ok": drift <= 0.20,
-            }
-            ok = ok and drift <= 0.20
+            live = canary_suite()
+            kernels = {}
+            all_ok = True
+            for name, probe in live.items():
+                ref_gf = sc["kernels"].get(name, {}).get("gflops")
+                drift = (abs(probe["gflops"] - ref_gf) / ref_gf
+                         if ref_gf else None)
+                k_ok = drift is None or drift <= 0.20
+                kernels[name] = {
+                    "live_gflops": probe["gflops"], "cached_gflops": ref_gf,
+                    "drift": round(drift, 4) if drift is not None else None,
+                    "ok": k_ok,
+                }
+                all_ok = all_ok and k_ok
+            result["mfu"]["canary"] = {"kernels": kernels, "ok": all_ok}
+            ok = ok and all_ok
     print(json.dumps(result))
     return 0 if ok else 1
 

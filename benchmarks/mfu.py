@@ -85,6 +85,178 @@ def _timeit(fn, *args, overhead: float = 0.0, reps: int = 8) -> float:
     return max((t - overhead) / reps, 1e-9)
 
 
+def _cplx(k, shape):
+    import jax
+    import jax.numpy as jnp
+
+    ka, kb = jax.random.split(k)
+    return jax.lax.complex(jax.random.normal(ka, shape, jnp.float32),
+                           jax.random.normal(kb, shape, jnp.float32))
+
+
+def _measure_overhead():
+    import jax
+    import jax.numpy as jnp
+
+    return _fence_time(jax.jit(lambda x: x + 1.0),
+                       jnp.asarray(1.0, jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Shared kernel probes — ONE implementation per kernel family, used by both
+# scorecard() (full roofline run) and canary_suite() (always-live drift gate,
+# VERDICT r3 #9). Each returns (time_s_per_iteration, flops, bytes); shapes
+# default to the scorecard/artifact shapes so canary gflops are directly
+# comparable with the committed mfu_v5e.json numbers.
+# ---------------------------------------------------------------------------
+
+def _probe_matvec(overhead, k_mv: int = 16, n_mv: int = 4096):
+    import jax
+    import jax.numpy as jnp
+
+    hi = jax.lax.Precision.HIGHEST
+    key = jax.random.PRNGKey(0)
+    Am = _cplx(jax.random.fold_in(key, 5), (n_mv, n_mv))
+    Xm = _cplx(jax.random.fold_in(key, 6), (k_mv, n_mv))
+    f32z = jnp.asarray(0.0, jnp.float32)
+
+    @jax.jit
+    def mv(a, x):
+        def body(i, carry):
+            acc, x_ = carry
+            x_ = x_ * (1.0 + 1e-7)
+            y = jnp.matmul(x_, a.T, precision=hi)
+            return acc + jnp.abs(jnp.sum(y)).real.astype(jnp.float32), x_
+        acc, _ = jax.lax.fori_loop(0, _R_MV, body, (f32z, x))
+        return acc
+
+    t = _timeit(mv, Am, Xm, overhead=overhead, reps=_R_MV)
+    return t, 8.0 * k_mv * n_mv ** 2, 8 * n_mv ** 2 + 2 * 8 * k_mv * n_mv
+
+
+def _probe_hess_solve(overhead, k_lu: int = 32, n_lu: int = 256):
+    import jax
+    import jax.numpy as jnp
+
+    from maus_tpu.ops.hessenberg import (HessCache, reduce_hessenberg,
+                                         solve_shifted_via_hessenberg)
+
+    key = jax.random.PRNGKey(0)
+    Al = _cplx(jax.random.fold_in(key, 2), (n_lu, n_lu))
+    lams = _cplx(jax.random.fold_in(key, 3), (k_lu,)) * 0.1
+    Bv = _cplx(jax.random.fold_in(key, 4), (k_lu, n_lu))
+    f32z = jnp.asarray(0.0, jnp.float32)
+    cache = reduce_hessenberg(Al)
+    jax.block_until_ready(cache.h)
+
+    @jax.jit
+    def hss(h, q, l, b):
+        c = HessCache(h=h, q=q)
+
+        def body(i, carry):
+            acc, l_ = carry
+            l_ = l_ * (1.0 + 1e-5)
+            W = solve_shifted_via_hessenberg(c, l_, b)
+            return acc + jnp.abs(jnp.sum(W)).real.astype(jnp.float32), l_
+        acc, _ = jax.lax.fori_loop(0, _R_HESS, body, (f32z, l))
+        return acc
+
+    t = _timeit(hss, cache.h, cache.q, lams, Bv, overhead=overhead,
+                reps=_R_HESS)
+    # flops: two K×n×n GEMMs + O(K n²) Givens sweep; bytes: the (K,n,n)
+    # shifted copy written+swept ≈ 3·K·n²·8
+    return (t, 2 * 8.0 * k_lu * n_lu ** 2 + 48.0 * k_lu * n_lu ** 2,
+            3 * k_lu * 8 * n_lu ** 2)
+
+
+def _probe_sliced_residual(overhead, n_sr: int = 4096):
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_enable_x64", True)
+    from maus_tpu.ops.refine import (SplitComplex, _sliced_residual,
+                                     slice_split_matrix)
+
+    key = jax.random.PRNGKey(0)
+    kr = jax.random.fold_in(key, 7)
+    A64 = SplitComplex(
+        jax.random.normal(jax.random.fold_in(kr, 0), (n_sr, n_sr),
+                          jnp.float32).astype(jnp.float64),
+        jax.random.normal(jax.random.fold_in(kr, 1), (n_sr, n_sr),
+                          jnp.float32).astype(jnp.float64))
+    x64 = SplitComplex(
+        jax.random.normal(jax.random.fold_in(kr, 2), (n_sr,),
+                          jnp.float32).astype(jnp.float64),
+        jax.random.normal(jax.random.fold_in(kr, 3), (n_sr,),
+                          jnp.float32).astype(jnp.float64))
+    spA = jax.jit(slice_split_matrix)(A64)
+    jax.block_until_ready(spA.sl_re)
+    f32z = jnp.asarray(0.0, jnp.float32)
+
+    @jax.jit
+    def sres(sl_re, sl_im, sigma, xr, xi):
+        sp_ = type(spA)(sl_re, sl_im, sigma)
+        x_ = SplitComplex(xr, xi)
+
+        def body(i, acc):
+            xk = SplitComplex(x_.re * (1.0 + 1e-13 * i), x_.im)
+            r = _sliced_residual(sp_, xk, x_)
+            return acc + r.norm().astype(jnp.float32)
+        return jax.lax.fori_loop(0, _R_SLICED, body, f32z)
+
+    t = _timeit(sres, spA.sl_re, spA.sl_im, spA.sigma, x64.re, x64.im,
+                overhead=overhead, reps=_R_SLICED)
+    s_a = int(spA.sl_re.shape[0])
+    # bytes: 2 planes × sA bf16 slice passes; flops: 2·sA GEMMs of N²×(2·12)
+    return (t, 2.0 * s_a * 2 * 24 * n_sr ** 2, 2 * s_a * 2 * n_sr ** 2,
+            s_a)
+
+
+def _probe_fused_residual(overhead, n_fu: int = 1024):
+    """The in-VMEM fused digit-extraction kernel (ops/pallas/slice_residual)
+    at a small tileable shape — accelerator only. gflops uses the kernel's
+    LOGICAL work model (the f64 residual it replaces, 8·N² flops) so the
+    number tracks effective residual throughput, not digit-GEMM volume."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_enable_x64", True)
+    from maus_tpu.ops.pallas.slice_residual import (fused_ok,
+                                                    sliced_residual_fused,
+                                                    split_triple)
+    from maus_tpu.ops.refine import SplitComplex
+
+    if not fused_ok((n_fu, n_fu)):
+        return None
+    key = jax.random.PRNGKey(0)
+    kr = jax.random.fold_in(key, 9)
+    A64 = SplitComplex(
+        jax.random.normal(jax.random.fold_in(kr, 0), (n_fu, n_fu),
+                          jnp.float64),
+        jax.random.normal(jax.random.fold_in(kr, 1), (n_fu, n_fu),
+                          jnp.float64))
+    x64 = SplitComplex(
+        jax.random.normal(jax.random.fold_in(kr, 2), (n_fu,), jnp.float64),
+        jax.random.normal(jax.random.fold_in(kr, 3), (n_fu,), jnp.float64))
+    tri = jax.jit(split_triple)(A64)
+    jax.block_until_ready(tri.sigma)
+    f32z = jnp.asarray(0.0, jnp.float32)
+    R = 64
+
+    @jax.jit
+    def fres(tri_, xr, xi):
+        def body(i, acc):
+            xk = SplitComplex(xr * (1.0 + 1e-13 * i), xi)
+            r = sliced_residual_fused(tri_, xk,
+                                      SplitComplex(jnp.zeros_like(xr),
+                                                   jnp.zeros_like(xi)))
+            return acc + r.norm().astype(jnp.float32)
+        return jax.lax.fori_loop(0, R, body, f32z)
+
+    t = _timeit(fres, tri, x64.re, x64.im, overhead=overhead, reps=R)
+    return t, 8.0 * n_fu ** 2, 12 * 2 * n_fu ** 2
+
+
 def scorecard(n_gemm: int = 4096, n_qr: int = 4096, k_lu: int = 32,
               n_lu: int = 256, k_mv: int = 16, n_mv: int = 4096) -> dict:
     import jax
@@ -97,11 +269,7 @@ def scorecard(n_gemm: int = 4096, n_qr: int = 4096, k_lu: int = 32,
     bw = bw_gbs * 1e9
     hi = jax.lax.Precision.HIGHEST
     key = jax.random.PRNGKey(0)
-
-    def cplx(k, shape):
-        ka, kb = jax.random.split(k)
-        return jax.lax.complex(jax.random.normal(ka, shape, jnp.float32),
-                               jax.random.normal(kb, shape, jnp.float32))
+    cplx = _cplx
 
     out = {"device_kind": kind, "peak_bf16_tflops": peak_bf16_tf,
            "hbm_gbs": bw_gbs, "measured_at": time.strftime("%Y-%m-%d"),
@@ -209,127 +377,59 @@ def scorecard(n_gemm: int = 4096, n_qr: int = 4096, k_lu: int = 32,
     # ---- Hessenberg shifted solve (what REPLACED the batched LU on the eig
     # path): same contract as batched_shifted_lu_solve, O(N²) per candidate
     # against the shared one-time reduction ---------------------------------
-    from maus_tpu.ops.hessenberg import (reduce_hessenberg,
-                                         solve_shifted_via_hessenberg)
-
-    cache = reduce_hessenberg(Al)
-    jax.block_until_ready(cache.h)
-
-    @jax.jit
-    def hss(h, q, l, b):
-        from maus_tpu.ops.hessenberg import HessCache
-        c = HessCache(h=h, q=q)
-
-        def body(i, carry):
-            acc, l_ = carry
-            l_ = l_ * (1.0 + 1e-5)
-            W = solve_shifted_via_hessenberg(c, l_, b)
-            return acc + jnp.abs(jnp.sum(W)).real.astype(jnp.float32), l_
-        acc, _ = jax.lax.fori_loop(0, _R_HESS, body, (f32z, l))
-        return acc
-
-    t = _timeit(hss, cache.h, cache.q, lams, Bv, overhead=overhead, reps=_R_HESS)
-    # flops: two K×n×n GEMMs + O(K n²) Givens sweep; bytes: the (K,n,n)
-    # shifted copy written+swept ≈ 3·K·n²·8
+    t, flops, bytes_ = _probe_hess_solve(overhead, k_lu, n_lu)
     entry("hessenberg_shifted_solve", f"K={k_lu} n={n_lu} c64",
-          t, 2 * 8.0 * k_lu * n_lu ** 2 + 48.0 * k_lu * n_lu ** 2,
-          3 * k_lu * 8 * n_lu ** 2)
+          t, flops, bytes_)
 
     # ---- GMRES/population matvec (memory-bound; what ties iterations) -------
-    Am = cplx(jax.random.fold_in(key, 5), (n_mv, n_mv))
-    Xm = cplx(jax.random.fold_in(key, 6), (k_mv, n_mv))
-
-    @jax.jit
-    def mv(a, x):
-        def body(i, carry):
-            acc, x_ = carry
-            x_ = x_ * (1.0 + 1e-7)
-            y = jnp.matmul(x_, a.T, precision=hi)
-            return acc + jnp.abs(jnp.sum(y)).real.astype(jnp.float32), x_
-        acc, _ = jax.lax.fori_loop(0, _R_MV, body, (f32z, x))
-        return acc
-
-    t = _timeit(mv, Am, Xm, overhead=overhead, reps=_R_MV)
-    entry("population_matvec", f"K={k_mv} N={n_mv} c64",
-          t, 8.0 * k_mv * n_mv ** 2, 8 * n_mv ** 2 + 2 * 8 * k_mv * n_mv)
+    t, flops, bytes_ = _probe_matvec(overhead, k_mv, n_mv)
+    entry("population_matvec", f"K={k_mv} N={n_mv} c64", t, flops, bytes_)
 
     # ---- exact-slicing f64 residual (refinement's certification kernel,
     # ops/refine.py::SlicedMatrix — replaces the emulated-f64 GEMV) ----------
-    jax.config.update("jax_enable_x64", True)
-    from maus_tpu.ops.refine import (SplitComplex, _sliced_residual,
-                                     slice_split_matrix)
-
-    n_sr = n_mv
-    kr = jax.random.fold_in(key, 7)
-    A64 = SplitComplex(
-        jax.random.normal(jax.random.fold_in(kr, 0), (n_sr, n_sr),
-                          jnp.float32).astype(jnp.float64),
-        jax.random.normal(jax.random.fold_in(kr, 1), (n_sr, n_sr),
-                          jnp.float32).astype(jnp.float64))
-    x64 = SplitComplex(
-        jax.random.normal(jax.random.fold_in(kr, 2), (n_sr,),
-                          jnp.float32).astype(jnp.float64),
-        jax.random.normal(jax.random.fold_in(kr, 3), (n_sr,),
-                          jnp.float32).astype(jnp.float64))
-    spA = jax.jit(slice_split_matrix)(A64)
-    jax.block_until_ready(spA.sl_re)
-
-    @jax.jit
-    def sres(sl_re, sl_im, sigma, xr, xi):
-        sp_ = type(spA)(sl_re, sl_im, sigma)
-        x_ = SplitComplex(xr, xi)
-
-        def body(i, acc):
-            xk = SplitComplex(x_.re * (1.0 + 1e-13 * i), x_.im)
-            r = _sliced_residual(sp_, xk, x_)
-            return acc + r.norm().astype(jnp.float32)
-        return jax.lax.fori_loop(0, _R_SLICED, body, f32z)
-
-    t = _timeit(sres, spA.sl_re, spA.sl_im, spA.sigma, x64.re, x64.im,
-                overhead=overhead, reps=_R_SLICED)
-    s_a = int(spA.sl_re.shape[0])
-    # bytes: 2 planes × sA bf16 slice passes; flops: 2·sA GEMMs of N²×(2·12)
+    t, flops, bytes_, s_a = _probe_sliced_residual(overhead, n_mv)
     entry("sliced_f64_residual",
-          f"N={n_sr} f64-exact via {2 * s_a} bf16 slice-GEMMs",
-          t, 2.0 * s_a * 2 * 24 * n_sr ** 2, 2 * s_a * 2 * n_sr ** 2)
+          f"N={n_mv} f64-exact via {2 * s_a} bf16 slice-GEMMs",
+          t, flops, bytes_)
 
     return out
 
 
+def canary_suite() -> dict:
+    """Cheap always-live kernel probes — one per production kernel family
+    (VERDICT r3 #9): population matvec, Hessenberg shifted solve, exact-
+    slicing f64 residual (all at the EXACT scorecard shapes, so the measured
+    gflops are directly comparable with the committed artifact's), plus the
+    fused in-VMEM digit-extraction kernel at a small tileable shape
+    (accelerator only; no artifact entry yet — reported, not gated, until a
+    live scorecard run records it). Run per bench invocation so a
+    kernel/toolchain regression cannot hide behind the cached scorecard.
+
+    Returns ``{kernel_name: {"time_s", "gflops"}}``; the 20%-drift comparison
+    against the artifact happens in bench.py."""
+    overhead = _measure_overhead()
+    suite = {}
+    t, flops, _ = _probe_matvec(overhead)
+    suite["population_matvec"] = {"time_s": round(t, 5),
+                                  "gflops": round(flops / t / 1e9, 1)}
+    t, flops, _ = _probe_hess_solve(overhead)
+    suite["hessenberg_shifted_solve"] = {"time_s": round(t, 5),
+                                         "gflops": round(flops / t / 1e9, 1)}
+    t, flops, _, _ = _probe_sliced_residual(overhead)
+    suite["sliced_f64_residual"] = {"time_s": round(t, 5),
+                                    "gflops": round(flops / t / 1e9, 1)}
+    fused = _probe_fused_residual(overhead)
+    if fused is not None:
+        t, flops, _ = fused
+        suite["fused_slice_residual"] = {"time_s": round(t, 5),
+                                         "gflops": round(flops / t / 1e9, 1)}
+    return suite
+
+
 def canary(k_mv: int = 16, n_mv: int = 4096) -> dict:
-    """One cheap always-live kernel probe (population matvec, ~1 s of device
-    time): run per bench invocation so a kernel/toolchain regression cannot
-    hide behind the cached scorecard artifact. Returns measured gflops only —
-    comparison against the artifact happens in bench.py."""
-    import jax
-    import jax.numpy as jnp
-
-    hi = jax.lax.Precision.HIGHEST
-    key = jax.random.PRNGKey(0)
-
-    def cplx(k, shape):
-        ka, kb = jax.random.split(k)
-        return jax.lax.complex(jax.random.normal(ka, shape, jnp.float32),
-                               jax.random.normal(kb, shape, jnp.float32))
-
-    overhead = _fence_time(jax.jit(lambda x: x + 1.0),
-                           jnp.asarray(1.0, jnp.float32))
-    Am = cplx(jax.random.fold_in(key, 5), (n_mv, n_mv))
-    Xm = cplx(jax.random.fold_in(key, 6), (k_mv, n_mv))
-    f32z = jnp.asarray(0.0, jnp.float32)
-
-    @jax.jit
-    def mv(a, x):
-        def body(i, carry):
-            acc, x_ = carry
-            x_ = x_ * (1.0 + 1e-7)
-            y = jnp.matmul(x_, a.T, precision=hi)
-            return acc + jnp.abs(jnp.sum(y)).real.astype(jnp.float32), x_
-        acc, _ = jax.lax.fori_loop(0, _R_MV, body, (f32z, x))
-        return acc
-
-    t = _timeit(mv, Am, Xm, overhead=overhead, reps=_R_MV)
-    flops = 8.0 * k_mv * n_mv ** 2
+    """Back-compat single-kernel probe (the round-3 canary)."""
+    overhead = _measure_overhead()
+    t, flops, _ = _probe_matvec(overhead, k_mv, n_mv)
     return {"kernel": "population_matvec", "time_s": round(t, 5),
             "gflops": round(flops / t / 1e9, 1)}
 
