@@ -33,6 +33,24 @@ def _report_lines(rep, check=None):
                f"max err {check.max_abs_error:.3e}")
 
 
+def _mesh_from_args(args):
+    """Build a (1, model) device mesh when --mesh-model is given; the run
+    then goes through the full distributed engine (column-sharded operands,
+    mesh finishers) exactly as ``solve/eig/svd(mesh=...)``."""
+    m = getattr(args, "mesh_model", 0) or 0
+    if m <= 1:
+        return None
+    from maus_tpu.parallel import mesh as mesh_mod
+
+    return mesh_mod.make_mesh(replica=1, model=m)
+
+
+def _ckpt_kwargs(args):
+    return dict(checkpoint_path=getattr(args, "checkpoint", None),
+                resume_from=getattr(args, "resume_from", None),
+                checkpoint_every=getattr(args, "checkpoint_every", None))
+
+
 def cmd_solve(args):
     import maus_tpu
     from maus_tpu.problems import generators as gen
@@ -43,7 +61,8 @@ def cmd_solve(args):
     else:
         A, b = gen.well_conditioned_system(args.n, seed=args.seed)
     rep = maus_tpu.solve(A, b, tol=args.tol, max_iterations=args.iters,
-                         num_candidates=args.cands, seed=args.seed)
+                         num_candidates=args.cands, seed=args.seed,
+                         mesh=_mesh_from_args(args), **_ckpt_kwargs(args))
     check = truth.compare(rep, A, b) if args.check else None
     print("\n".join(_report_lines(rep, check)))
     return 0 if rep.converged else 1
@@ -57,7 +76,8 @@ def cmd_eig(args):
     A = gen.laplace_like_complex(args.n, make_hermitian=args.hermitian,
                                  seed=args.seed)
     rep = maus_tpu.eig(A, tol=args.tol, max_iterations=args.iters,
-                       num_candidates=args.cands, seed=args.seed)
+                       num_candidates=args.cands, seed=args.seed,
+                       mesh=_mesh_from_args(args), **_ckpt_kwargs(args))
     check = truth.compare(rep, A) if args.check else None
     print("\n".join(_report_lines(rep, check)))
     return 0 if rep.converged else 1
@@ -71,7 +91,8 @@ def cmd_svd(args):
     A = gen.low_rank_svd_matrix(args.rows, args.cols, target_rank=args.rank,
                                 seed=args.seed)
     rep = maus_tpu.svd(A, tol=args.tol, max_iterations=args.iters,
-                       num_candidates=args.cands, seed=args.seed)
+                       num_candidates=args.cands, seed=args.seed,
+                       mesh=_mesh_from_args(args), **_ckpt_kwargs(args))
     check = truth.compare(rep, A) if args.check else None
     print("\n".join(_report_lines(rep, check)))
     return 0 if rep.converged else 1
@@ -166,6 +187,8 @@ def main(argv=None):
                                  description="TPU-native MAUS solver")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (with x64)")
+    ap.add_argument("--cpu-devices", type=int, default=None, metavar="N",
+                    help="with --cpu: N virtual devices (mesh runs/tests)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     common = argparse.ArgumentParser(add_help=False)
@@ -175,6 +198,15 @@ def main(argv=None):
     common.add_argument("--seed", type=int, default=0)
     common.add_argument("--check", action="store_true",
                         help="compare against LAPACK truth")
+    common.add_argument("--mesh-model", type=int, default=0, metavar="M",
+                        help="run distributed over a (1, M) device mesh "
+                             "(column-sharded operand, full engine)")
+    common.add_argument("--checkpoint", default=None, metavar="PATH",
+                        help="save the solver carry to PATH")
+    common.add_argument("--checkpoint-every", type=int, default=None,
+                        metavar="K", help="save every K iterations")
+    common.add_argument("--resume-from", default=None, metavar="PATH",
+                        help="resume from a carry saved by --checkpoint")
 
     p = sub.add_parser("solve", parents=[common])
     p.add_argument("--n", type=int, default=64)
@@ -217,6 +249,8 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
+        if args.cpu_devices:
+            jax.config.update("jax_num_cpu_devices", int(args.cpu_devices))
     return args.fn(args)
 
 
