@@ -392,6 +392,15 @@ def scorecard(n_gemm: int = 4096, n_qr: int = 4096, k_lu: int = 32,
           f"N={n_mv} f64-exact via {2 * s_a} bf16 slice-GEMMs",
           t, flops, bytes_)
 
+    # ---- fused in-VMEM digit-extraction residual (ops/pallas/slice_residual,
+    # accelerator only) — logical f64-residual flop model, triple-read bytes
+    fused = _probe_fused_residual(overhead)
+    if fused is not None:
+        t, flops, bytes_ = fused
+        entry("fused_slice_residual",
+              "N=1024 in-VMEM triple (logical f64-residual flops)",
+              t, flops, bytes_)
+
     return out
 
 

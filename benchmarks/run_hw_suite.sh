@@ -36,7 +36,14 @@ retry bench4096_c64exact 2 1800 env MAUS_BENCH_C64EXACT=1 python bench.py --no-m
 retry solve16k 6 2400 python -u benchmarks/solve16k_probe.py --n 16384
 # 3. TPU hardware test tier
 retry tputier 2 2400 env MAUS_TPU_TESTS=1 python -m pytest -m tpu tests/test_tpu.py -q
+# 4. large-N end-to-end eig/SVD rows (VERDICT r3 #6; verifies the refinement
+#    chunk memory at 8192 via the probe's hbm_peak telemetry)
+retry spectral 3 3600 python -u benchmarks/spectral_large_probe.py
+# 5. live MFU scorecard -> refresh the committed artifact (adds the fused
+#    kernel's canary entry; ~8 min of remote compiles, so it runs LAST)
+retry mfu_live 2 2400 python -u benchmarks/refresh_mfu.py
 
 echo; echo "== results =="
-grep -h '"metric"' "$OUT"/bench4096.log "$OUT"/solve16k.log 2>/dev/null | tail -4
+grep -h '"metric"' "$OUT"/bench4096.log "$OUT"/solve16k.log \
+  "$OUT"/spectral.log "$OUT"/mfu_live.log 2>/dev/null | tail -12
 tail -2 "$OUT"/tputier.log 2>/dev/null

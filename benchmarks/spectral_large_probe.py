@@ -1,0 +1,113 @@
+"""Large-N end-to-end eig()/svd() rows (VERDICT r3 #6): the at-scale perf
+story was linear-only — measure the PUBLIC API (full engine + mixed-precision
+finishers, refinement chunking included) at N = 4096 and 8192 for eig
+(general and Hermitian) and a bench-scale SVD, on the chip.
+
+Operands are generated ON DEVICE (a host transfer at 8192² would cost ~30 s
+of tunnel time) and passed as device-resident arrays — `eig()`/`svd()` accept
+them with zero host round-trips. Each row runs twice: first call pays the
+compile (banked by the persistent cache), the second is the measured time.
+
+Prints one JSON line per row:
+    {"metric": "eig N=4096 general", "time_s": ..., "num_distinct": ...,
+     "max_resid": ..., "hbm_peak_gb": ...}
+
+Usage: python -u benchmarks/spectral_large_probe.py [--sizes 4096,8192]
+       [--cands 16] [--svd-shape 4096x2048] [--tol 1e-8]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def _hbm_peak_gb():
+    """Device peak-memory telemetry where the backend exposes it (weak #5:
+    verify the refinement chunk memory at 8192 on real HBM)."""
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use")
+        return round(peak / 2**30, 2) if peak else None
+    except Exception:
+        return None
+
+
+def _device_operand(n, kind, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    A = jax.lax.complex(jax.random.normal(k1, (n, n), jnp.float32),
+                        jax.random.normal(k2, (n, n), jnp.float32)) \
+        / jnp.sqrt(jnp.asarray(float(n), jnp.float32)).astype(jnp.complex64)
+    if kind == "hermitian":
+        A = (A + A.conj().T) / 2
+    return jax.block_until_ready(A)
+
+
+def _svd_operand(m, n, seed=1):
+    import jax
+    import jax.numpy as jnp
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    A = jax.lax.complex(jax.random.normal(k1, (m, n), jnp.float32),
+                        jax.random.normal(k2, (m, n), jnp.float32)) \
+        / jnp.sqrt(jnp.asarray(float(max(m, n)), jnp.float32)) \
+        .astype(jnp.complex64)
+    return jax.block_until_ready(A)
+
+
+def _row(fn, metric):
+    fn()                                       # compile + warm
+    t0 = time.perf_counter()
+    rep = fn()
+    dt = time.perf_counter() - t0
+    out = {"metric": metric, "time_s": round(dt, 3),
+           "num_distinct": rep.num_distinct,
+           "target": rep.target_solutions,
+           "iterations": rep.iterations,
+           "max_resid": max(rep.residuals) if rep.residuals else None,
+           "hbm_peak_gb": _hbm_peak_gb()}
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="4096,8192")
+    ap.add_argument("--cands", type=int, default=16)
+    ap.add_argument("--svd-shape", default="4096x2048")
+    ap.add_argument("--tol", type=float, default=1e-8)
+    ap.add_argument("--iters", type=int, default=60)
+    args = ap.parse_args()
+
+    import maus_tpu
+    from maus_tpu.utils.compile_cache import enable as enable_cache
+
+    enable_cache()
+    sizes = [int(s) for s in args.sizes.split(",") if s]
+
+    for n in sizes:
+        for kind in ("general", "hermitian"):
+            A = _device_operand(n, kind)
+            _row(lambda A=A: maus_tpu.eig(
+                A, tol=args.tol, max_iterations=args.iters,
+                num_candidates=args.cands), f"eig N={n} {kind}")
+            del A
+
+    m, n = (int(x) for x in args.svd_shape.split("x"))
+    B = _svd_operand(m, n)
+    _row(lambda: maus_tpu.svd(B, tol=max(args.tol, 1e-6),
+                              max_iterations=args.iters,
+                              num_candidates=args.cands),
+         f"svd {m}x{n}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
