@@ -263,26 +263,29 @@ def _dist_solve_refined(mesh, A, b, Are, Aim, bre, bim, block, steps, tol):
                               sliced=use_dist_sliced(mesh, Are))
 
 
-def stage_operands(mesh: Mesh, A, b):
-    """Shared staging for the distributed solve paths (``solve_distributed``
-    and ``maus_tpu.solve(mesh=)``): c64 compute copies (A column-sharded, b
-    replicated) PLUS full-precision split planes built from the ORIGINAL
-    operands — refinement must target the user's system, not its c64
-    rounding. Accepts host arrays or already-device/sharded arrays.
+def _staging_dtypes():
+    """(split-plane dtype, compute dtype) by backend: only downcast where the
+    device cannot hold the wide dtype — on CPU with x64 the factorization
+    keeps full precision (a forced c64 base factorization needs more IR steps
+    and can stall at the eps32·κ contraction limit on ill-conditioned
+    systems)."""
+    rdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    cdtype = jnp.complex128 if (jax.default_backend() == "cpu" and
+                                jax.config.jax_enable_x64) else jnp.complex64
+    return rdt, cdtype
 
-    Returns ``(A_dev, b_dev, Are, Aim, bre, bim)``.
-    """
+
+def stage_A(mesh: Mesh, A):
+    """Stage the matrix for the distributed linear path: column-sharded
+    compute copy PLUS column-sharded full-precision split planes built from
+    the ORIGINAL operand — refinement must target the user's system, not its
+    c64 rounding. Accepts host arrays or already-device/sharded arrays.
+    Returns ``(A_dev, Are, Aim)``."""
     import numpy as np
 
     from ..utils.xfer import to_device_complex
 
-    rdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    # compute dtype by BACKEND: only downcast where the device cannot hold the
-    # wide dtype — on CPU with x64 the factorization keeps full precision (a
-    # forced c64 base factorization needs more IR steps and can stall at the
-    # eps32·κ contraction limit on ill-conditioned systems)
-    cdtype = jnp.complex128 if (jax.default_backend() == "cpu" and
-                                jax.config.jax_enable_x64) else jnp.complex64
+    rdt, cdtype = _staging_dtypes()
     col_shard = NamedSharding(mesh, P(None, MODEL_AXIS))
     if not hasattr(A, "sharding"):
         A_host = np.asarray(A)
@@ -290,20 +293,44 @@ def stage_operands(mesh: Mesh, A, b):
         Aim = jax.device_put(jnp.asarray(A_host.imag.astype(rdt)), col_shard)
         A = to_device_complex(A_host, cdtype)
     else:
-        Are = jax.device_put(A.real.astype(rdt), col_shard)
-        Aim = jax.device_put(A.imag.astype(rdt), col_shard)
-        A = A.astype(cdtype)
+        # already-on-device operand: ALL complex math stays jitted — eager
+        # .real/.imag/.astype on complex device arrays crash this TPU runtime
+        Are, Aim, A = jax.jit(
+            lambda a: (a.real.astype(rdt), a.imag.astype(rdt),
+                       a.astype(cdtype)),
+            out_shardings=(col_shard, col_shard, col_shard))(A)
+    return jax.device_put(A, col_shard), Are, Aim
+
+
+def stage_b(mesh: Mesh, b):
+    """Stage the rhs (replicated compute copy + full-precision split planes
+    from the ORIGINAL data). Returns ``(b_dev, bre, bim)``."""
+    import numpy as np
+
+    from ..utils.xfer import to_device_complex
+
+    rdt, cdtype = _staging_dtypes()
     if not hasattr(b, "sharding"):
         b_host = np.asarray(b)
         bre = jnp.asarray(b_host.real.astype(rdt))
         bim = jnp.asarray(b_host.imag.astype(rdt))
         b = to_device_complex(b_host, cdtype)
     else:
-        bre = b.real.astype(rdt)
-        bim = b.imag.astype(rdt)
-        b = b.astype(cdtype)
-    A_dev = jax.device_put(A, col_shard)
-    b_dev = jax.device_put(b, NamedSharding(mesh, P()))
+        # jitted for the same TPU eager-complex reason as stage_A
+        bre, bim, b = jax.jit(
+            lambda x: (x.real.astype(rdt), x.imag.astype(rdt),
+                       x.astype(cdtype)))(b)
+    return jax.device_put(b, NamedSharding(mesh, P())), bre, bim
+
+
+def stage_operands(mesh: Mesh, A, b):
+    """Shared staging for the distributed solve paths (``solve_distributed``
+    and ``maus_tpu.solve(mesh=)``): composes :func:`stage_A` + :func:`stage_b`.
+
+    Returns ``(A_dev, b_dev, Are, Aim, bre, bim)``.
+    """
+    A_dev, Are, Aim = stage_A(mesh, A)
+    b_dev, bre, bim = stage_b(mesh, b)
     return A_dev, b_dev, Are, Aim, bre, bim
 
 

@@ -488,7 +488,11 @@ class MausSolver:
         carry0 = None
         if resume_from is not None:
             from ..utils.checkpoint import load_state
-            template = evolve_mod.init_carry(cfg, kn, self.A, self._key)
+            # abstract template: a concrete init_carry would pay a throwaway
+            # O(N³) shared factorization just to learn the carry's structure
+            template = jax.eval_shape(
+                lambda a, k_: evolve_mod.init_carry(cfg, kn, a, k_),
+                self.A, self._key)
             carry0 = load_state(resume_from, template)
             if reopen:
                 carry0 = _reopen_carry(cfg, carry0)
@@ -707,7 +711,9 @@ class MausSolver:
             # dynamically from the converged σ spectrum (AMS:463-470)
             tgt = int(carry.strat.target_dynamic) \
                 if cfg.problem_type == ProblemType.SVD else self.target_solutions
-            if int(carry.strat.num_distinct) >= min(tgt, self.target_solutions) \
+            # mirror evolve._stop_condition EXACTLY (SVD: dynamic target
+            # alone) so chunked runs stop where uninterrupted ones do
+            if int(carry.strat.num_distinct) >= tgt \
                     or int(carry.stall_count) >= cfg.stall_limit:
                 break
         if carry is None:   # max_iterations == 0 degenerate case
@@ -909,15 +915,26 @@ def solve(A, b, tol: float = 1e-8, max_iterations: int = 100,
 
 def _solve_mesh(A, b, mesh, tol, max_iterations, num_candidates, seed,
                 config, checkpoint_path=None, resume_from=None,
-                checkpoint_every=None, reopen: bool = False
-                ) -> SolutionReport:
+                checkpoint_every=None, reopen: bool = False,
+                staged=None) -> SolutionReport:
     """Linear solve over a mesh: the FULL engine with the shared factorization
     column-sharded, driven through the checkpoint/resume-capable hosted loop
-    (:func:`_mesh_hosted_drive`), then distributed split-f64 refinement."""
+    (:func:`_mesh_hosted_drive`), then distributed split-f64 refinement.
+
+    ``staged``: pre-staged ``(A_dev, b_dev, Are, Aim, bre, bim)`` from
+    :func:`maus_tpu.parallel.dist_qr.stage_operands` (MeshSolver stages once
+    at construction/swap and keeps the ORIGINAL-precision planes — re-staging
+    from the downcast compute copy would make refinement certify the c64
+    rounding instead of the user's system)."""
     from ..parallel.dist_qr import (refine_distributed, stage_operands,
                                     use_dist_sliced)
 
-    n = np.asarray(A).shape[0] if not hasattr(A, "sharding") else A.shape[0]
+    if staged is not None:
+        A_dev, b_dev, Are, Aim, bre, bim = staged
+        n = A_dev.shape[0]
+    else:
+        n = np.asarray(A).shape[0] if not hasattr(A, "sharding") \
+            else A.shape[0]
     m = _mesh_model_size(mesh)
     if n % m != 0:
         raise ValueError(f"distributed solve needs N divisible by the "
@@ -925,7 +942,8 @@ def _solve_mesh(A, b, mesh, tol, max_iterations, num_candidates, seed,
     local = n // m
     block = max(b_ for b_ in (128, 64, 32, 16, 8, 4, 2, 1)
                 if local % b_ == 0)
-    A_dev, b_dev, Are, Aim, bre, bim = stage_operands(mesh, A, b)
+    if staged is None:
+        A_dev, b_dev, Are, Aim, bre, bim = stage_operands(mesh, A, b)
 
     # compute dtype follows the staged operand (c128 on CPU x64, c64 on
     # TPU — stage_operands only downcasts where the backend requires it)
@@ -1095,10 +1113,26 @@ def _mesh_hosted_drive(cfg, kn, A_dev, b_dev, key, max_iterations, target,
     carry = None
     if resume_from is not None:
         from ..utils.checkpoint import load_state
-        template = evolve_mod.init_carry(
-            cfg, kn, A_dev, key,
-            **({"mesh": mesh, "dist_block": dist_block}
-               if mesh is not None else {}))
+
+        # ABSTRACT template (shapes/dtypes only): a concrete init_carry would
+        # execute a throwaway O(N³) distributed factorization just to learn
+        # the carry's structure. The sharded fac leaves get their shardings
+        # attached explicitly so load_state restores them column-sharded.
+        init_kwargs = ({"mesh": mesh, "dist_block": dist_block}
+                       if mesh is not None else {})
+        template = jax.eval_shape(
+            lambda a, k_: evolve_mod.init_carry(cfg, kn, a, k_,
+                                                **init_kwargs), A_dev, key)
+        if template.fac is not None and mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import MODEL_AXIS
+
+            col = NamedSharding(mesh, P(None, MODEL_AXIS))
+            template = template._replace(fac=jax.tree.map(
+                lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype,
+                                               sharding=col),
+                template.fac))
         carry = load_state(resume_from, template)
         if reopen:
             carry = _reopen_carry(cfg, carry)
@@ -1132,12 +1166,20 @@ def _mesh_hosted_drive(cfg, kn, A_dev, b_dev, key, max_iterations, target,
             save_state(checkpoint_path, carry)
             if bound >= max_iterations:
                 break
-            # mirror the in-loop stop (evolve._stop_condition): SVD re-derives
-            # its distinct target from the converged σ spectrum (AMS:463-470)
+            # mirror the in-loop stop (evolve._stop_condition) EXACTLY — SVD
+            # compares against the traced dynamic target alone (AMS:463-470);
+            # min()-ing it with the static target here would stop a chunked
+            # run at a boundary where the uninterrupted run keeps iterating
             tgt = int(carry.strat.target_dynamic) \
                 if cfg.problem_type == ProblemType.SVD else target
-            if int(carry.strat.num_distinct) >= min(tgt, target) or \
+            if int(carry.strat.num_distinct) >= tgt or \
                     int(carry.stall_count) >= cfg.stall_limit:
+                break
+            if int(carry.iteration) <= start:
+                # no forward progress and no stop condition: the loop exited
+                # for a reason this driver does not resolve (e.g. a
+                # host-refactor handoff, which the mesh paths do not use) —
+                # break instead of spinning on identical chunks
                 break
     if checkpoint_path is not None and checkpoint_every is None:
         from ..utils.checkpoint import save_state
@@ -1157,7 +1199,8 @@ def _spectral_floor(cdtype, n: int) -> float:
 
 def _eig_mesh(A, mesh, tol, max_iterations, num_candidates, seed,
               config, checkpoint_path=None, resume_from=None,
-              checkpoint_every=None, reopen: bool = False) -> SolutionReport:
+              checkpoint_every=None, reopen: bool = False,
+              staged=None) -> SolutionReport:
     """eig over a mesh: the FULL MAUS engine (Ψ ladder, α adaptation,
     retire/respawn, strategy regimes — solver/evolve.py) with every shifted
     solve routed through the column-sharded Hessenberg form, then the
@@ -1167,14 +1210,20 @@ def _eig_mesh(A, mesh, tol, max_iterations, num_candidates, seed,
     from ..parallel.dist_hessenberg import dist_hessenberg
     from ..parallel.dist_refine import dist_refine_eigenpairs, stage_spectral
 
-    n = np.asarray(A).shape[0] if not hasattr(A, "sharding") else A.shape[0]
+    if staged is not None:
+        A_dev, A64 = staged
+        n = A_dev.shape[0]
+    else:
+        n = np.asarray(A).shape[0] if not hasattr(A, "sharding") \
+            else A.shape[0]
     m = _mesh_model_size(mesh)
     if n % m != 0:
         raise ValueError(f"distributed eig needs N divisible by the model "
                          f"axis: N={n}, model={m}")
     k = num_candidates or min(max(8, 2 * int(np.sqrt(n))), 32)
-    A_dev, A64 = stage_spectral(
-        mesh, A, dtype=(config.dtype if config is not None else None))
+    if staged is None:
+        A_dev, A64 = stage_spectral(
+            mesh, A, dtype=(config.dtype if config is not None else None))
     cdtype = A_dev.dtype
     cfg = config or SolverConfig(
         problem_type=ProblemType.EIGENVALUE, num_candidates=k, tol=tol,
@@ -1239,22 +1288,30 @@ def _eig_mesh(A, mesh, tol, max_iterations, num_candidates, seed,
 
 def _svd_mesh(A, mesh, tol, max_iterations, num_candidates, seed,
               config, checkpoint_path=None, resume_from=None,
-              checkpoint_every=None, reopen: bool = False) -> SolutionReport:
+              checkpoint_every=None, reopen: bool = False,
+              staged=None) -> SolutionReport:
     """SVD over a mesh: the FULL MAUS engine with A column-sharded — the
     block subspace round in candidate.step_svd is plain matmuls + thin QRs,
     which GSPMD distributes with A as the only O(M·N) object — then the
     factorization-free distributed Newton finisher (VERDICT r2 #1-2)."""
     from ..parallel.dist_refine import dist_refine_svd, stage_spectral
 
-    mr = np.asarray(A).shape[0] if not hasattr(A, "sharding") else A.shape[0]
-    n = np.asarray(A).shape[1] if not hasattr(A, "sharding") else A.shape[1]
+    if staged is not None:
+        A_dev, A64 = staged
+        mr, n = A_dev.shape
+    else:
+        mr = np.asarray(A).shape[0] if not hasattr(A, "sharding") \
+            else A.shape[0]
+        n = np.asarray(A).shape[1] if not hasattr(A, "sharding") \
+            else A.shape[1]
     m = _mesh_model_size(mesh)
     if n % m != 0:
         raise ValueError(f"distributed svd needs N divisible by the model "
                          f"axis: N={n}, model={m}")
     k = num_candidates or min(max(4, min(mr, n) // 2), 16)
-    A_dev, A64 = stage_spectral(
-        mesh, A, dtype=(config.dtype if config is not None else None))
+    if staged is None:
+        A_dev, A64 = stage_spectral(
+            mesh, A, dtype=(config.dtype if config is not None else None))
     cdtype = A_dev.dtype
     cfg = config or SolverConfig(
         problem_type=ProblemType.SVD, num_candidates=k, tol=tol,
@@ -1360,37 +1417,37 @@ class MeshSolver:
         self.num_candidates = initial_num_candidates
         self.config = config
         self.seed = seed
-        self._A = None
-        self._b = None
+        self._stA = None
+        self._stb = None
         self.update_problem(matrix=matrix, b_vector=b_vector)
         self._swapped = False   # constructor staging is not a swap
 
     def update_problem(self, matrix=None, b_vector=None) -> None:
-        """Swap operands mid-run (scenario-1 parity): the swap goes through
-        the SAME mesh staging as construction, so the stored operands are
-        always column-sharded device arrays; an unchanged operand is a
-        device-side pass-through, not a re-transfer. A subsequent
-        ``evolve(resume_from=...)`` automatically REOPENS the restored carry
-        (see ``_reopen_carry``) so the population re-evaluates against the
-        new system instead of stopping on stale convergence bookkeeping."""
+        """Swap operands mid-run (scenario-1 parity): each CHANGED operand is
+        re-staged from the user's data through the SAME mesh staging as
+        construction — compute copy plus ORIGINAL-precision split planes,
+        which later refinement certifies against (re-deriving planes from the
+        downcast compute copy would certify the c64 rounding instead of the
+        user's system). An unchanged operand keeps its staged pieces: no
+        re-transfer. A subsequent ``evolve(resume_from=...)`` automatically
+        REOPENS the restored carry (see ``_reopen_carry``) so the population
+        re-evaluates against the new system instead of stopping on stale
+        convergence bookkeeping."""
         self._swapped = True
-        if matrix is not None:
-            self._A = matrix
-        if b_vector is not None:
-            self._b = b_vector
         if self.problem_type == ProblemType.SOLVE_LINEAR_SYSTEM:
-            from ..parallel.dist_qr import stage_operands
+            from ..parallel.dist_qr import stage_A, stage_b
 
-            A_dev, b_dev, *_ = stage_operands(self.mesh, self._A, self._b)
-            self._A, self._b = A_dev, b_dev
-        else:
+            if matrix is not None:
+                self._stA = stage_A(self.mesh, matrix)     # (A_dev, Are, Aim)
+            if b_vector is not None:
+                self._stb = stage_b(self.mesh, b_vector)   # (b_dev, bre, bim)
+        elif matrix is not None:
             from ..parallel.dist_refine import stage_spectral
 
-            A_dev, _ = stage_spectral(
-                self.mesh, self._A,
+            self._stA = stage_spectral(                    # (A_dev, A64)
+                self.mesh, matrix,
                 dtype=(self.config.dtype if self.config is not None
                        else None))
-            self._A = A_dev
 
     def evolve(self, max_iterations: int = 100,
                checkpoint_path: Optional[str] = None,
@@ -1404,16 +1461,20 @@ class MeshSolver:
                   checkpoint_every=checkpoint_every,
                   reopen=(resume_from is not None and self._swapped))
         if self.problem_type == ProblemType.SOLVE_LINEAR_SYSTEM:
-            rep = _solve_mesh(self._A, self._b, self.mesh, self.tol,
+            A_dev, Are, Aim = self._stA
+            b_dev, bre, bim = self._stb
+            rep = _solve_mesh(A_dev, b_dev, self.mesh, self.tol,
                               max_iterations, self.num_candidates,
-                              self.seed, self.config, **kw)
+                              self.seed, self.config,
+                              staged=(A_dev, b_dev, Are, Aim, bre, bim),
+                              **kw)
         elif self.problem_type == ProblemType.EIGENVALUE:
-            rep = _eig_mesh(self._A, self.mesh, self.tol, max_iterations,
-                            self.num_candidates, self.seed, self.config,
-                            **kw)
+            rep = _eig_mesh(self._stA[0], self.mesh, self.tol,
+                            max_iterations, self.num_candidates, self.seed,
+                            self.config, staged=self._stA, **kw)
         else:
-            rep = _svd_mesh(self._A, self.mesh, self.tol, max_iterations,
-                            self.num_candidates, self.seed, self.config,
-                            **kw)
+            rep = _svd_mesh(self._stA[0], self.mesh, self.tol,
+                            max_iterations, self.num_candidates, self.seed,
+                            self.config, staged=self._stA, **kw)
         self._swapped = False
         return rep

@@ -31,19 +31,33 @@ def _is_complex(x) -> bool:
                           else x.dtype, jnp.complexfloating)
 
 
-def _place_like(arr, template_leaf):
-    """Restore a loaded leaf with the template leaf's sharding (VERDICT r3
-    #5): mesh-run carries hold column-sharded factors (DistQR / DistHess
-    leaves), and resuming them replicated would silently undo the memory
-    scaling the mesh exists for. Single-device templates re-place on the
-    template's device (a no-op cost-wise)."""
-    sharding = getattr(template_leaf, "sharding", None)
-    if sharding is None or len(sharding.device_set) <= 1:
-        # single-device leaves stay UNCOMMITTED: committing them to the
-        # template's device would make jit reject mixing them with
-        # mesh-sharded operands (committed arrays on disjoint device sets)
-        return arr
-    return jax.device_put(arr, sharding)
+def _restore_leaf(got_host, want, want_dtype, is_complex: bool):
+    """Place a loaded host leaf per the template leaf (VERDICT r3 #5):
+
+    * multi-device template sharding → ``device_put`` the HOST array directly
+      with that sharding: placement slices host-side per shard, so no single
+      device ever materializes the full leaf (a resumed mesh carry's factors
+      may not fit one device — that is the memory scaling the mesh exists
+      for). Multi-device shardings exist only on the CPU backend on this
+      runtime, where complex host transfers are allowed.
+    * single-device templates stay UNCOMMITTED (committing them would make
+      jit reject mixing them with mesh-sharded operands) and complex leaves
+      go through the TPU-safe split-plane shim.
+    """
+    sharding = getattr(want, "sharding", None)
+    if sharding is not None and len(sharding.device_set) > 1:
+        return jax.device_put(np.asarray(got_host, want_dtype), sharding)
+    if is_complex:
+        return to_device_complex(got_host, want_dtype)
+    return jnp.asarray(got_host)
+
+
+def _leaf_shape(x) -> tuple:
+    """Template leaf shape; works for arrays AND jax.ShapeDtypeStruct
+    templates (load_state accepts abstract templates so resume does not have
+    to pay a throwaway init_carry factorization just to learn shapes)."""
+    s = getattr(x, "shape", None)
+    return tuple(s) if s is not None else tuple(np.shape(x))
 
 
 def save_state(path: str, state) -> int:
@@ -84,7 +98,7 @@ def load_state(path: str, template):
         legacy_pad = False
         if version <= 2 and len(idxs) == len(t_leaves) - 1 and \
                 idxs == set(range(len(t_leaves) - 1)) and \
-                np.shape(t_leaves[-1]) == () and \
+                _leaf_shape(t_leaves[-1]) == () and \
                 not jnp.issubdtype(
                     getattr(t_leaves[-1], "dtype", np.float32),
                     jnp.complexfloating):
@@ -101,7 +115,7 @@ def load_state(path: str, template):
         for i, want in enumerate(t_leaves):
             want_dtype = jnp.asarray(want).dtype if not hasattr(want, "dtype") \
                 else want.dtype
-            want_shape = tuple(np.shape(want))
+            want_shape = _leaf_shape(want)
             if legacy_pad and i == len(t_leaves) - 1:
                 out.append(jnp.zeros((), want_dtype))
                 continue
@@ -128,8 +142,7 @@ def load_state(path: str, template):
                 if got.shape != want_shape:
                     raise ValueError(f"leaf {i}: checkpoint shape {got.shape} "
                                      f"!= template {want_shape}")
-                out.append(_place_like(to_device_complex(got, want_dtype),
-                                       want))
+                out.append(_restore_leaf(got, want, want_dtype, True))
             else:
                 if tag not in files:
                     raise ValueError(f"leaf {i}: template is real "
@@ -143,5 +156,5 @@ def load_state(path: str, template):
                 if got.shape != want_shape:
                     raise ValueError(f"leaf {i}: checkpoint shape {got.shape} "
                                      f"!= template {want_shape}")
-                out.append(_place_like(jnp.asarray(got), want))
+                out.append(_restore_leaf(got, want, want_dtype, False))
     return jax.tree.unflatten(treedef, out)

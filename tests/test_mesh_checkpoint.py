@@ -134,6 +134,56 @@ class TestEigSvdMeshCheckpoint:
             assert r < 1e-8 * np.linalg.norm(B)
 
 
+class TestMeshSolverStaging:
+    def test_swap_preserves_original_precision_planes(self, mesh):
+        """MeshSolver must keep the split-f64 planes built from the USER's
+        data across construction AND swaps: re-deriving them from the c64
+        compute copy would make refinement certify the rounding instead of
+        the original system (code-review r4 finding)."""
+        from maus_tpu.core.types import SolverConfig
+
+        rng = np.random.default_rng(11)
+        n = 32
+        A1 = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        eps32 = float(np.finfo(np.float32).eps)
+        cfg = SolverConfig(problem_type=ProblemType.EIGENVALUE,
+                           num_candidates=8, tol=1e-8, dtype=jnp.complex64,
+                           convergence_floor=50 * eps32)
+        s = maus_tpu.MeshSolver(A1, ProblemType.EIGENVALUE, mesh, config=cfg)
+        A_dev, A64 = s._stA
+        assert A_dev.dtype == jnp.complex64
+        # planes are EXACTLY the user's f64 data, not its c64 rounding
+        np.testing.assert_array_equal(np.asarray(A64.re), A1.real)
+        np.testing.assert_array_equal(np.asarray(A64.im), A1.imag)
+
+        A2 = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        s.update_problem(matrix=A2)
+        np.testing.assert_array_equal(np.asarray(s._stA[1].re), A2.real)
+
+    def test_stage_device_arrays(self, mesh):
+        """stage_A / stage_b accept already-on-device complex arrays (the
+        derivation is jitted — eager .real/.imag on complex device arrays
+        crash the TPU runtime) and produce correct sharded planes."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from maus_tpu.parallel.dist_qr import stage_A, stage_b
+
+        rng = np.random.default_rng(12)
+        n = 32
+        A = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        A_dev0 = jax.device_put(jnp.asarray(A),
+                                NamedSharding(mesh, P(None, "model")))
+        b_dev0 = jnp.asarray(b)
+        A_dev, Are, Aim = stage_A(mesh, A_dev0)
+        b_dev, bre, bim = stage_b(mesh, b_dev0)
+        np.testing.assert_allclose(np.asarray(Are), A.real, rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(bim), b.imag, rtol=0, atol=0)
+        m = mesh.shape["model"]
+        for s in Are.addressable_shards:
+            assert s.data.shape == (n, n // m)
+
+
 class TestMeshSolverUpdateProblem:
     def test_swap_solves_new_system(self, mesh):
         """Scenario-1 parity (AMS:645-652) on the mesh: swap the operand
