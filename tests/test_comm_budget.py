@@ -265,6 +265,42 @@ class TestRefineDistributed:
 
 
 # ---------------------------------------------------------------------------
+# dist_refine_eigenpairs (the distributed Newton finisher): per step two
+# dist_solve_shifted sweeps, each ≈ one (K, N) Qᴴb psum + the O(K·N) pivot
+# sweep + one (K, N) back-map psum ⇒ O(steps·K·N) total; the f64 plane GEMMs
+# shard under GSPMD and add no explicit shard_map collectives
+# ---------------------------------------------------------------------------
+
+class TestDistRefineEigenpairs:
+    K = 8
+    STEPS = 4
+
+    def _volume(self, mesh, n):
+        from maus_tpu.ops.refine import SplitComplex
+        from maus_tpu.parallel.dist_hessenberg import DistHess
+        from maus_tpu.parallel.dist_refine import dist_refine_eigenpairs
+
+        plane = _sds((n, n), jnp.float64)
+        return collective_volume(
+            lambda h_, q_, ar, ai, l_, v_: dist_refine_eigenpairs(
+                mesh, DistHess(h=h_, q=q_), SplitComplex(ar, ai), l_, v_,
+                steps=self.STEPS),
+            _sds((n, n)), _sds((n, n)), plane, plane,
+            _sds((self.K,)), _sds((self.K, n)))["total"]
+
+    def test_absolute_budget(self, mesh):
+        n = 256
+        vol = self._volume(mesh, n)
+        # 2 solves/step × (2 (K,N) psums + ~4KN sweep) ≈ 20·K·N/step
+        assert 0 < vol <= self.STEPS * 24 * self.K * n * C64, \
+            f"eig finisher comm {vol}B is not O(steps·K·N)"
+
+    def test_scaling_is_linear_in_n(self, mesh):
+        v1, v2 = self._volume(mesh, 256), self._volume(mesh, 512)
+        assert _exponent(v1, v2) <= 1.2
+
+
+# ---------------------------------------------------------------------------
 # compiled-HLO ground truth: the post-GSPMD module's collective instructions
 # exist (the jaxpr accounting is not vacuous after partitioning) and none of
 # them is matrix-sized — a loop-carried (N, N) gather is the O(N³) signature
