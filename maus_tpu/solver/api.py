@@ -916,7 +916,7 @@ def solve(A, b, tol: float = 1e-8, max_iterations: int = 100,
 def _solve_mesh(A, b, mesh, tol, max_iterations, num_candidates, seed,
                 config, checkpoint_path=None, resume_from=None,
                 checkpoint_every=None, reopen: bool = False,
-                staged=None) -> SolutionReport:
+                staged=None, collect_metrics: bool = False) -> SolutionReport:
     """Linear solve over a mesh: the FULL engine with the shared factorization
     column-sharded, driven through the checkpoint/resume-capable hosted loop
     (:func:`_mesh_hosted_drive`), then distributed split-f64 refinement.
@@ -960,7 +960,7 @@ def _solve_mesh(A, b, mesh, tol, max_iterations, num_candidates, seed,
         cfg, kn, A_dev, b_dev, jax.random.PRNGKey(seed), max_iterations,
         1, mesh=mesh, dist_block=block, checkpoint_path=checkpoint_path,
         resume_from=resume_from, checkpoint_every=checkpoint_every,
-        reopen=reopen)
+        reopen=reopen, collect_metrics=collect_metrics)
     pop = carry.pop
 
     # jitted best-candidate extraction (eager complex gathers crash the
@@ -982,8 +982,8 @@ def _solve_mesh(A, b, mesh, tol, max_iterations, num_candidates, seed,
         solutions=[(x,)], residuals=[rel_f],
         iterations=int(carry.iteration),
         num_distinct=1 if rel_f <= tol else 0, target_solutions=1,
-        landscape_energy=float(metrics.landscape_energy),
-        knowledge=kn)
+        landscape_energy=float(carry.strat.landscape_energy),
+        knowledge=kn, metrics=_metrics_dict(metrics))
 
 
 def eig(A, tol: float = 1e-8, max_iterations: int = 200,
@@ -1052,6 +1052,14 @@ def _mesh_model_size(mesh) -> int:
     return dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
 
 
+def _metrics_dict(metrics):
+    """Host-side dict of stacked per-iteration metrics (None passthrough) —
+    complex leaves cross the host boundary as split planes on this runtime."""
+    if metrics is None:
+        return None
+    return {f: to_host_complex(getattr(metrics, f)) for f in metrics._fields}
+
+
 def _reopen_carry(cfg, carry):
     """Reopen a restored carry against a SWAPPED operand (the reference's
     scenario-1 swap continues the same population against the new system,
@@ -1089,7 +1097,8 @@ def _reopen_carry(cfg, carry):
 def _mesh_hosted_drive(cfg, kn, A_dev, b_dev, key, max_iterations, target,
                        mesh=None, dist_block: int = 128, hess0=None,
                        checkpoint_path=None, checkpoint_every=None,
-                       resume_from=None, reopen: bool = False):
+                       resume_from=None, reopen: bool = False,
+                       collect_metrics: bool = False):
     """Checkpoint/resume-capable driver for the mesh engine paths (the mesh
     counterpart of :meth:`MausSolver.evolve`'s chunked loop, SURVEY §5.4):
     runs the SAME jitted ``evolve_while`` in chunks of ``checkpoint_every``
@@ -1149,20 +1158,37 @@ def _mesh_hosted_drive(cfg, kn, A_dev, b_dev, key, max_iterations, target,
                 carry = carry._replace(fac=fac)
 
     if checkpoint_every is None:
-        carry, metrics = evolve_mod.evolve_while(
-            cfg, kn, A_dev, b_dev, key, max_iterations, target,
-            carry0=carry, **kwargs)
+        if collect_metrics:
+            # per-iteration metrics parity with MausSolver.evolve
+            # (collect_metrics): fixed-length scan, rows past the stop
+            # condition frozen to zeros
+            start = 0 if carry is None else int(carry.iteration)
+            carry, metrics = evolve_mod.evolve_scan(
+                cfg, kn, A_dev, b_dev, key, max(max_iterations - start, 0),
+                target, carry0=carry, **kwargs)
+        else:
+            carry, metrics = evolve_mod.evolve_while(
+                cfg, kn, A_dev, b_dev, key, max_iterations, target,
+                carry0=carry, **kwargs)
+            metrics = None   # while-path metrics are last-iteration only
     else:
         if checkpoint_path is None:
             raise ValueError("checkpoint_every requires checkpoint_path")
         from ..utils.checkpoint import save_state
         every = int(checkpoint_every)
+        chunks = []
         while True:
             start = 0 if carry is None else int(carry.iteration)
             bound = min(start + every, max_iterations)
-            carry, metrics = evolve_mod.evolve_while(
-                cfg, kn, A_dev, b_dev, key, bound, target,
-                carry0=carry, **kwargs)
+            if collect_metrics:
+                carry, m = evolve_mod.evolve_scan(
+                    cfg, kn, A_dev, b_dev, key, max(bound - start, 0),
+                    target, carry0=carry, **kwargs)
+                chunks.append(m)
+            else:
+                carry, _ = evolve_mod.evolve_while(
+                    cfg, kn, A_dev, b_dev, key, bound, target,
+                    carry0=carry, **kwargs)
             save_state(checkpoint_path, carry)
             if bound >= max_iterations:
                 break
@@ -1181,6 +1207,11 @@ def _mesh_hosted_drive(cfg, kn, A_dev, b_dev, key, max_iterations, target,
                 # host-refactor handoff, which the mesh paths do not use) —
                 # break instead of spinning on identical chunks
                 break
+        if collect_metrics and chunks:
+            metrics = chunks[0] if len(chunks) == 1 else \
+                jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
+        else:
+            metrics = None
     if checkpoint_path is not None and checkpoint_every is None:
         from ..utils.checkpoint import save_state
         save_state(checkpoint_path, carry)
@@ -1200,7 +1231,7 @@ def _spectral_floor(cdtype, n: int) -> float:
 def _eig_mesh(A, mesh, tol, max_iterations, num_candidates, seed,
               config, checkpoint_path=None, resume_from=None,
               checkpoint_every=None, reopen: bool = False,
-              staged=None) -> SolutionReport:
+              staged=None, collect_metrics: bool = False) -> SolutionReport:
     """eig over a mesh: the FULL MAUS engine (Ψ ladder, α adaptation,
     retire/respawn, strategy regimes — solver/evolve.py) with every shifted
     solve routed through the column-sharded Hessenberg form, then the
@@ -1232,11 +1263,11 @@ def _eig_mesh(A, mesh, tol, max_iterations, num_candidates, seed,
     target = min(n, cfg.num_candidates)
 
     hess = dist_hessenberg(mesh, A_dev)     # built once: engine + finisher
-    carry, _ = _mesh_hosted_drive(
+    carry, metrics = _mesh_hosted_drive(
         cfg, kn, A_dev, None, jax.random.PRNGKey(seed), max_iterations,
         target, mesh=mesh, hess0=hess, checkpoint_path=checkpoint_path,
         resume_from=resume_from, checkpoint_every=checkpoint_every,
-        reopen=reopen)
+        reopen=reopen, collect_metrics=collect_metrics)
 
     pop, strat = carry.pop, carry.strat
     diag = strat_mod.compute_diagnostics(cfg, pop, strat, target)
@@ -1283,13 +1314,14 @@ def _eig_mesh(A, mesh, tol, max_iterations, num_candidates, seed,
         problem_type=ProblemType.EIGENVALUE, solutions=solutions,
         residuals=residuals, iterations=int(carry.iteration),
         num_distinct=len(solutions), target_solutions=target,
-        landscape_energy=float(strat.landscape_energy), knowledge=kn)
+        landscape_energy=float(strat.landscape_energy), knowledge=kn,
+        metrics=_metrics_dict(metrics))
 
 
 def _svd_mesh(A, mesh, tol, max_iterations, num_candidates, seed,
               config, checkpoint_path=None, resume_from=None,
               checkpoint_every=None, reopen: bool = False,
-              staged=None) -> SolutionReport:
+              staged=None, collect_metrics: bool = False) -> SolutionReport:
     """SVD over a mesh: the FULL MAUS engine with A column-sharded — the
     block subspace round in candidate.step_svd is plain matmuls + thin QRs,
     which GSPMD distributes with A as the only O(M·N) object — then the
@@ -1319,10 +1351,11 @@ def _svd_mesh(A, mesh, tol, max_iterations, num_candidates, seed,
     kn = ProblemKnowledge(shape=(mr, n))
     target0 = min(min(mr, n), cfg.num_candidates)
 
-    carry, _ = _mesh_hosted_drive(
+    carry, metrics = _mesh_hosted_drive(
         cfg, kn, A_dev, None, jax.random.PRNGKey(seed), max_iterations,
         target0, checkpoint_path=checkpoint_path, resume_from=resume_from,
-        checkpoint_every=checkpoint_every, reopen=reopen)
+        checkpoint_every=checkpoint_every, reopen=reopen,
+        collect_metrics=collect_metrics)
     #                                  GSPMD shards the SVD step; no routing
     pop, strat = carry.pop, carry.strat
     # the run's final effective-rank view supersedes the initial target
@@ -1378,7 +1411,8 @@ def _svd_mesh(A, mesh, tol, max_iterations, num_candidates, seed,
         problem_type=ProblemType.SVD, solutions=solutions,
         residuals=residuals, iterations=int(carry.iteration),
         num_distinct=len(solutions), target_solutions=target,
-        landscape_energy=float(strat.landscape_energy), knowledge=kn)
+        landscape_energy=float(strat.landscape_energy), knowledge=kn,
+        metrics=_metrics_dict(metrics))
 
 
 class MeshSolver:
@@ -1450,15 +1484,18 @@ class MeshSolver:
                        else None))
 
     def evolve(self, max_iterations: int = 100,
+               collect_metrics: bool = False,
                checkpoint_path: Optional[str] = None,
                resume_from: Optional[str] = None,
                checkpoint_every: Optional[int] = None) -> SolutionReport:
         """Run the full mesh engine + distributed finishers; same
         checkpoint/resume semantics as :meth:`MausSolver.evolve` (chunks of
         the one jitted loop, bit-exact resume, sharded leaves restored with
-        their shardings)."""
+        their shardings) and the same ``collect_metrics`` per-iteration
+        telemetry (``report.metrics``, SURVEY §5.1/5.5)."""
         kw = dict(checkpoint_path=checkpoint_path, resume_from=resume_from,
                   checkpoint_every=checkpoint_every,
+                  collect_metrics=collect_metrics,
                   reopen=(resume_from is not None and self._swapped))
         if self.problem_type == ProblemType.SOLVE_LINEAR_SYSTEM:
             A_dev, Are, Aim = self._stA
