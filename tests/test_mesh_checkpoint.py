@@ -134,6 +134,33 @@ class TestEigSvdMeshCheckpoint:
             assert r < 1e-8 * np.linalg.norm(B)
 
 
+class TestMeshMetrics:
+    def test_collect_metrics_rows(self, mesh):
+        """Mesh runs return the same stacked per-iteration metrics as the
+        single-chip collect_metrics path (SURVEY §5.1/5.5 telemetry parity)."""
+        A, b = _linear_problem(seed=13)
+        s = maus_tpu.MeshSolver(A, ProblemType.SOLVE_LINEAR_SYSTEM, mesh,
+                                b_vector=b, initial_num_candidates=6)
+        rep = s.evolve(max_iterations=10, collect_metrics=True)
+        assert rep.metrics is not None
+        energy = rep.metrics["landscape_energy"]
+        assert energy.shape == (10,)
+        # executed rows carry real values; rows past convergence are frozen
+        assert np.all(np.isfinite(energy))
+        assert rep.metrics["candidate_residuals"].shape[0] == 10
+
+    def test_collect_metrics_with_checkpointing(self, mesh, tmp_path):
+        A, b = _linear_problem(seed=14)
+        path = str(tmp_path / "mm.npz")
+        s = maus_tpu.MeshSolver(A, ProblemType.SOLVE_LINEAR_SYSTEM, mesh,
+                                b_vector=b, initial_num_candidates=6)
+        rep = s.evolve(max_iterations=12, collect_metrics=True,
+                       checkpoint_path=path, checkpoint_every=4)
+        # rows cover executed chunks only (chunk granularity), each full
+        rows = rep.metrics["landscape_energy"].shape[0]
+        assert rows % 4 == 0 and 4 <= rows <= 12
+
+
 class TestMeshSolverStaging:
     def test_swap_preserves_original_precision_planes(self, mesh):
         """MeshSolver must keep the split-f64 planes built from the USER's
