@@ -184,6 +184,17 @@ class TestCheckpointOnChip:
         d = jax.jit(lambda a, b: jnp.sum(jnp.abs(a.pop.v - b.pop.v)))(ref, res)
         assert float(d) == 0.0
 
+        # round-4 resume path: the ABSTRACT (eval_shape) template must
+        # restore identically on the chip — complex leaves still route
+        # through the split-plane shim, no factorization paid for the template
+        template2 = jax.eval_shape(
+            lambda a, k_: ev.init_carry(cfg, kn, a, k_), s.A, s._key)
+        loaded2 = checkpoint.load_state(path, template2)
+        res2, _ = step(s.A, s.b, loaded2)
+        d2 = jax.jit(lambda a, b: jnp.sum(jnp.abs(a.pop.v - b.pop.v)))(ref,
+                                                                       res2)
+        assert float(d2) == 0.0
+
 
 class TestCondProbe:
     def test_device_cond_estimate_on_chip(self):
