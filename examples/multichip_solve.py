@@ -14,9 +14,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-if len(jax.devices()) < 8:
-    # fall back to 8 virtual CPU devices (works even when a smaller backend was
-    # already initialized, e.g. a 1-chip TPU)
+if os.environ.get("MAUS_EXAMPLE_BACKEND") != "native":
+    # default: 8 virtual CPU devices, switched BEFORE any backend touch —
+    # probing a pre-registered accelerator backend first blocks indefinitely
+    # when its transport is down. Set MAUS_EXAMPLE_BACKEND=native on a real
+    # multi-chip slice to run unchanged there.
     import jax.extend.backend as _jeb
 
     _jeb.clear_backends()
