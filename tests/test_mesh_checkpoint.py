@@ -86,6 +86,37 @@ class TestSolveMeshCheckpoint:
         np.testing.assert_array_equal(np.asarray(loaded.fac.q),
                                       np.asarray(carry.fac.q))
 
+    def test_disthess_roundtrip_keeps_sharding(self, mesh, tmp_path):
+        """DistHess leaves save/restore WITH their column shardings too (the
+        eig-mesh resume path rebuilds the reduction deterministically from
+        A, but the checkpoint machinery must handle the factor pytree
+        generically — VERDICT r3 #5 names DistQR AND DistHess)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from maus_tpu.parallel.dist_hessenberg import dist_hessenberg
+        from maus_tpu.utils.checkpoint import load_state, save_state
+
+        rng = np.random.default_rng(5)
+        n = 32
+        A = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        A_dev = jax.device_put(jnp.asarray(A),
+                               NamedSharding(mesh, P(None, "model")))
+        hess = dist_hessenberg(mesh, A_dev)
+        path = str(tmp_path / "hess.npz")
+        save_state(path, hess)
+        # abstract template with explicit shardings — no rebuild needed
+        col = NamedSharding(mesh, P(None, "model"))
+        template = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=col),
+            hess)
+        loaded = load_state(path, template)
+        for leaf in (loaded.h, loaded.q):
+            assert len(leaf.addressable_shards) == M_DEV
+            for s in leaf.addressable_shards:
+                assert s.data.shape == (n, n // M_DEV)
+        np.testing.assert_array_equal(np.asarray(loaded.h),
+                                      np.asarray(hess.h))
+
     def test_checkpoint_every_requires_path(self, mesh):
         A, b = _linear_problem(seed=6)
         with pytest.raises(ValueError, match="checkpoint_path"):
