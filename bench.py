@@ -202,7 +202,9 @@ def main():
         b64 = SplitComplex(b.real.astype(jnp.float64),
                            b.imag.astype(jnp.float64))
 
-        @jax.jit
+        # carry0 DONATED: without it the program holds input + loop + output
+        # copies of the Q,R factors (3 × 4.3 GB at 16k) and overflows HBM
+        @functools.partial(jax.jit, donate_argnums=(3,))
         def _evolve(A_, b_, key_, carry0):
             carry, _ = ev.evolve_while(cfg, kn, A_, b_, key_, max_iters, 1,
                                        carry0=carry0)
@@ -226,7 +228,13 @@ def main():
                 if nxt is None:
                     break
                 carry0 = nxt
-            xs, rel = _refine_prog(A, carry.fac, b64, x0,
+            # factors as f32 planes, complex originals released — a c64 jit
+            # argument is materialized twice at 16k (ops/refine.FacPlanes)
+            from maus_tpu.ops.refine import fac_to_planes
+            facp = fac_to_planes(carry.fac)
+            for leaf in jax.tree.leaves(carry.fac):
+                leaf.delete()
+            xs, rel = _refine_prog(A, facp, b64, x0,
                                    cfg.max_refine_steps, tol * 0.3)
             return rel, carry.iteration
 

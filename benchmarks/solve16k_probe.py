@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--tol", type=float, default=1e-8)
     args = ap.parse_args()
 
+    import functools
+
     import jax
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
@@ -45,7 +47,8 @@ def main():
     enable_compile_cache()
     from bench import _device_problem
     from maus_tpu.core.types import ProblemKnowledge, ProblemType, SolverConfig
-    from maus_tpu.ops.refine import SplitComplex, refine_split_c64exact
+    from maus_tpu.ops.refine import (SplitComplex, fac_to_planes,
+                                     refine_split_c64exact)
     from maus_tpu.solver import api as api_mod
     from maus_tpu.solver import evolve as ev
 
@@ -72,7 +75,11 @@ def main():
         return SplitComplex(b_.real.astype(jnp.float64),
                             b_.imag.astype(jnp.float64))
 
-    @jax.jit
+    # carry0 is DONATED (argnum 3): donation must live on THIS top-level jit
+    # (annotations on the inner evolve_while are ignored under an outer
+    # trace) — without it the program holds input + loop + output copies of
+    # the 4.3 GB Q,R factors next to A and overflows the 16 GB chip
+    @functools.partial(jax.jit, donate_argnums=(3,))
     def _evolve(A_, b_, key_, carry0):
         carry, _ = ev.evolve_while(cfg, kn, A_, b_, key_, max_iters, 1,
                                    carry0=carry0)
@@ -80,8 +87,6 @@ def main():
         best = jnp.argmin(jnp.where(jnp.isfinite(pop.residual), pop.residual,
                                     jnp.inf))
         return carry, pop.v[best]
-
-    import functools
 
     @functools.partial(jax.jit, static_argnames=("steps",))
     def _refine(A_, fac, b64_, x0, steps, tol_):
@@ -105,7 +110,15 @@ def main():
             hosted += 1
             carry0 = nxt
         b64 = _widen_b(b)
-        xs, rel = _refine(A, carry.fac, b64, x0, cfg.max_refine_steps,
+        # factors as f32 planes, complex originals released: a c64 jit
+        # argument is materialized twice by this backend (argument +
+        # in-program X64Split plane temps live across the IR loop) — with
+        # Q,R complex the refine program wants 16.04/15.75 GB (probed;
+        # ops/refine.FacPlanes)
+        facp = fac_to_planes(carry.fac)
+        for leaf in jax.tree.leaves(carry.fac):
+            leaf.delete()
+        xs, rel = _refine(A, facp, b64, x0, cfg.max_refine_steps,
                           tol * 0.3)
         return float(rel), int(carry.iteration), hosted
 

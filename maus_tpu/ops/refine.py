@@ -27,11 +27,48 @@ from .batched_solve import (CholFactors, LUFactors, QRFactors, solve_chol,
 
 
 def _solve_any(fac, b):
+    if isinstance(fac, FacPlanes):
+        fac = fac.combine()
     if isinstance(fac, CholFactors):
         return solve_chol(fac, b)
     if isinstance(fac, QRFactors):
         return solve_qr(fac, b)
     return solve_factored(fac, b)
+
+
+class FacPlanes(NamedTuple):
+    """A factorization pytree with every complex leaf split into real planes.
+
+    WHY (probed on v5e at 16384²): this TPU backend materializes every
+    complex64 jit ARGUMENT twice — the argument buffer plus X64SplitHigh/Low
+    f32 plane temps that stay live across the refinement while-loop — so
+    passing Q,R (4.3 GB) as complex costs another 4.3 GB of pure duplication
+    inside the program (`compiled.memory_analysis()`: a c64-argument GEMV is
+    2 GB args + 2 GB temps; the same GEMV with f32 plane arguments combined
+    by ``lax.complex`` inside the jit is 2 GB args + 0 temps — the
+    combine/split pair folds). Large-N refinement therefore passes the
+    factors in this form; every refine entry point recombines it on trace.
+    """
+
+    re: object      # pytree: fac with complex leaves replaced by .real
+    im: object      # pytree: fac with complex leaves replaced by .imag
+
+    def combine(self):
+        return jax.tree.map(jax.lax.complex, self.re, self.im)
+
+
+# registered as an ordinary NamedTuple pytree; jit at the call boundary
+@jax.jit
+def fac_to_planes(fac) -> FacPlanes:
+    """Split a factorization's complex leaves into plane pairs (one compiled
+    program; callers may then ``delete()`` the complex originals to halve the
+    factors' resident footprint before a large refinement program)."""
+    return FacPlanes(jax.tree.map(lambda z: z.real, fac),
+                     jax.tree.map(lambda z: z.imag, fac))
+
+
+def _combine_fac(fac):
+    return fac.combine() if isinstance(fac, FacPlanes) else fac
 
 
 class SplitComplex(NamedTuple):

@@ -385,7 +385,8 @@ def _setup_caches(cfg: SolverConfig, knowledge: ProblemKnowledge, A, mesh):
 
 
 @partial(jax.jit, static_argnames=("cfg", "knowledge",
-                                   "target_solutions", "mesh", "dist_block"))
+                                   "target_solutions", "mesh", "dist_block"),
+         donate_argnames=("carry0",))
 def evolve_while(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
                  b: Optional[jax.Array], key: jax.Array, max_iterations: int,
                  target_solutions: int,
@@ -395,6 +396,10 @@ def evolve_while(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
     """Run until the distinct-solution target is met or ``max_iterations``.
     ``carry0`` resumes from a checkpointed state (max_iterations then bounds the
     TOTAL iteration count, consistent with the saved carry's counter).
+    ``carry0`` is DONATED: its device buffers alias the loop carry (at 16384²
+    the Q,R factors are 4.3 GB — without donation the program holds input,
+    loop, and output copies and overflows the 16 GB chip). Callers must not
+    touch a passed carry object after the call.
     ``max_iterations`` is a TRACED operand (it only feeds the while-loop
     condition), so chunked checkpointing and resumed runs with different
     bounds reuse ONE compiled program.
@@ -429,7 +434,8 @@ def evolve_while(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("cfg", "knowledge", "num_iterations",
-                                   "target_solutions", "mesh", "dist_block"))
+                                   "target_solutions", "mesh", "dist_block"),
+         donate_argnames=("carry0",))
 def evolve_scan(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
                 b: Optional[jax.Array], key: jax.Array, num_iterations: int,
                 target_solutions: int,

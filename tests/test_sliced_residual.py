@@ -404,3 +404,32 @@ class TestFusedSliceResidual:
         xs, rel = refine_split_c64exact(jnp.asarray(Ac), fac, _sc(b), x0,
                                         steps=20, tol=1e-13)
         assert float(rel) < 1e-12
+
+    def test_refine_with_fac_planes_matches_complex(self):
+        """FacPlanes (f32/f64 plane pairs recombined inside the jit) is the
+        large-N memory form of the factors — on this TPU backend a complex64
+        jit argument is materialized twice (argument + in-program X64Split
+        plane temps), which alone pushed the 16384² refine program to
+        16.04/15.75 GB. The planes path must be numerically IDENTICAL: the
+        lax.complex recombination folds, it does not round."""
+        from maus_tpu.ops.batched_solve import factor_qr
+        from maus_tpu.ops.refine import fac_to_planes, refine_split_c64exact
+        rng = np.random.default_rng(11)
+        n = 96
+        Ac = ((rng.standard_normal((n, n))
+               + 1j * rng.standard_normal((n, n))) / np.sqrt(n)).astype(
+                   np.complex64)
+        x_true = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        b = Ac.astype(np.complex128) @ x_true
+        fac = factor_qr(jnp.asarray(Ac))
+        x0 = jnp.linalg.solve(jnp.asarray(Ac),
+                              jnp.asarray(b.astype(np.complex64)))
+        xs_c, rel_c = refine_split_c64exact(jnp.asarray(Ac), fac, _sc(b), x0,
+                                            steps=20, tol=1e-13)
+        facp = fac_to_planes(fac)
+        xs_p, rel_p = refine_split_c64exact(jnp.asarray(Ac), facp, _sc(b),
+                                            x0, steps=20, tol=1e-13)
+        assert float(rel_p) < 1e-12
+        np.testing.assert_array_equal(np.asarray(xs_c.re), np.asarray(xs_p.re))
+        np.testing.assert_array_equal(np.asarray(xs_c.im), np.asarray(xs_p.im))
+        assert float(rel_c) == float(rel_p)
