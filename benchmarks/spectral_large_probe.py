@@ -84,6 +84,12 @@ def main():
     ap.add_argument("--iters", type=int, default=60)
     args = ap.parse_args()
 
+    import jax
+
+    # split-f64 finishers need x64 (planes silently truncate to f32 without
+    # it — the refinement would certify c64 rounding, not the true residual)
+    jax.config.update("jax_enable_x64", True)
+
     import maus_tpu
     from maus_tpu.utils.compile_cache import enable as enable_cache
 
@@ -108,6 +114,11 @@ def main():
 
 
 if __name__ == "__main__":
+    import pathlib
     import sys
 
+    # invoked as `python benchmarks/spectral_large_probe.py` from the repo
+    # root (run_hw_suite.sh step 3): sys.path[0] is benchmarks/, so the
+    # package needs the repo root added (same bootstrap as solve16k_probe)
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
     sys.exit(main())

@@ -277,6 +277,18 @@ def resolve_refactor_carry(A, carry, hpd: bool = False):
     rp = float(carry.refactor_psi)
     if rp == 0.0:
         return None
+    # Free the STALE factors' device buffers before the rebuild: at 16384²
+    # Q,R are 4.3 GB, and holding them next to the rebuild's own Q,R +
+    # workspace + A pushes the program peak past the 16 GB chip. Ownership
+    # contract: the caller's carry is dead after a non-None return (the
+    # hosted drivers re-enter with the returned carry and never read the old
+    # one's fac again).
+    stale = carry.fac
+    carry = carry._replace(fac=None)
+    if stale is not None:
+        for leaf in jax.tree.leaves(stale):
+            if hasattr(leaf, "delete"):
+                leaf.delete()
     fac = _host_refactor_program(A, jnp.asarray(rp, jnp.float32), hpd)
     return carry._replace(fac=fac,
                           psi_cached=jnp.asarray(rp, jnp.float32),
@@ -487,22 +499,10 @@ class MausSolver:
         cfg, kn = self.config, self.knowledge
         carry0 = None
         if resume_from is not None:
-            from ..utils.checkpoint import load_state
-            # abstract template: a concrete init_carry would pay a throwaway
-            # O(N³) shared factorization just to learn the carry's structure
-            template = jax.eval_shape(
-                lambda a, k_: evolve_mod.init_carry(cfg, kn, a, k_),
-                self.A, self._key)
-            carry0 = load_state(resume_from, template)
-            if reopen:
-                carry0 = _reopen_carry(cfg, carry0)
-                if carry0.fac is not None:
-                    # stale factorization of the pre-swap operand: rebuild
-                    # against the current one at the carried Ψ
-                    fac = _host_refactor_program(
-                        self.A, carry0.psi_cached,
-                        hpd=bool(kn.is_positive_definite))
-                    carry0 = carry0._replace(fac=fac)
+            carry0 = _load_resume_carry(
+                cfg, kn, self.A, self._key, resume_from, reopen,
+                refactor=lambda psi: _host_refactor_program(
+                    self.A, psi, hpd=bool(kn.is_positive_definite)))
         if checkpoint_every is not None:
             if checkpoint_path is None:
                 raise ValueError("checkpoint_every requires checkpoint_path")
@@ -582,12 +582,7 @@ class MausSolver:
         # HERE, with hysteresis-banded thresholds, not by the device pass
         solutions, residuals = _final_dedup(cfg, cfg.problem_type,
                                             solutions, residuals)
-        mdict = None
-        if metrics is not None:
-            # to_host_complex: complex leaves (candidate_params) must cross the
-            # host boundary as split planes on this TPU runtime
-            mdict = {f: to_host_complex(getattr(metrics, f))
-                     for f in metrics._fields}
+        mdict = _metrics_dict(metrics)
         return SolutionReport(
             problem_type=cfg.problem_type, solutions=solutions, residuals=residuals,
             iterations=int(carry.iteration), num_distinct=len(solutions),
@@ -768,7 +763,18 @@ class MausSolver:
         n = max(self.knowledge.shape)
         itemsize = jnp.dtype(self.config.dtype).itemsize
         by_mem = max(int(self._REFINE_CHUNK_BYTES // (n * n * itemsize)), 1)
-        return min(self._REFINE_CHUNK, by_mem)
+        ch = min(self._REFINE_CHUNK, by_mem)
+        if jax.default_backend() not in ("cpu",):
+            # XLA:TPU's batched LuDecompositionBlock allocates its pivoting
+            # panel (two f32[CH, ~N, 128] buffers) in scoped VMEM, capped at
+            # 16 MB ("should not be possible to run out of scoped vmem"):
+            # CH·N·128·4·2 B ≤ 16 MiB ⇔ CH·N ≤ 16384. Probed on v5e:
+            # CH=8 at N=2048 compiles (=16384), CH=8 at N=4096 is rejected
+            # at 16.55M. Beyond N=16384 even CH=1 would breach the cap —
+            # spectral refinement at that size belongs to the mesh finisher
+            # (dist_refine_eigenpairs reuses the Hessenberg, no batched LU).
+            ch = min(ch, max(16384 // max(n, 1), 1))
+        return ch
 
     def _refine_spectral(self, ks: list, lam: np.ndarray, v: np.ndarray,
                          u: Optional[np.ndarray], residual: np.ndarray) -> dict:
@@ -846,8 +852,20 @@ class MausSolver:
                 and n >= 12288:
             # c64-exact operand past the resident-ladder limit: hi-only-triple
             # fused residuals on A itself — no f64 planes (the widened pair
-            # plus full triple would not fit HBM at 16384², STATUS r3 gap 6)
-            from ..ops.refine import refine_split_c64exact
+            # plus full triple would not fit HBM at 16384², STATUS r3 gap 6).
+            # The factors go in as f32 PLANES with the complex originals
+            # released: complex64 jit arguments are materialized twice by
+            # this backend (argument + in-program X64Split plane temps), and
+            # at 16384² that duplication alone (Q,R: +4.3 GB) pushed the
+            # refine program to 16.04/15.75 GB (probed; see FacPlanes)
+            from ..ops.refine import (FacPlanes, fac_to_planes,
+                                      refine_split_c64exact)
+            if not isinstance(self._fac_cache, FacPlanes):
+                planes = fac_to_planes(self._fac_cache)
+                for leaf in jax.tree.leaves(self._fac_cache):
+                    if hasattr(leaf, "delete"):
+                        leaf.delete()
+                self._fac_cache = planes
             A_split = None
             xs, rel = refine_split_c64exact(self.A, self._fac_cache, b_split,
                                             x_j, steps=cfg.max_refine_steps,
@@ -1094,6 +1112,43 @@ def _reopen_carry(cfg, carry):
         stall_count=jnp.zeros_like(carry.stall_count))
 
 
+def _load_resume_carry(cfg, kn, A_dev, key, path, reopen, refactor=None,
+                       mesh=None, init_kwargs=None):
+    """Shared resume protocol for the single-chip and mesh drivers: restore a
+    saved carry from ``path`` against an ABSTRACT template (a concrete
+    ``init_carry`` would execute a throwaway O(N³) shared factorization just
+    to learn the carry's structure), optionally REOPEN it after an operand
+    swap (``_reopen_carry``), and rebuild the now-stale factorization of the
+    CURRENT operand at the carried Ψ via ``refactor(psi)``. With ``mesh``,
+    the DistQR fac leaves get their column shardings attached to the template
+    so ``load_state`` restores them sharded ((N, N/m) per device, not
+    replicated)."""
+    from ..utils.checkpoint import load_state
+
+    template = jax.eval_shape(
+        lambda a, k_: evolve_mod.init_carry(cfg, kn, a, k_,
+                                            **(init_kwargs or {})),
+        A_dev, key)
+    if template.fac is not None and mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import MODEL_AXIS
+
+        col = NamedSharding(mesh, P(None, MODEL_AXIS))
+        template = template._replace(fac=jax.tree.map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=col),
+            template.fac))
+    carry = load_state(path, template)
+    if reopen:
+        carry = _reopen_carry(cfg, carry)
+        if carry.fac is not None and refactor is not None:
+            # the carried factorization belongs to the OLD operand; the
+            # reference re-solves against the current matrix every step
+            # (AMS:645-652 swap), so refactorize the NEW one at the carried Ψ
+            carry = carry._replace(fac=refactor(carry.psi_cached))
+    return carry
+
+
 def _mesh_hosted_drive(cfg, kn, A_dev, b_dev, key, max_iterations, target,
                        mesh=None, dist_block: int = 128, hess0=None,
                        checkpoint_path=None, checkpoint_every=None,
@@ -1121,41 +1176,18 @@ def _mesh_hosted_drive(cfg, kn, A_dev, b_dev, key, max_iterations, target,
 
     carry = None
     if resume_from is not None:
-        from ..utils.checkpoint import load_state
+        refactor = None
+        if mesh is not None:
+            from ..ops.regularize import apply_shift
+            from ..parallel.dist_qr import dist_qr
 
-        # ABSTRACT template (shapes/dtypes only): a concrete init_carry would
-        # execute a throwaway O(N³) distributed factorization just to learn
-        # the carry's structure. The sharded fac leaves get their shardings
-        # attached explicitly so load_state restores them column-sharded.
-        init_kwargs = ({"mesh": mesh, "dist_block": dist_block}
-                       if mesh is not None else {})
-        template = jax.eval_shape(
-            lambda a, k_: evolve_mod.init_carry(cfg, kn, a, k_,
-                                                **init_kwargs), A_dev, key)
-        if template.fac is not None and mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from ..parallel.mesh import MODEL_AXIS
-
-            col = NamedSharding(mesh, P(None, MODEL_AXIS))
-            template = template._replace(fac=jax.tree.map(
-                lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype,
-                                               sharding=col),
-                template.fac))
-        carry = load_state(resume_from, template)
-        if reopen:
-            carry = _reopen_carry(cfg, carry)
-            if carry.fac is not None and mesh is not None:
-                # the carried factorization belongs to the OLD operand; the
-                # reference re-solves against the current matrix every step
-                # (AMS:645-652 swap), so refactorize the NEW one at the
-                # carried Ψ before re-entering the loop
-                from ..ops.regularize import apply_shift
-                from ..parallel.dist_qr import dist_qr
-
-                fac = dist_qr(mesh, apply_shift(A_dev, carry.psi_cached),
-                              block=dist_block)
-                carry = carry._replace(fac=fac)
+            refactor = lambda psi: dist_qr(  # noqa: E731
+                mesh, apply_shift(A_dev, psi), block=dist_block)
+        carry = _load_resume_carry(
+            cfg, kn, A_dev, key, resume_from, reopen, refactor=refactor,
+            mesh=mesh,
+            init_kwargs=({"mesh": mesh, "dist_block": dist_block}
+                         if mesh is not None else {}))
 
     if checkpoint_every is None:
         if collect_metrics:
@@ -1231,7 +1263,8 @@ def _spectral_floor(cdtype, n: int) -> float:
 def _eig_mesh(A, mesh, tol, max_iterations, num_candidates, seed,
               config, checkpoint_path=None, resume_from=None,
               checkpoint_every=None, reopen: bool = False,
-              staged=None, collect_metrics: bool = False) -> SolutionReport:
+              staged=None, hess=None,
+              collect_metrics: bool = False) -> SolutionReport:
     """eig over a mesh: the FULL MAUS engine (Ψ ladder, α adaptation,
     retire/respawn, strategy regimes — solver/evolve.py) with every shifted
     solve routed through the column-sharded Hessenberg form, then the
@@ -1262,7 +1295,10 @@ def _eig_mesh(A, mesh, tol, max_iterations, num_candidates, seed,
     kn = ProblemKnowledge(shape=(n, n))
     target = min(n, cfg.num_candidates)
 
-    hess = dist_hessenberg(mesh, A_dev)     # built once: engine + finisher
+    if hess is None:
+        hess = dist_hessenberg(mesh, A_dev)  # built once: engine + finisher
+        # (MeshSolver passes a cached one so repeat evolve() calls don't
+        # rebuild the O(N³) reduction for an unchanged operand)
     carry, metrics = _mesh_hosted_drive(
         cfg, kn, A_dev, None, jax.random.PRNGKey(seed), max_iterations,
         target, mesh=mesh, hess0=hess, checkpoint_path=checkpoint_path,
@@ -1453,8 +1489,15 @@ class MeshSolver:
         self.seed = seed
         self._stA = None
         self._stb = None
+        self._hess = None        # cached dist_hessenberg of the staged operand
+        # operand epoch: bumped by every real swap; checkpoints written by
+        # this solver remember the epoch they were taken under, so a resume
+        # reopens the carry iff the operand changed SINCE that checkpoint
+        # (not merely "a swap happened at some point")
+        self._epoch = 0
+        self._ckpt_epochs: dict = {}
         self.update_problem(matrix=matrix, b_vector=b_vector)
-        self._swapped = False   # constructor staging is not a swap
+        self._epoch = 0          # constructor staging is not a swap
 
     def update_problem(self, matrix=None, b_vector=None) -> None:
         """Swap operands mid-run (scenario-1 parity): each CHANGED operand is
@@ -1463,18 +1506,25 @@ class MeshSolver:
         which later refinement certifies against (re-deriving planes from the
         downcast compute copy would certify the c64 rounding instead of the
         user's system). An unchanged operand keeps its staged pieces: no
-        re-transfer. A subsequent ``evolve(resume_from=...)`` automatically
-        REOPENS the restored carry (see ``_reopen_carry``) so the population
-        re-evaluates against the new system instead of stopping on stale
-        convergence bookkeeping."""
-        self._swapped = True
+        re-transfer. A subsequent ``evolve(resume_from=...)`` of a checkpoint
+        taken BEFORE the swap automatically REOPENS the restored carry (see
+        ``_reopen_carry``) so the population re-evaluates against the new
+        system instead of stopping on stale convergence bookkeeping; resuming
+        a post-swap checkpoint stays bit-exact (no spurious reopen)."""
+        if self.problem_type != ProblemType.SOLVE_LINEAR_SYSTEM and \
+                b_vector is not None:
+            raise ValueError("b_vector only applies to SOLVE_LINEAR_SYSTEM "
+                             "problems")
+        changed = False
         if self.problem_type == ProblemType.SOLVE_LINEAR_SYSTEM:
             from ..parallel.dist_qr import stage_A, stage_b
 
             if matrix is not None:
                 self._stA = stage_A(self.mesh, matrix)     # (A_dev, Are, Aim)
+                changed = True
             if b_vector is not None:
                 self._stb = stage_b(self.mesh, b_vector)   # (b_dev, bre, bim)
+                changed = True
         elif matrix is not None:
             from ..parallel.dist_refine import stage_spectral
 
@@ -1482,21 +1532,39 @@ class MeshSolver:
                 self.mesh, matrix,
                 dtype=(self.config.dtype if self.config is not None
                        else None))
+            self._hess = None    # the cached reduction is of the old operand
+            changed = True
+        if changed:
+            self._epoch += 1
 
     def evolve(self, max_iterations: int = 100,
                collect_metrics: bool = False,
                checkpoint_path: Optional[str] = None,
                resume_from: Optional[str] = None,
-               checkpoint_every: Optional[int] = None) -> SolutionReport:
+               checkpoint_every: Optional[int] = None,
+               reopen: Optional[bool] = None) -> SolutionReport:
         """Run the full mesh engine + distributed finishers; same
         checkpoint/resume semantics as :meth:`MausSolver.evolve` (chunks of
         the one jitted loop, bit-exact resume, sharded leaves restored with
         their shardings) and the same ``collect_metrics`` per-iteration
-        telemetry (``report.metrics``, SURVEY §5.1/5.5)."""
+        telemetry (``report.metrics``, SURVEY §5.1/5.5).
+
+        ``reopen=None`` (default) decides automatically from the operand
+        epochs: a resumed checkpoint is reopened iff ``update_problem``
+        changed an operand since that checkpoint was written (checkpoints
+        from other processes, whose epoch is unknown, reopen whenever any
+        swap has happened in this solver's lifetime). Pass an explicit bool
+        for :meth:`MausSolver.evolve` parity."""
+        if reopen is None:
+            if resume_from is not None:
+                saved = self._ckpt_epochs.get(resume_from)
+                reopen = (self._epoch > 0) if saved is None \
+                    else (saved != self._epoch)
+            else:
+                reopen = False
         kw = dict(checkpoint_path=checkpoint_path, resume_from=resume_from,
                   checkpoint_every=checkpoint_every,
-                  collect_metrics=collect_metrics,
-                  reopen=(resume_from is not None and self._swapped))
+                  collect_metrics=collect_metrics, reopen=reopen)
         if self.problem_type == ProblemType.SOLVE_LINEAR_SYSTEM:
             A_dev, Are, Aim = self._stA
             b_dev, bre, bim = self._stb
@@ -1506,12 +1574,21 @@ class MeshSolver:
                               staged=(A_dev, b_dev, Are, Aim, bre, bim),
                               **kw)
         elif self.problem_type == ProblemType.EIGENVALUE:
+            if self._hess is None:
+                from ..parallel.dist_hessenberg import dist_hessenberg
+
+                # the O(N³) reduction belongs to the staged operand, not to
+                # one evolve call — cache it across evolve()s (it is rebuilt
+                # only after an update_problem matrix swap)
+                self._hess = dist_hessenberg(self.mesh, self._stA[0])
             rep = _eig_mesh(self._stA[0], self.mesh, self.tol,
                             max_iterations, self.num_candidates, self.seed,
-                            self.config, staged=self._stA, **kw)
+                            self.config, staged=self._stA, hess=self._hess,
+                            **kw)
         else:
             rep = _svd_mesh(self._stA[0], self.mesh, self.tol,
                             max_iterations, self.num_candidates, self.seed,
                             self.config, staged=self._stA, **kw)
-        self._swapped = False
+        if checkpoint_path is not None:
+            self._ckpt_epochs[checkpoint_path] = self._epoch
         return rep

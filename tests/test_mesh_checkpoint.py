@@ -289,6 +289,92 @@ class TestMeshSolverUpdateProblem:
         x = rep.solutions[0][0]
         assert np.linalg.norm(A2 @ x - b2) / np.linalg.norm(b2) <= 1e-8
 
+    def test_post_swap_checkpoint_resume_stays_closed(self, mesh, tmp_path):
+        """A checkpoint taken AFTER the swap belongs to the current operand:
+        resuming it must NOT reopen (a spurious reopen would demote converged
+        candidates and redo finished work — the advertised resume is
+        bit-exact). The operand-epoch bookkeeping distinguishes it from a
+        pre-swap checkpoint."""
+        n = 32
+        A1, b1 = gen.dynamic_solve_system(n, t_step=0)
+        A2, b2 = gen.dynamic_solve_system(n, t_step=25)
+        path = str(tmp_path / "post_swap.npz")
+        s = maus_tpu.MeshSolver(A1, ProblemType.SOLVE_LINEAR_SYSTEM, mesh,
+                                b_vector=b1, initial_num_candidates=6,
+                                global_convergence_tol=1e-8)
+        s.update_problem(matrix=A2, b_vector=b2)
+        rep = s.evolve(max_iterations=30, checkpoint_path=path)
+        assert rep.converged
+        # same-epoch resume: the restored bookkeeping is honored — the run
+        # stops on its carried convergence instead of re-iterating
+        rep2 = s.evolve(max_iterations=60, resume_from=path)
+        assert rep2.iterations == rep.iterations
+        assert rep2.converged
+
+    def test_pre_swap_resume_reopens_despite_interleaved_evolve(
+            self, mesh, tmp_path):
+        """A fresh (non-resuming) evolve between the swap and the resume must
+        not consume the reopen: the pre-swap checkpoint still refers to the
+        old operand and must be reopened when finally resumed."""
+        n = 32
+        A1, b1 = gen.dynamic_solve_system(n, t_step=0)
+        A2, b2 = gen.dynamic_solve_system(n, t_step=25)
+        path = str(tmp_path / "pre_swap.npz")
+        s = maus_tpu.MeshSolver(A1, ProblemType.SOLVE_LINEAR_SYSTEM, mesh,
+                                b_vector=b1, initial_num_candidates=6,
+                                global_convergence_tol=1e-8)
+        rep_pre = s.evolve(max_iterations=30, checkpoint_path=path)
+        assert rep_pre.converged
+        s.update_problem(matrix=A2, b_vector=b2)
+        s.evolve(max_iterations=5)               # fresh run, no resume
+        rep = s.evolve(max_iterations=60, resume_from=path)
+        # reopened: the restored (converged-on-system-1) population iterated
+        # again and solved system 2
+        assert rep.iterations > rep_pre.iterations
+        x = rep.solutions[0][0]
+        assert np.linalg.norm(A2 @ x - b2) / np.linalg.norm(b2) <= 1e-8
+
+    def test_noop_update_does_not_reopen(self, mesh, tmp_path):
+        """update_problem() with nothing to stage is a no-op — it must not
+        mark the operand as swapped (a later resume would spuriously
+        reopen)."""
+        n = 32
+        A, b = _linear_problem(seed=5)
+        path = str(tmp_path / "noop.npz")
+        s = maus_tpu.MeshSolver(A, ProblemType.SOLVE_LINEAR_SYSTEM, mesh,
+                                b_vector=b, initial_num_candidates=6,
+                                global_convergence_tol=1e-8)
+        rep = s.evolve(max_iterations=30, checkpoint_path=path)
+        assert rep.converged
+        s.update_problem()                       # no operands: no-op
+        rep2 = s.evolve(max_iterations=60, resume_from=path)
+        assert rep2.iterations == rep.iterations   # not reopened
+
+    def test_explicit_reopen_override(self, mesh, tmp_path):
+        """MausSolver.evolve parity: an explicit ``reopen=`` bool overrides
+        the epoch-based auto decision."""
+        n = 32
+        A, b = _linear_problem(seed=6)
+        path = str(tmp_path / "explicit.npz")
+        s = maus_tpu.MeshSolver(A, ProblemType.SOLVE_LINEAR_SYSTEM, mesh,
+                                b_vector=b, initial_num_candidates=6,
+                                global_convergence_tol=1e-8)
+        rep = s.evolve(max_iterations=30, checkpoint_path=path)
+        assert rep.converged
+        # auto would NOT reopen here (same epoch); force it
+        rep2 = s.evolve(max_iterations=60, resume_from=path, reopen=True)
+        assert rep2.iterations > rep.iterations    # re-iterated
+        assert rep2.converged
+
+    def test_b_vector_rejected_for_spectral(self, mesh):
+        rng = np.random.default_rng(11)
+        n = 32
+        A = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        s = maus_tpu.MeshSolver(A, ProblemType.EIGENVALUE, mesh,
+                                initial_num_candidates=8)
+        with pytest.raises(ValueError, match="b_vector"):
+            s.update_problem(b_vector=np.ones(n))
+
     def test_b_only_swap(self, mesh):
         n = 32
         A, b1 = gen.dynamic_solve_system(n, t_step=0)

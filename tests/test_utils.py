@@ -277,3 +277,31 @@ class TestCLIMore:
                    "--tol", "1e-5", "--iters", "60", "--cands", "10"])
         out = capsys.readouterr().out
         assert rc == 0 and "σ =" in out
+
+
+class TestRefineChunkSizing:
+    """_refine_chunk: the spectral-refinement batch is bounded by BOTH the
+    ~2 GiB factorization-workspace rule and (on accelerators) XLA:TPU's
+    16 MB scoped-VMEM cap for the batched LuDecompositionBlock panel —
+    CH·N ≤ 16384 (probed on v5e: CH=8 at N=2048 compiles, CH=8 at N=4096 is
+    rejected at 16.55M/16M)."""
+
+    def _solver_with_shape(self, n):
+        A, b = gen.well_conditioned_system(16, seed=0)
+        s = maus_tpu.MausSolver(A, ProblemType.SOLVE_LINEAR_SYSTEM,
+                                b_vector=b, initial_num_candidates=4)
+        import dataclasses
+        s.knowledge = dataclasses.replace(s.knowledge, shape=(n, n))
+        return s
+
+    def test_cpu_backend_uses_memory_rule_only(self):
+        s = self._solver_with_shape(4096)
+        assert s._refine_chunk() == 8          # 2 GiB rule allows 16, cap 8
+
+    @pytest.mark.parametrize("n,expect", [(2048, 8), (4096, 4),
+                                          (8192, 2), (16384, 1)])
+    def test_accelerator_scoped_vmem_rule(self, monkeypatch, n, expect):
+        from maus_tpu.solver import api as api_mod
+        s = self._solver_with_shape(n)
+        monkeypatch.setattr(api_mod.jax, "default_backend", lambda: "tpu")
+        assert s._refine_chunk() == expect
