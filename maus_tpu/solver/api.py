@@ -766,14 +766,17 @@ class MausSolver:
         ch = min(self._REFINE_CHUNK, by_mem)
         if jax.default_backend() not in ("cpu",):
             # XLA:TPU's batched LuDecompositionBlock allocates its pivoting
-            # panel (two f32[CH, ~N, 128] buffers) in scoped VMEM, capped at
-            # 16 MB ("should not be possible to run out of scoped vmem"):
-            # CH·N·128·4·2 B ≤ 16 MiB ⇔ CH·N ≤ 16384. Probed on v5e:
-            # CH=8 at N=2048 compiles (=16384), CH=8 at N=4096 is rejected
-            # at 16.55M. Beyond N=16384 even CH=1 would breach the cap —
-            # spectral refinement at that size belongs to the mesh finisher
-            # (dist_refine_eigenpairs reuses the Hessenberg, no batched LU).
-            ch = min(ch, max(16384 // max(n, 1), 1))
+            # panel (two f32[CH, N−384, 128] buffers) in scoped VMEM, capped
+            # at 16 MB ("should not be possible to run out of scoped vmem").
+            # Probed on v5e: CH=8 at N=2048 compiles (panel 13.6 MiB); CH=8
+            # AND CH=4 at N=4096 are both rejected at 16.55M (CH=4 panel
+            # 15.2 MiB + layout padding) — so bound the PANEL BYTES at
+            # 13.5 MiB, not a CH·N product. May return 0 (N ≳ 14k): batched-
+            # LU spectral refinement is then infeasible on this backend and
+            # _refine_spectral skips it (the mesh finisher, which reuses the
+            # Hessenberg and has no batched LU, is the at-scale path).
+            rows = max(n - 384, 1)
+            ch = min(ch, int((13.5 * 2**20) // (rows * 128 * 4 * 2)))
         return ch
 
     def _refine_spectral(self, ks: list, lam: np.ndarray, v: np.ndarray,
@@ -784,9 +787,15 @@ class MausSolver:
         not improve it."""
         from ..ops.refine_eig import refine_eigenpairs, refine_svd_triplets
         cfg = self.config
-        A64 = self._get_A64()
         out = {}
         CH = self._refine_chunk()
+        if CH < 1:
+            # batched-LU refinement infeasible at this N on this backend
+            # (scoped-VMEM cap, see _refine_chunk) — keep the engine's
+            # unrefined leaders rather than fail the report (and skip the
+            # plane widening those leaders would have been refined against)
+            return out
+        A64 = self._get_A64()
         for i in range(0, len(ks), CH):
             chunk = ks[i:i + CH]
             idx = chunk + [chunk[-1]] * (CH - len(chunk))   # pad to fixed shape

@@ -282,9 +282,11 @@ class TestCLIMore:
 class TestRefineChunkSizing:
     """_refine_chunk: the spectral-refinement batch is bounded by BOTH the
     ~2 GiB factorization-workspace rule and (on accelerators) XLA:TPU's
-    16 MB scoped-VMEM cap for the batched LuDecompositionBlock panel —
-    CH·N ≤ 16384 (probed on v5e: CH=8 at N=2048 compiles, CH=8 at N=4096 is
-    rejected at 16.55M/16M)."""
+    16 MB scoped-VMEM cap for the batched LuDecompositionBlock panel — the
+    panel bytes 2·CH·(N−384)·512 are held ≤ 13.5 MiB (probed on v5e: CH=8
+    at N=2048 compiles at 13.6 MiB; CH=8 AND CH=4 at N=4096 are rejected at
+    16.55M/16M). CH=0 means batched-LU refinement is infeasible at that N
+    and _refine_spectral keeps the engine's unrefined leaders."""
 
     def _solver_with_shape(self, n):
         A, b = gen.well_conditioned_system(16, seed=0)
@@ -298,10 +300,20 @@ class TestRefineChunkSizing:
         s = self._solver_with_shape(4096)
         assert s._refine_chunk() == 8          # 2 GiB rule allows 16, cap 8
 
-    @pytest.mark.parametrize("n,expect", [(2048, 8), (4096, 4),
-                                          (8192, 2), (16384, 1)])
+    @pytest.mark.parametrize("n,expect", [(2048, 8), (4096, 3),
+                                          (8192, 1), (16384, 0)])
     def test_accelerator_scoped_vmem_rule(self, monkeypatch, n, expect):
         from maus_tpu.solver import api as api_mod
         s = self._solver_with_shape(n)
         monkeypatch.setattr(api_mod.jax, "default_backend", lambda: "tpu")
         assert s._refine_chunk() == expect
+
+    def test_refine_spectral_skips_on_zero_chunk(self, monkeypatch):
+        from maus_tpu.solver import api as api_mod
+        s = self._solver_with_shape(16384)
+        monkeypatch.setattr(api_mod.jax, "default_backend", lambda: "tpu")
+        s.config = s.config  # eig config not needed: chunk guard fires first
+        out = s._refine_spectral([0], np.zeros(4, np.complex128),
+                                 np.zeros((4, 16), np.complex128), None,
+                                 np.ones(4))
+        assert out == {}
