@@ -36,6 +36,24 @@ from .refine import (SplitComplex, scaled_fro, slice_split_matrix,
                      sliced_matvec_batch)
 
 
+def _lu_factor_percand(factor_one, shifts, n: int):
+    """Per-candidate LU of (N, N) shifted systems, batched where possible.
+
+    XLA:TPU rejects a vmap'd COMPLEX LU for N ≥ ~3k: the batched
+    LuDecompositionBlock custom call requests a fixed ~16.55 MB scoped-VMEM
+    pivot panel — the same size at batch 8, 4, and 3 (probed on v5e at
+    N=4096), so no chunk size fits under the backend's 16 MB cap — while
+    the UNBATCHED c64 LU of the same system compiles fine (0.19 GB temp).
+    Past the probed-safe size the factorization therefore runs as a
+    ``lax.map`` of unbatched LUs: identical O(K·N³) flops, only
+    cross-candidate parallelism of the factorization is lost. The Newton
+    loop's repeated ``lu_solve`` stays vmap-batched either way (batched
+    triangular solves compile at these sizes — probed)."""
+    if jax.default_backend() != "cpu" and n > 2048:
+        return jax.lax.map(factor_one, shifts)
+    return jax.vmap(factor_one)(shifts)
+
+
 # ---------------------------------------------------------------------------
 # split-complex helpers (batched rows: X is (K, N), A is (M, N) split planes)
 # ---------------------------------------------------------------------------
@@ -132,7 +150,7 @@ def refine_eigenpairs(A64: SplitComplex, lam0: jax.Array, V0: jax.Array,
             H = Ac.at[idx, idx].add(-l + psi.astype(Ac.real.dtype))
             return jsla.lu_factor(H)
 
-        lu, piv = jax.vmap(factor_one)(lam0)
+        lu, piv = _lu_factor_percand(factor_one, lam0, N)
 
         def solve(B):                       # (K, N) c64 batched solve
             return jax.vmap(lambda l, p, b: jsla.lu_solve((l, p), b))(lu, piv, B)
@@ -224,7 +242,8 @@ def refine_svd_triplets(A64: SplitComplex, sig0: jax.Array, U0: jax.Array,
             Gs = G.at[idx, idx].add(-(s * s) + psi.astype(G.real.dtype))
             return jsla.lu_factor(Gs)
 
-        lu, piv = jax.vmap(factor_one)(sig_f.astype(Ac.real.dtype))
+        lu, piv = _lu_factor_percand(factor_one,
+                                     sig_f.astype(Ac.real.dtype), N)
 
         def solve(B):
             return jax.vmap(lambda l, p, b: jsla.lu_solve((l, p), b))(lu, piv, B)

@@ -763,21 +763,12 @@ class MausSolver:
         n = max(self.knowledge.shape)
         itemsize = jnp.dtype(self.config.dtype).itemsize
         by_mem = max(int(self._REFINE_CHUNK_BYTES // (n * n * itemsize)), 1)
-        ch = min(self._REFINE_CHUNK, by_mem)
-        if jax.default_backend() not in ("cpu",):
-            # XLA:TPU's batched LuDecompositionBlock allocates its pivoting
-            # panel (two f32[CH, N−384, 128] buffers) in scoped VMEM, capped
-            # at 16 MB ("should not be possible to run out of scoped vmem").
-            # Probed on v5e: CH=8 at N=2048 compiles (panel 13.6 MiB); CH=8
-            # AND CH=4 at N=4096 are both rejected at 16.55M (CH=4 panel
-            # 15.2 MiB + layout padding) — so bound the PANEL BYTES at
-            # 13.5 MiB, not a CH·N product. May return 0 (N ≳ 14k): batched-
-            # LU spectral refinement is then infeasible on this backend and
-            # _refine_spectral skips it (the mesh finisher, which reuses the
-            # Hessenberg and has no batched LU, is the at-scale path).
-            rows = max(n - 384, 1)
-            ch = min(ch, int((13.5 * 2**20) // (rows * 128 * 4 * 2)))
-        return ch
+        # (XLA:TPU's scoped-VMEM cap on the batched LuDecompositionBlock
+        # panel is handled where it belongs — refine_eig._lu_factor_percand
+        # switches the factorization to a lax.map of unbatched LUs past the
+        # probed-safe size; the cap is batch-INdependent, so no chunk size
+        # could have satisfied it.)
+        return min(self._REFINE_CHUNK, by_mem)
 
     def _refine_spectral(self, ks: list, lam: np.ndarray, v: np.ndarray,
                          u: Optional[np.ndarray], residual: np.ndarray) -> dict:
@@ -789,12 +780,6 @@ class MausSolver:
         cfg = self.config
         out = {}
         CH = self._refine_chunk()
-        if CH < 1:
-            # batched-LU refinement infeasible at this N on this backend
-            # (scoped-VMEM cap, see _refine_chunk) — keep the engine's
-            # unrefined leaders rather than fail the report (and skip the
-            # plane widening those leaders would have been refined against)
-            return out
         A64 = self._get_A64()
         for i in range(0, len(ks), CH):
             chunk = ks[i:i + CH]

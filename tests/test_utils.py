@@ -280,13 +280,13 @@ class TestCLIMore:
 
 
 class TestRefineChunkSizing:
-    """_refine_chunk: the spectral-refinement batch is bounded by BOTH the
-    ~2 GiB factorization-workspace rule and (on accelerators) XLA:TPU's
-    16 MB scoped-VMEM cap for the batched LuDecompositionBlock panel — the
-    panel bytes 2·CH·(N−384)·512 are held ≤ 13.5 MiB (probed on v5e: CH=8
-    at N=2048 compiles at 13.6 MiB; CH=8 AND CH=4 at N=4096 are rejected at
-    16.55M/16M). CH=0 means batched-LU refinement is infeasible at that N
-    and _refine_spectral keeps the engine's unrefined leaders."""
+    """_refine_chunk bounds the spectral-refinement batch by its
+    factorization workspace (~2 GiB of CH·N² shifted systems). The
+    scoped-VMEM hazard of XLA:TPU's BATCHED complex LU (a fixed ~16.55 MB
+    pivot panel independent of batch size — probed at batch 8/4/3, N=4096)
+    is NOT a chunking problem: refine_eig._lu_factor_percand switches the
+    factorization to a lax.map of unbatched LUs past the probed-safe size
+    instead."""
 
     def _solver_with_shape(self, n):
         A, b = gen.well_conditioned_system(16, seed=0)
@@ -296,24 +296,42 @@ class TestRefineChunkSizing:
         s.knowledge = dataclasses.replace(s.knowledge, shape=(n, n))
         return s
 
-    def test_cpu_backend_uses_memory_rule_only(self):
-        s = self._solver_with_shape(4096)
-        assert s._refine_chunk() == 8          # 2 GiB rule allows 16, cap 8
-
-    @pytest.mark.parametrize("n,expect", [(2048, 8), (4096, 3),
-                                          (8192, 1), (16384, 0)])
-    def test_accelerator_scoped_vmem_rule(self, monkeypatch, n, expect):
-        from maus_tpu.solver import api as api_mod
+    @pytest.mark.parametrize("n,expect", [(2048, 8), (4096, 8),
+                                          (8192, 2), (16384, 1)])
+    def test_workspace_rule(self, n, expect):
+        # CPU x64 → c128 factors (itemsize 16); accelerator c64 doubles these
         s = self._solver_with_shape(n)
-        monkeypatch.setattr(api_mod.jax, "default_backend", lambda: "tpu")
         assert s._refine_chunk() == expect
 
-    def test_refine_spectral_skips_on_zero_chunk(self, monkeypatch):
-        from maus_tpu.solver import api as api_mod
-        s = self._solver_with_shape(16384)
-        monkeypatch.setattr(api_mod.jax, "default_backend", lambda: "tpu")
-        s.config = s.config  # eig config not needed: chunk guard fires first
-        out = s._refine_spectral([0], np.zeros(4, np.complex128),
-                                 np.zeros((4, 16), np.complex128), None,
-                                 np.ones(4))
-        assert out == {}
+    def test_lu_percand_switches_to_map_on_accelerator(self, monkeypatch):
+        import jax
+
+        from maus_tpu.ops import refine_eig as re_mod
+        calls = {}
+
+        def fake_map(f, xs):
+            calls["map"] = True
+            return jax.vmap(f)(xs)
+        monkeypatch.setattr(re_mod.jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(re_mod.jax.lax, "map", fake_map)
+        f = lambda s: (s * np.ones((4, 4)), s)
+        re_mod._lu_factor_percand(f, np.arange(3.0), 4096)
+        assert calls.get("map")
+        calls.clear()
+        re_mod._lu_factor_percand(f, np.arange(3.0), 2048)
+        assert not calls.get("map")          # vmap below the probed limit
+
+    def test_lu_percand_map_matches_vmap(self):
+        """The lax.map route must produce identical factors (same inner
+        computation, only the batching transport differs)."""
+        import jax
+        import jax.numpy as jnp
+        import jax.scipy.linalg as jsla
+
+        rng = np.random.default_rng(0)
+        A = jnp.asarray(rng.standard_normal((3, 16, 16)))
+
+        lu_v, piv_v = jax.vmap(jsla.lu_factor)(A)
+        lu_m, piv_m = jax.lax.map(jsla.lu_factor, A)
+        np.testing.assert_array_equal(np.asarray(lu_v), np.asarray(lu_m))
+        np.testing.assert_array_equal(np.asarray(piv_v), np.asarray(piv_m))
