@@ -36,22 +36,46 @@ from .refine import (SplitComplex, scaled_fro, slice_split_matrix,
                      sliced_matvec_batch)
 
 
-def _lu_factor_percand(factor_one, shifts, n: int):
-    """Per-candidate LU of (N, N) shifted systems, batched where possible.
+def _percand_shifted_solver(build_H, shifts, n: int):
+    """Factor one (N, N) shifted system per candidate and return a batched
+    ``solve(B: (K, N)) -> (K, N)`` closure.
 
-    XLA:TPU rejects a vmap'd COMPLEX LU for N ≥ ~3k: the batched
-    LuDecompositionBlock custom call requests a fixed ~16.55 MB scoped-VMEM
-    pivot panel — the same size at batch 8, 4, and 3 (probed on v5e at
-    N=4096), so no chunk size fits under the backend's 16 MB cap — while
-    the UNBATCHED c64 LU of the same system compiles fine (0.19 GB temp).
-    Past the probed-safe size the factorization therefore runs as a
-    ``lax.map`` of unbatched LUs: identical O(K·N³) flops, only
-    cross-candidate parallelism of the factorization is lost. The Newton
-    loop's repeated ``lu_solve`` stays vmap-batched either way (batched
-    triangular solves compile at these sizes — probed)."""
-    if jax.default_backend() != "cpu" and n > 2048:
-        return jax.lax.map(factor_one, shifts)
-    return jax.vmap(factor_one)(shifts)
+    Three regimes, each forced by a probed XLA:TPU scoped-VMEM limit
+    (16 MB cap; "should not be possible to run out of scoped vmem"):
+
+    1. **vmap LU** (CPU, or N ≤ 2048): the fast batched path.
+    2. **lax.map LU** (accelerator, N ≤ 4096): the BATCHED complex
+       LuDecompositionBlock requests a fixed ~16.55 MB pivot panel
+       regardless of batch size (probed at batch 8/4/3 at N=4096, all
+       rejected), while the unbatched LU compiles at 0.19 GB temp —
+       identical O(K·N³) flops, only the factorization loses
+       cross-candidate parallelism.
+    3. **lax.map QR** (accelerator, N > 4096): even the UNBATCHED complex
+       LU breaches the cap at 8192 (f32[8192,128] pivot-panel pair
+       reported at 20.04M). QR has no pivot panel — the 16384² shared QR
+       is production — so H = QR per candidate (2× LU flops, 2× factor
+       storage; ``MausSolver._refine_chunk`` halves the chunk accordingly).
+
+    The Newton loop's repeated solves stay vmap-batched in every regime
+    (batched lu_solve / Qᴴ-GEMV + triangular solve compile — probed)."""
+    backend = jax.default_backend()
+    if backend == "cpu" or n <= 2048:
+        lu, piv = jax.vmap(lambda s: jsla.lu_factor(build_H(s)))(shifts)
+        return lambda B: jax.vmap(
+            lambda l, p, b: jsla.lu_solve((l, p), b))(lu, piv, B)
+    if n <= 4096:
+        lu, piv = jax.lax.map(lambda s: jsla.lu_factor(build_H(s)), shifts)
+        return lambda B: jax.vmap(
+            lambda l, p, b: jsla.lu_solve((l, p), b))(lu, piv, B)
+    q, r = jax.lax.map(lambda s: jnp.linalg.qr(build_H(s)), shifts)
+
+    def solve(B):
+        def one(qk, rk, bk):
+            y = jnp.conj(qk.T) @ bk
+            return jax.lax.linalg.triangular_solve(
+                rk, y[:, None], lower=False, left_side=True)[:, 0]
+        return jax.vmap(one)(q, r, B)
+    return solve
 
 
 # ---------------------------------------------------------------------------
@@ -146,14 +170,10 @@ def refine_eigenpairs(A64: SplitComplex, lam0: jax.Array, V0: jax.Array,
         Ac = _to_c(A64, cdtype)
         idx = jnp.arange(N)
 
-        def factor_one(l):
-            H = Ac.at[idx, idx].add(-l + psi.astype(Ac.real.dtype))
-            return jsla.lu_factor(H)
+        def build_H(l):
+            return Ac.at[idx, idx].add(-l + psi.astype(Ac.real.dtype))
 
-        lu, piv = _lu_factor_percand(factor_one, lam0, N)
-
-        def solve(B):                       # (K, N) c64 batched solve
-            return jax.vmap(lambda l, p, b: jsla.lu_solve((l, p), b))(lu, piv, B)
+        solve = _percand_shifted_solver(build_H, lam0, N)  # (K, N) batched
 
         V = _from_c(V0, rdt)
         nrm = jnp.maximum(_snorm(V), 1e-30)
@@ -238,15 +258,11 @@ def refine_svd_triplets(A64: SplitComplex, sig0: jax.Array, U0: jax.Array,
         sig_f = sig0.real.astype(jnp.float32)
         small = sig_f < 1e-6 * jnp.maximum(anorm.astype(jnp.float32), 1e-30)
 
-        def factor_one(s):
-            Gs = G.at[idx, idx].add(-(s * s) + psi.astype(G.real.dtype))
-            return jsla.lu_factor(Gs)
+        def build_H(s):
+            return G.at[idx, idx].add(-(s * s) + psi.astype(G.real.dtype))
 
-        lu, piv = _lu_factor_percand(factor_one,
-                                     sig_f.astype(Ac.real.dtype), N)
-
-        def solve(B):
-            return jax.vmap(lambda l, p, b: jsla.lu_solve((l, p), b))(lu, piv, B)
+        solve = _percand_shifted_solver(build_H,
+                                        sig_f.astype(Ac.real.dtype), N)
 
         U = _from_c(U0, rdt)
         V = _from_c(V0, rdt)

@@ -762,12 +762,14 @@ class MausSolver:
         refinement then streams candidates)."""
         n = max(self.knowledge.shape)
         itemsize = jnp.dtype(self.config.dtype).itemsize
-        by_mem = max(int(self._REFINE_CHUNK_BYTES // (n * n * itemsize)), 1)
-        # (XLA:TPU's scoped-VMEM cap on the batched LuDecompositionBlock
-        # panel is handled where it belongs — refine_eig._lu_factor_percand
-        # switches the factorization to a lax.map of unbatched LUs past the
-        # probed-safe size; the cap is batch-INdependent, so no chunk size
-        # could have satisfied it.)
+        budget = self._REFINE_CHUNK_BYTES
+        if jax.default_backend() != "cpu" and n > 4096:
+            # refine_eig._percand_shifted_solver factors via QR there (the
+            # complex LU breaches XLA:TPU's scoped-VMEM cap even unbatched —
+            # see its docstring): Q and R double the per-candidate factor
+            # storage, so halve the workspace budget
+            budget //= 2
+        by_mem = max(int(budget // (n * n * itemsize)), 1)
         return min(self._REFINE_CHUNK, by_mem)
 
     def _refine_spectral(self, ks: list, lam: np.ndarray, v: np.ndarray,

@@ -281,12 +281,13 @@ class TestCLIMore:
 
 class TestRefineChunkSizing:
     """_refine_chunk bounds the spectral-refinement batch by its
-    factorization workspace (~2 GiB of CH·N² shifted systems). The
-    scoped-VMEM hazard of XLA:TPU's BATCHED complex LU (a fixed ~16.55 MB
-    pivot panel independent of batch size — probed at batch 8/4/3, N=4096)
-    is NOT a chunking problem: refine_eig._lu_factor_percand switches the
-    factorization to a lax.map of unbatched LUs past the probed-safe size
-    instead."""
+    factorization workspace (~2 GiB of CH·N² shifted systems; halved in the
+    accelerator QR regime where Q and R double per-candidate storage). The
+    scoped-VMEM hazards of XLA:TPU's complex LU (batched: fixed ~16.55 MB
+    pivot panel at any batch size, probed at batch 8/4/3 N=4096; unbatched:
+    20.04M at N=8192) are NOT chunking problems:
+    refine_eig._percand_shifted_solver switches transport (vmap LU →
+    lax.map LU → lax.map QR) past the probed limits instead."""
 
     def _solver_with_shape(self, n):
         A, b = gen.well_conditioned_system(16, seed=0)
@@ -303,26 +304,52 @@ class TestRefineChunkSizing:
         s = self._solver_with_shape(n)
         assert s._refine_chunk() == expect
 
-    def test_lu_percand_switches_to_map_on_accelerator(self, monkeypatch):
+    def test_qr_regime_halves_budget(self, monkeypatch):
+        from maus_tpu.solver import api as api_mod
+        s = self._solver_with_shape(8192)
+        base = s._refine_chunk()             # CPU: full 2 GiB budget
+        monkeypatch.setattr(api_mod.jax, "default_backend", lambda: "tpu")
+        assert s._refine_chunk() == max(base // 2, 1)   # QR regime: halved
+
+    def test_percand_solver_regimes(self, monkeypatch):
+        """Transport selection: vmap LU on CPU/small N, lax.map LU to 4096,
+        lax.map QR above — pinned via a counting lax.map stub."""
         import jax
 
         from maus_tpu.ops import refine_eig as re_mod
-        calls = {}
+        calls = []
+
+        real_map = jax.lax.map
 
         def fake_map(f, xs):
-            calls["map"] = True
-            return jax.vmap(f)(xs)
+            calls.append("map")
+            return real_map(f, xs)
         monkeypatch.setattr(re_mod.jax, "default_backend", lambda: "tpu")
         monkeypatch.setattr(re_mod.jax.lax, "map", fake_map)
-        f = lambda s: (s * np.ones((4, 4)), s)
-        re_mod._lu_factor_percand(f, np.arange(3.0), 4096)
-        assert calls.get("map")
-        calls.clear()
-        re_mod._lu_factor_percand(f, np.arange(3.0), 2048)
-        assert not calls.get("map")          # vmap below the probed limit
+        rng = np.random.default_rng(0)
+        H = rng.standard_normal((8, 8)) + 8 * np.eye(8)
 
-    def test_lu_percand_map_matches_vmap(self):
-        """The lax.map route must produce identical factors (same inner
+        import jax.numpy as jnp
+        build_H = lambda s: jnp.asarray(H) + s * jnp.eye(8)
+        shifts = jnp.arange(3.0)
+
+        re_mod._percand_shifted_solver(build_H, shifts, 2048)
+        assert calls == []                   # vmap LU regime
+        re_mod._percand_shifted_solver(build_H, shifts, 4096)
+        assert calls == ["map"]              # lax.map LU regime
+        calls.clear()
+        solve = re_mod._percand_shifted_solver(build_H, shifts, 8192)
+        assert calls == ["map"]              # lax.map QR regime
+        # QR-regime solves match direct solves of the shifted systems
+        B = jnp.asarray(rng.standard_normal((3, 8)))
+        X = np.asarray(solve(B))
+        for k in range(3):
+            ref = np.linalg.solve(H + float(shifts[k]) * np.eye(8),
+                                  np.asarray(B[k]))
+            np.testing.assert_allclose(X[k], ref, rtol=1e-10)
+
+    def test_percand_map_lu_matches_vmap(self):
+        """The lax.map LU route must produce identical factors (same inner
         computation, only the batching transport differs)."""
         import jax
         import jax.numpy as jnp
