@@ -179,6 +179,29 @@ def refine_eigenpairs(A64: SplitComplex, lam0: jax.Array, V0: jax.Array,
         nrm = jnp.maximum(_snorm(V), 1e-30)
         V = SplitComplex(V.re / nrm[:, None], V.im / nrm[:, None])
 
+        # Engine leaders that converged at a loose EARLY threshold can sit
+        # ~0.1 off their eigenvector; plain Newton from such starts wanders
+        # (measured at 8192²: leaders at 2.6e-3 kept their residuals through
+        # 5 steps). Two masked shifted-INVERSE-ITERATION sweeps against the
+        # same factorization — the reference's own eig mechanism (AMS:270) —
+        # pull each crude vector toward the eigenvector nearest its λ
+        # (amplification ≈ gap/(|λ−λ_true|+ψ) per sweep) at two batched
+        # solves' cost; starts already below ~1e3·ε_f32 relative residual
+        # are left untouched.
+        W0 = smv(V)
+        lam_e = _sdiv(_sdot(V, W0), _sdot(V, V))
+        r0 = SplitComplex(W0.re - (lam_e.re[:, None] * V.re
+                                   - lam_e.im[:, None] * V.im),
+                          W0.im - (lam_e.re[:, None] * V.im
+                                   + lam_e.im[:, None] * V.re))
+        crude = _snorm(r0) > 1.2e-4 * anorm
+        for _ in range(2):
+            U64 = _from_c(solve(_to_c(V, cdtype)), rdt)
+            un = jnp.maximum(_snorm(U64), 1e-30)
+            V = SplitComplex(
+                jnp.where(crude[:, None], U64.re / un[:, None], V.re),
+                jnp.where(crude[:, None], U64.im / un[:, None], V.im))
+
         def body(_, carry):
             V, lam, resid = carry
             W = smv(V)                                    # A v (f64)
@@ -283,6 +306,25 @@ def refine_svd_triplets(A64: SplitComplex, sig0: jax.Array, U0: jax.Array,
             r2 = SplitComplex(Ahu.re - sig[:, None] * V.re,
                               Ahu.im - sig[:, None] * V.im)
             return r1, r2, _snorm(r1) + _snorm(r2)
+
+        # Crude-start pre-polish mirroring refine_eigenpairs: inverse
+        # iteration on the shifted Gram pulls v toward the right singular
+        # vector nearest σ, and u is re-derived as A v/‖A v‖ (the reference's
+        # own one-sided round, AMS:233-235). Null-σ triplets and precise
+        # starts are untouched.
+        _, _, rn0 = resid_of(sig, U, V)
+        crude = (rn0 > 1.2e-4 * anorm) & ~small
+        for _ in range(2):
+            Vn = _from_c(solve(_to_c(V, cdtype)), rdt)
+            vn_ = jnp.maximum(_snorm(Vn), 1e-30)
+            Vc = SplitComplex(Vn.re / vn_[:, None], Vn.im / vn_[:, None])
+            Avc = smv(Vc)
+            an_ = jnp.maximum(_snorm(Avc), 1e-30)
+            Uc = SplitComplex(Avc.re / an_[:, None], Avc.im / an_[:, None])
+            V = SplitComplex(jnp.where(crude[:, None], Vc.re, V.re),
+                             jnp.where(crude[:, None], Vc.im, V.im))
+            U = SplitComplex(jnp.where(crude[:, None], Uc.re, U.re),
+                             jnp.where(crude[:, None], Uc.im, U.im))
 
         def body(_, carry):
             sig, U, V, rbest = carry

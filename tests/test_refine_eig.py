@@ -127,3 +127,65 @@ class TestApiEngagement:
         big = [r for sol, r in zip(rep.solutions, rep.residuals)
                if sol[0] > 1e-3]
         assert big and max(big) <= 1e-6
+
+
+class TestCrudeStartPrePolish:
+    """Engine leaders that converged at a loose EARLY threshold can be ~0.1
+    off their eigenvector (measured at 8192² on chip: leaders at 2.6e-3 kept
+    their residuals through 5 plain Newton steps). The finishers now run two
+    masked shifted-inverse-iteration pre-sweeps; these tests pin recovery
+    from crude starts that plain Newton loses."""
+
+    def test_eig_crude_start_recovers(self):
+        rng = np.random.default_rng(3)
+        n, k = 96, 5
+        A = (rng.standard_normal((n, n))
+             + 1j * rng.standard_normal((n, n))) / np.sqrt(n)
+        w, V = np.linalg.eig(A)
+        pick = rng.choice(n, size=k, replace=False)
+        # crude: 10% vector noise, 1e-2-scale eigenvalue error
+        v0 = V[:, pick].T + 0.1 * (rng.standard_normal((k, n))
+                                   + 1j * rng.standard_normal((k, n))) \
+            / np.sqrt(n) * np.sqrt(n) * 0.1
+        lam0 = w[pick] + 1e-3 * (rng.standard_normal(k)
+                                 + 1j * rng.standard_normal(k))
+        lam_s, V_s, res = refine_eigenpairs(
+            _split64(A), jnp.asarray(lam0.astype(np.complex64)),
+            jnp.asarray(v0.astype(np.complex64)), steps=6)
+        assert np.all(np.asarray(res) < 1e-10)
+
+    def test_eig_precise_start_untouched_quality(self):
+        """The pre-sweep mask must not degrade already-good starts."""
+        rng = np.random.default_rng(4)
+        n, k = 96, 4
+        A = (rng.standard_normal((n, n))
+             + 1j * rng.standard_normal((n, n))) / np.sqrt(n)
+        w, V = np.linalg.eig(A)
+        pick = rng.choice(n, size=k, replace=False)
+        v0 = V[:, pick].T + 1e-7 * (rng.standard_normal((k, n))
+                                    + 1j * rng.standard_normal((k, n)))
+        lam_s, V_s, res = refine_eigenpairs(
+            _split64(A), jnp.asarray(w[pick].astype(np.complex64)),
+            jnp.asarray(v0.astype(np.complex64)), steps=4)
+        assert np.all(np.asarray(res) < 1e-11)
+
+    def test_svd_crude_start_recovers(self):
+        rng = np.random.default_rng(5)
+        m, n, k = 48, 32, 3
+        U, _ = np.linalg.qr(rng.standard_normal((m, n))
+                            + 1j * rng.standard_normal((m, n)))
+        V, _ = np.linalg.qr(rng.standard_normal((n, n))
+                            + 1j * rng.standard_normal((n, n)))
+        s = np.logspace(0, -1, n)
+        A = (U[:, :n] * s) @ V.conj().T
+        pick = np.array([0, 4, 9])
+        u0 = U[:, pick].T + 0.1 * (rng.standard_normal((k, m))
+                                   + 1j * rng.standard_normal((k, m)))
+        v0 = V[:, pick].T + 0.1 * (rng.standard_normal((k, n))
+                                   + 1j * rng.standard_normal((k, n)))
+        sig0 = s[pick] * (1 + 1e-2 * rng.standard_normal(k))
+        sig, U_s, V_s, res = refine_svd_triplets(
+            _split64(A), jnp.asarray(sig0.astype(np.complex64)),
+            jnp.asarray(u0.astype(np.complex64)),
+            jnp.asarray(v0.astype(np.complex64)), steps=6)
+        assert np.all(np.asarray(res) < 1e-9)
