@@ -141,9 +141,10 @@ def _from_c(z: jax.Array, rdt) -> SplitComplex:
 # Eigenpair refinement
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("steps",))
+@functools.partial(jax.jit, static_argnames=("steps", "rounds"))
 def refine_eigenpairs(A64: SplitComplex, lam0: jax.Array, V0: jax.Array,
-                      steps: int = 4, psi_rel: float = 3e-6
+                      steps: int = 4, psi_rel: float = 3e-6,
+                      rounds: int = 2
                       ) -> tuple[SplitComplex, SplitComplex, jax.Array]:
     """Refine K eigenpair candidates to f64-limited residuals.
 
@@ -173,77 +174,95 @@ def refine_eigenpairs(A64: SplitComplex, lam0: jax.Array, V0: jax.Array,
         def build_H(l):
             return Ac.at[idx, idx].add(-l + psi.astype(Ac.real.dtype))
 
-        solve = _percand_shifted_solver(build_H, lam0, N)  # (K, N) batched
+        def one_round(lam_shift, V, lam_init):
+            """One fixed-shift round: factor H_k = A − λ_k I + ψI, run masked
+            inverse-iteration pre-sweeps, then ``steps`` bordered-Newton
+            steps. Returns (V, lam, resid) with per-step best-keeping."""
+            solve = _percand_shifted_solver(build_H, lam_shift, N)
+
+            # Engine leaders that converged at a loose EARLY threshold can
+            # sit ~0.1 off their eigenvector; plain Newton from such starts
+            # wanders (measured at 8192²: leaders at 2.6e-3 kept their
+            # residuals through 5 steps). Two masked shifted-INVERSE-
+            # ITERATION sweeps against the same factorization — the
+            # reference's own eig mechanism (AMS:270) — pull each crude
+            # vector toward the eigenvector nearest its λ (amplification ≈
+            # gap/(|λ−λ_true|+ψ) per sweep) at two batched solves' cost;
+            # starts already below ~1e3·ε_f32 relative residual are left
+            # untouched.
+            W0 = smv(V)
+            lam_e = _sdiv(_sdot(V, W0), _sdot(V, V))
+            r0 = SplitComplex(W0.re - (lam_e.re[:, None] * V.re
+                                       - lam_e.im[:, None] * V.im),
+                              W0.im - (lam_e.re[:, None] * V.im
+                                       + lam_e.im[:, None] * V.re))
+            crude = _snorm(r0) > 1.2e-4 * anorm
+            for _ in range(2):
+                U64 = _from_c(solve(_to_c(V, cdtype)), rdt)
+                un = jnp.maximum(_snorm(U64), 1e-30)
+                V = SplitComplex(
+                    jnp.where(crude[:, None], U64.re / un[:, None], V.re),
+                    jnp.where(crude[:, None], U64.im / un[:, None], V.im))
+
+            def body(_, carry):
+                V, lam, resid = carry
+                W = smv(V)                                # A v (f64)
+                lam_new = _sdiv(_sdot(V, W), _sdot(V, V))  # f64 Rayleigh
+                r = SplitComplex(W.re - (lam_new.re[:, None] * V.re
+                                         - lam_new.im[:, None] * V.im),
+                                 W.im - (lam_new.re[:, None] * V.im
+                                         + lam_new.im[:, None] * V.re))
+                rn = _snorm(r)
+                u1 = solve(_to_c(V, cdtype))              # H⁻¹ v
+                u2 = solve(_to_c(r, cdtype))              # H⁻¹ r
+                num = jnp.sum(jnp.conj(_to_c(V, cdtype)) * u2, axis=-1)
+                den = jnp.sum(jnp.conj(_to_c(V, cdtype)) * u1, axis=-1)
+                den = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
+                dlam = num / den
+                dv = dlam[:, None] * u1 - u2              # δλ H⁻¹v − H⁻¹r
+                dv64 = _from_c(dv, rdt)
+                V_new = SplitComplex(V.re + dv64.re, V.im + dv64.im)
+                nn = jnp.maximum(_snorm(V_new), 1e-30)
+                V_new = SplitComplex(V_new.re / nn[:, None],
+                                     V_new.im / nn[:, None])
+                # keep the better iterate per candidate (guards divergent
+                # steps on defective/clustered eigenvalues)
+                W2 = smv(V_new)
+                lam2 = _sdiv(_sdot(V_new, W2), _sdot(V_new, V_new))
+                r2 = SplitComplex(W2.re - (lam2.re[:, None] * V_new.re
+                                           - lam2.im[:, None] * V_new.im),
+                                  W2.im - (lam2.re[:, None] * V_new.im
+                                           + lam2.im[:, None] * V_new.re))
+                rn2 = _snorm(r2)
+                better = rn2 < rn
+                Vo = SplitComplex(jnp.where(better[:, None], V_new.re, V.re),
+                                  jnp.where(better[:, None], V_new.im, V.im))
+                lo = SplitComplex(jnp.where(better, lam2.re, lam_new.re),
+                                  jnp.where(better, lam2.im, lam_new.im))
+                # where, not minimum: report the residual OF THE RETURNED
+                # state; a NaN rn2 from a blown-up step must not poison it
+                return Vo, lo, jnp.where(better, rn2, rn)
+
+            resid0 = jnp.full((K,), jnp.inf, rdt)
+            return jax.lax.fori_loop(0, steps, body, (V, lam_init, resid0))
 
         V = _from_c(V0, rdt)
         nrm = jnp.maximum(_snorm(V), 1e-30)
         V = SplitComplex(V.re / nrm[:, None], V.im / nrm[:, None])
-
-        # Engine leaders that converged at a loose EARLY threshold can sit
-        # ~0.1 off their eigenvector; plain Newton from such starts wanders
-        # (measured at 8192²: leaders at 2.6e-3 kept their residuals through
-        # 5 steps). Two masked shifted-INVERSE-ITERATION sweeps against the
-        # same factorization — the reference's own eig mechanism (AMS:270) —
-        # pull each crude vector toward the eigenvector nearest its λ
-        # (amplification ≈ gap/(|λ−λ_true|+ψ) per sweep) at two batched
-        # solves' cost; starts already below ~1e3·ε_f32 relative residual
-        # are left untouched.
-        W0 = smv(V)
-        lam_e = _sdiv(_sdot(V, W0), _sdot(V, V))
-        r0 = SplitComplex(W0.re - (lam_e.re[:, None] * V.re
-                                   - lam_e.im[:, None] * V.im),
-                          W0.im - (lam_e.re[:, None] * V.im
-                                   + lam_e.im[:, None] * V.re))
-        crude = _snorm(r0) > 1.2e-4 * anorm
-        for _ in range(2):
-            U64 = _from_c(solve(_to_c(V, cdtype)), rdt)
-            un = jnp.maximum(_snorm(U64), 1e-30)
-            V = SplitComplex(
-                jnp.where(crude[:, None], U64.re / un[:, None], V.re),
-                jnp.where(crude[:, None], U64.im / un[:, None], V.im))
-
-        def body(_, carry):
-            V, lam, resid = carry
-            W = smv(V)                                    # A v (f64)
-            lam_new = _sdiv(_sdot(V, W), _sdot(V, V))     # f64 Rayleigh quotient
-            r = SplitComplex(W.re - (lam_new.re[:, None] * V.re
-                                     - lam_new.im[:, None] * V.im),
-                             W.im - (lam_new.re[:, None] * V.im
-                                     + lam_new.im[:, None] * V.re))
-            rn = _snorm(r)
-            u1 = solve(_to_c(V, cdtype))                  # H⁻¹ v
-            u2 = solve(_to_c(r, cdtype))                  # H⁻¹ r
-            num = jnp.sum(jnp.conj(_to_c(V, cdtype)) * u2, axis=-1)
-            den = jnp.sum(jnp.conj(_to_c(V, cdtype)) * u1, axis=-1)
-            den = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
-            dlam = num / den
-            dv = dlam[:, None] * u1 - u2                  # δv = δλ H⁻¹v − H⁻¹r
-            dv64 = _from_c(dv, rdt)
-            V_new = SplitComplex(V.re + dv64.re, V.im + dv64.im)
-            nn = jnp.maximum(_snorm(V_new), 1e-30)
-            V_new = SplitComplex(V_new.re / nn[:, None], V_new.im / nn[:, None])
-            # keep the better iterate per candidate (guards divergent steps on
-            # defective/clustered eigenvalues)
-            W2 = smv(V_new)
-            lam2 = _sdiv(_sdot(V_new, W2), _sdot(V_new, V_new))
-            r2 = SplitComplex(W2.re - (lam2.re[:, None] * V_new.re
-                                       - lam2.im[:, None] * V_new.im),
-                              W2.im - (lam2.re[:, None] * V_new.im
-                                       + lam2.im[:, None] * V_new.re))
-            rn2 = _snorm(r2)
-            better = rn2 < rn
-            Vo = SplitComplex(jnp.where(better[:, None], V_new.re, V.re),
-                              jnp.where(better[:, None], V_new.im, V.im))
-            lo = SplitComplex(jnp.where(better, lam2.re, lam_new.re),
-                              jnp.where(better, lam2.im, lam_new.im))
-            # where, not minimum: report the residual OF THE RETURNED
-            # state; a NaN rn2 from a blown-up step must not poison it
-            return Vo, lo, jnp.where(better, rn2, rn)
-
         lam_init = SplitComplex(lam0.real.astype(rdt), lam0.imag.astype(rdt))
-        resid0 = jnp.full((K,), jnp.inf, rdt)
-        V, lam, resid = jax.lax.fori_loop(0, steps, body,
-                                          (V, lam_init, resid0))
+        lam_shift = lam0
+        for _ in range(rounds):
+            V, lam, resid = one_round(lam_shift, V, lam_init)
+            # Rayleigh-quotient REFACTORING for the next round: a shift that
+            # started between two near-degenerate eigenvalues (engine λ error
+            # ≈ local gap — the measured 8192² straggler had a 1.8e-3
+            # neighbor at a 2.6e-3 λ error) cannot separate them at a fixed
+            # factorization; rebuilding H at the refined λ is classic RQI and
+            # converges cubically from there.
+            lam_shift = jax.lax.complex(
+                lam.re.astype(jnp.float32),
+                lam.im.astype(jnp.float32)).astype(cdtype)
+            lam_init = lam
         return lam, V, resid
 
 
