@@ -48,14 +48,17 @@ def _device_operand(n, kind, seed=0):
     return jax.block_until_ready(A)
 
 
-def _svd_operand(m, n, seed=1):
-    """Controlled log-spaced σ spectrum (κ=100). A gapless random rectangular
-    operand has σ's at O(1/√n) spacing — one-sided power iteration then
-    converges at ratio ≈ 1 per sweep and NO triplet can meet a 1e-6 σ gate in
-    bench-scale iteration counts; the reference's own SVD fixture (AMS:630-639)
-    uses a gapped spectrum for the same reason."""
+def _svd_operand(m, n, seed=1, top=16):
+    """σ spectrum with GENUINE gaps in the top-``top`` (geometric ratio 0.8 —
+    alternating power iteration separates adjacent triplets at rate 0.8² per
+    sweep) over a log-spaced tail two decades down. A log-spaced spectrum
+    across all n σ's looks "controlled" but is gapless (adjacent ratio
+    10^(2/n) ≈ 1.002 at n=2048): no one-sided iteration can split that in
+    bench-scale sweeps — the reference's own SVD fixture (AMS:630-639) uses
+    [5, 2.5, ~0] gaps for the same reason."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(seed), 4)
 
@@ -66,11 +69,15 @@ def _svd_operand(m, n, seed=1):
         dg = jnp.diagonal(r)
         return q * (dg / jnp.abs(dg))[None, :]
 
+    s_head = 0.8 ** np.arange(top)                    # 1.0 … 0.035
+    s_tail = np.logspace(-2.0, -4.0, n - top)
+    s = jnp.asarray(np.concatenate([s_head, s_tail]),
+                    jnp.float32).astype(jnp.complex64)
+
     @jax.jit
     def make():
         u = haar(k1, k2, m)[:, :n]
         v = haar(k3, k4, n)
-        s = jnp.logspace(0.0, -2.0, n, dtype=jnp.float32).astype(jnp.complex64)
         return (u * s[None, :]) @ v.conj().T
 
     return jax.block_until_ready(make())
@@ -97,7 +104,7 @@ def main():
     ap.add_argument("--cands", type=int, default=16)
     ap.add_argument("--svd-shape", default="4096x2048")
     ap.add_argument("--tol", type=float, default=1e-8)
-    ap.add_argument("--iters", type=int, default=60)
+    ap.add_argument("--iters", type=int, default=100)
     args = ap.parse_args()
 
     import jax
@@ -112,19 +119,25 @@ def main():
     enable_cache()
     sizes = [int(s) for s in args.sizes.split(",") if s]
 
+    # candidates oversubscribe the target 2× (the reference runs 30 candidates
+    # for 8 eigenpair targets, AMS:654-657): on a dense spectrum two shifts
+    # can land nearest the same eigenpair, and spare candidates absorb the
+    # collision instead of costing a respawn round-trip
     for n in sizes:
         for kind in ("general", "hermitian"):
             A = _device_operand(n, kind)
             _row(lambda A=A: maus_tpu.eig(
                 A, tol=args.tol, max_iterations=args.iters,
-                num_candidates=args.cands), f"eig N={n} {kind}")
+                num_candidates=2 * args.cands, target_solutions=args.cands),
+                f"eig N={n} {kind}")
             del A
 
     m, n = (int(x) for x in args.svd_shape.split("x"))
-    B = _svd_operand(m, n)
+    B = _svd_operand(m, n, top=args.cands)
     _row(lambda: maus_tpu.svd(B, tol=max(args.tol, 1e-6),
                               max_iterations=args.iters,
-                              num_candidates=args.cands),
+                              num_candidates=2 * args.cands,
+                              target_solutions=args.cands),
          f"svd {m}x{n}")
     return 0
 

@@ -163,6 +163,173 @@ def factor_lu(H: jax.Array, block: int = 256) -> BlockedLU:
     return BlockedLU(M, perm)
 
 
+# ---------------------------------------------------------------------------
+# RBT + block-local-pivoted LU: the latency-free variant
+# ---------------------------------------------------------------------------
+#
+# The fully-pivoted factor_lu above pays ~N sequential fori steps for its
+# panel factorization — measured 28 ms vs XLA QR's 3.7 ms at 2048² on v5e
+# (the column loop is dispatch-latency-bound, like every serial step on this
+# hardware). This variant removes per-COLUMN work entirely:
+#
+#   * a depth-2 RANDOM BUTTERFLY TRANSFORM (Parker '95; Baboulin et al.,
+#     "Accelerating linear system solutions using randomization") makes
+#     pivot-free elimination stable with high probability: A' = Uᴴ A V with
+#     U, V unitary butterflies of random unit-modulus diagonals; solving
+#     A x = b becomes  A' y = Uᴴ b,  x = V y.  Applying a depth-d butterfly
+#     is O(d·N²) elementwise — no GEMMs, two passes over A per side.
+#   * the blocked elimination then factors only the b×b DIAGONAL block per
+#     panel (XLA's small LU — its scoped-VMEM defect appears at N ≥ 4096,
+#     256² is fine), keeping partial pivoting WITHIN the block (free safety
+#     on top of the RBT), and everything else is trsm-by-explicit-inverse
+#     GEMMs: L21 = A21 U11⁻¹, U12 = L11⁻¹ A12, A22 −= L21 U12.
+#
+# Sequential depth: N/b small LUs instead of N column steps. The production
+# integration certifies every solve with a true split-f64 residual and falls
+# back to QR on stall, so the with-high-probability stability is checked, not
+# assumed.
+
+
+class RBTLU(NamedTuple):
+    """Butterfly-transformed block-LU bundle: ``lu``/``perm`` factor
+    A' = Uᴴ A V; ``u_diags``/``v_diags`` are the (depth, N) butterfly
+    diagonals of U and V."""
+
+    lu: jax.Array
+    perm: jax.Array
+    u_diags: jax.Array
+    v_diags: jax.Array
+
+
+def _butterfly_apply(x: jax.Array, diags: jax.Array, transpose: bool,
+                     conj: bool) -> jax.Array:
+    """Apply a depth-d butterfly to the ROWS of x (axis 0).
+
+    W = B_1 · B_2 · … · B_d; level l (0-indexed) splits the rows into 2^l
+    contiguous blocks, and each block [t; s] maps through
+    B: (1/√2)·[d0·t + d1·s;  d0·t − d1·s]  (diagonals BEFORE the Hadamard).
+    With unit-modulus diagonals each level is unitary.
+
+    Modes: (transpose=False) applies W (finest level first);
+    (transpose=True) applies Wᵀ = B_dᵀ…B_1ᵀ — structurally the diagonals move
+    AFTER the Hadamard step (Bᵀ = (1/√2)[[D0,D0],[D1,−D1]]) and the level
+    order reverses. ``conj`` conjugates the diagonals, so
+    Wᴴ = (transpose=True, conj=True) = W⁻¹."""
+    depth = diags.shape[0]
+    n = x.shape[0]
+    inv_sqrt2 = jnp.asarray(2.0 ** -0.5, x.dtype)
+    levels = range(depth) if transpose else range(depth - 1, -1, -1)
+    y = x
+    for l in levels:
+        blocks = 1 << l
+        h = n // (2 * blocks)
+        d = jnp.conj(diags[l]) if conj else diags[l]
+        yb = y.reshape((blocks, 2 * h) + y.shape[1:])
+        db = d.reshape((blocks, 2 * h) + (1,) * (y.ndim - 1))
+        if transpose:
+            t, s = yb[:, :h], yb[:, h:]
+            out = jnp.concatenate([db[:, :h] * (t + s),
+                                   db[:, h:] * (t - s)], axis=1)
+        else:
+            t = yb[:, :h] * db[:, :h]
+            s = yb[:, h:] * db[:, h:]
+            out = jnp.concatenate([t + s, t - s], axis=1)
+        y = (out * inv_sqrt2).reshape(x.shape)
+    return y
+
+
+def _rand_unit_diags(key: jax.Array, depth: int, n: int, dtype) -> jax.Array:
+    theta = jax.random.uniform(key, (depth, n), jnp.float32,
+                               0.0, 2.0 * 3.14159265)
+    if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
+        # lax.complex keeps the pair in c64 — "re + 1j*im" promotes through
+        # c128, which does not exist on TPU
+        rdt = jnp.float32 if dtype == jnp.complex64 else jnp.float64
+        return jax.lax.complex(jnp.cos(theta).astype(rdt),
+                               jnp.sin(theta).astype(rdt)).astype(dtype)
+    return jnp.where(theta < 3.14159265, 1.0, -1.0).astype(dtype)
+
+
+def factor_rbt_lu(H: jax.Array, key: jax.Array | None = None,
+                  block: int = 256, depth: int = 2) -> RBTLU:
+    """Butterfly-transform H and block-LU-factor the transform (no global
+    pivoting; block-local partial pivoting only)."""
+    n = H.shape[0]
+    assert H.shape == (n, n)
+    b = min(block, n)
+    # pad to a multiple of both the block and 2^depth (butterfly halving)
+    unit = b * (1 << depth) if (b % (1 << depth)) else b
+    npad = ((n + unit - 1) // unit) * unit
+    if key is None:
+        key = jax.random.PRNGKey(0x5bf)
+    ku, kv = jax.random.split(key)
+    u_diags = _rand_unit_diags(ku, depth, npad, H.dtype)
+    v_diags = _rand_unit_diags(kv, depth, npad, H.dtype)
+
+    if npad != n:
+        M = jnp.zeros((npad, npad), H.dtype)
+        M = M.at[:n, :n].set(H)
+        M = M.at[jnp.arange(n, npad), jnp.arange(n, npad)].set(1.0)
+    else:
+        M = H
+    # A' = Uᴴ A V: butterfly the rows by Uᴴ; columns by V via (Vᵀ Aᵀ)ᵀ
+    M = _butterfly_apply(M, u_diags, transpose=True, conj=True)
+    M = _butterfly_apply(M.T, v_diags, transpose=True, conj=False).T
+
+    perm = jnp.arange(npad, dtype=jnp.int32)
+    eye_b = jnp.eye(b, dtype=H.dtype)
+    for k in range(npad // b):
+        j0 = k * b
+        D = jax.lax.slice(M, (j0, j0), (j0 + b, j0 + b))
+        lu_d, piv = jsla.lu_factor(D)
+        # LAPACK piv (successive row swaps) → local gather index
+        def piv_step(c, idx):
+            p = piv[c]
+            vj, vp = idx[c], idx[p]
+            return idx.at[c].set(vp).at[p].set(vj)
+        lidx = jax.lax.fori_loop(0, b, piv_step,
+                                 jnp.arange(b, dtype=jnp.int32))
+        # block-local row swap of the whole panel row-strip + perm
+        strip = jax.lax.slice(M, (j0, 0), (j0 + b, npad))[lidx]
+        M = jax.lax.dynamic_update_slice(M, strip, (j0, 0))
+        perm = perm.at[j0:j0 + b].set(perm[j0:j0 + b][lidx])
+        M = jax.lax.dynamic_update_slice(M, lu_d, (j0, j0))
+        if j0 + b < npad:
+            L11 = jnp.tril(lu_d, -1) + eye_b
+            U11 = jnp.triu(lu_d)
+            L11_inv = jsla.solve_triangular(L11, eye_b, lower=True,
+                                            unit_diagonal=True)
+            U11_inv = jsla.solve_triangular(U11, eye_b, lower=False)
+            A12 = jax.lax.slice(M, (j0, j0 + b), (j0 + b, npad))
+            A21 = jax.lax.slice(M, (j0 + b, j0), (npad, j0 + b))
+            U12 = jnp.matmul(L11_inv, A12, precision=_HI)
+            L21 = jnp.matmul(A21, U11_inv, precision=_HI)
+            A22 = jax.lax.slice(M, (j0 + b, j0 + b), (npad, npad))
+            A22 = A22 - jnp.matmul(L21, U12, precision=_HI)
+            M = jax.lax.dynamic_update_slice(M, U12, (j0, j0 + b))
+            M = jax.lax.dynamic_update_slice(M, L21, (j0 + b, j0))
+            M = jax.lax.dynamic_update_slice(M, A22, (j0 + b, j0 + b))
+
+    return RBTLU(M, perm, u_diags, v_diags)
+
+
+def solve_rbt_lu(fac: RBTLU, rhs: jax.Array, block: int = 1024) -> jax.Array:
+    """x = V · (LU-solve of Uᴴ rhs) for the butterfly-transformed factors.
+    Handles the identity-extension padding transparently."""
+    npad = fac.lu.shape[0]
+    n = rhs.shape[0]
+    vec = rhs.ndim == 1
+    B = rhs[:, None] if vec else rhs
+    if npad != n:
+        B = jnp.concatenate(
+            [B, jnp.zeros((npad - n,) + B.shape[1:], B.dtype)], axis=0)
+    Bp = _butterfly_apply(B, fac.u_diags, transpose=True, conj=True)
+    Y = solve_lu(BlockedLU(fac.lu, fac.perm), Bp, block=block)
+    X = _butterfly_apply(Y, fac.v_diags, transpose=False, conj=False)
+    X = X[:n]
+    return X[:, 0] if vec else X
+
+
 def solve_lu(fac: BlockedLU, rhs: jax.Array, block: int = 1024) -> jax.Array:
     """x = U⁻¹ L⁻¹ P rhs.  ``rhs``: (N,) or (N, K).  Blocked substitutions:
     only ``block``-sized diagonal tiles hit the slow triangular-solve

@@ -33,6 +33,11 @@ def _solve_any(fac, b):
         return solve_chol(fac, b)
     if isinstance(fac, QRFactors):
         return solve_qr(fac, b)
+    from .blocked_lu import BlockedLU, RBTLU, solve_lu, solve_rbt_lu
+    if isinstance(fac, BlockedLU):
+        return solve_lu(fac, b)
+    if isinstance(fac, RBTLU):
+        return solve_rbt_lu(fac, b)
     return solve_factored(fac, b)
 
 

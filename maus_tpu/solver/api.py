@@ -302,8 +302,14 @@ class MausSolver:
                  initial_num_candidates: Optional[int] = None,
                  global_convergence_tol: float = 1e-8,
                  config: Optional[SolverConfig] = None, seed: int = 0,
-                 knowledge: Optional[ProblemKnowledge] = None):
+                 knowledge: Optional[ProblemKnowledge] = None,
+                 target_solutions: Optional[int] = None):
+        """``target_solutions``: how many distinct solutions to search for
+        (defaults per problem type). Oversubscribing candidates relative to
+        it — the reference runs 30 candidates for 8 eigenpair targets
+        (AMS:654-657) — absorbs shift collisions on dense spectra."""
         problem_type = ProblemType(problem_type)
+        self._target_override = target_solutions
         from ..utils.compile_cache import enable_once
         enable_once()   # bank 20-120 s remote compiles (no-op on CPU;
         #                 opt out with MAUS_NO_COMPILE_CACHE=1)
@@ -347,8 +353,20 @@ class MausSolver:
             eps32 = float(np.finfo(np.float32).eps)
             cond = self.knowledge.cond_estimate
             cond = cond if np.isfinite(cond) else 1e15
-            floor = 0.0 if use_c128 else \
-                float(min(max(50.0, 2.0 * cond) * eps32, 1e-2))
+            if use_c128:
+                floor = 0.0
+            elif problem_type == ProblemType.SOLVE_LINEAR_SYSTEM:
+                floor = float(min(max(50.0, 2.0 * cond) * eps32, 1e-2))
+            else:
+                # eig/SVD: the c64 eigen/triplet residual floor is ~√N·ε·‖A‖
+                # — κ-INDEPENDENT (κ·ε is the floor of linear relative
+                # residuals only). The κ-aware bound loosened the acceptance
+                # to ~1e-2 on ill-conditioned spectra, freezing crude vectors
+                # that the finisher then snapped onto shared eigenpairs (the
+                # collision path _adapt_and_classify's tight acceptance
+                # exists to prevent); matches _spectral_floor (mesh paths).
+                floor = float(min(max(50.0, np.sqrt(max(m, n))) * eps32,
+                                  1e-2))
             config = SolverConfig(problem_type=problem_type,
                                   num_candidates=int(initial_num_candidates),
                                   tol=float(global_convergence_tol),
@@ -373,6 +391,9 @@ class MausSolver:
                     problem_type == ProblemType.SOLVE_LINEAR_SYSTEM
                     and n >= 12288 and jax.default_backend() != "cpu"))
         self.config = config
+        if self._target_override is not None:
+            self.config = config = dataclasses.replace(
+                config, target_num_solutions=int(self._target_override))
         self.target_solutions = min(
             default_target_solutions(config, self.knowledge), config.num_candidates)
 
@@ -1005,7 +1026,8 @@ def eig(A, tol: float = 1e-8, max_iterations: int = 200,
         config: Optional[SolverConfig] = None, mesh=None,
         checkpoint_path: Optional[str] = None,
         resume_from: Optional[str] = None,
-        checkpoint_every: Optional[int] = None) -> SolutionReport:
+        checkpoint_every: Optional[int] = None,
+        target_solutions: Optional[int] = None) -> SolutionReport:
     """Eigenpairs of A.
 
     ``mesh``: optional ``jax.sharding.Mesh`` with a ``model`` axis of size > 1
@@ -1025,7 +1047,8 @@ def eig(A, tol: float = 1e-8, max_iterations: int = 200,
                          checkpoint_every=checkpoint_every)
     s = MausSolver(A, ProblemType.EIGENVALUE,
                    initial_num_candidates=num_candidates,
-                   global_convergence_tol=tol, config=config, seed=seed)
+                   global_convergence_tol=tol, config=config, seed=seed,
+                   target_solutions=target_solutions)
     return s.evolve(max_iterations, checkpoint_path=checkpoint_path,
                     resume_from=resume_from, checkpoint_every=checkpoint_every)
 
@@ -1035,7 +1058,8 @@ def svd(A, tol: float = 1e-6, max_iterations: int = 300,
         config: Optional[SolverConfig] = None, mesh=None,
         checkpoint_path: Optional[str] = None,
         resume_from: Optional[str] = None,
-        checkpoint_every: Optional[int] = None) -> SolutionReport:
+        checkpoint_every: Optional[int] = None,
+        target_solutions: Optional[int] = None) -> SolutionReport:
     """Singular triplets of A.
 
     ``mesh``: optional ``jax.sharding.Mesh`` with a ``model`` axis of size > 1
@@ -1053,7 +1077,8 @@ def svd(A, tol: float = 1e-6, max_iterations: int = 300,
                          checkpoint_every=checkpoint_every)
     s = MausSolver(A, ProblemType.SVD,
                    initial_num_candidates=num_candidates,
-                   global_convergence_tol=tol, config=config, seed=seed)
+                   global_convergence_tol=tol, config=config, seed=seed,
+                   target_solutions=target_solutions)
     return s.evolve(max_iterations, checkpoint_path=checkpoint_path,
                     resume_from=resume_from, checkpoint_every=checkpoint_every)
 

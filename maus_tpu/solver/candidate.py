@@ -32,6 +32,13 @@ from ..ops.batched_solve import (CholFactors, LUFactors, QRFactors,
 from ..ops.gmres import gmres_batched, jacobi_from_diag
 
 
+# Eigen shift locking (step_eigen): a candidate keeps its carried (diverse)
+# shift until its eigenresidual drops below this fraction of the operand's
+# ‖A‖_F/√N scale, then switches to the Rayleigh quotient (RQI). A random unit
+# vector sits at residual ≈ 1·scale; 0.1 ⇔ the iterate is ~90% one eigenvector.
+_SHIFT_LOCK_FRAC = 0.1
+
+
 class StepStats(NamedTuple):
     """Per-iteration step diagnostics consumed by the strategy layer."""
 
@@ -160,8 +167,24 @@ def _adapt_and_classify(cfg: SolverConfig, pop: Population, new_residual: jax.Ar
     # vectors on small-norm operands (resid ≤ 2‖A‖ for ANY unit vector) and
     # is unreachable on large-norm ones (code-review r3; the reference's
     # absolute thresholds are the same bug class as its absolute Ψ base)
-    thresh_eff = jnp.maximum(strat.threshold,
-                             cfg.convergence_floor) * floor_scale
+    if cfg.problem_type == ProblemType.SOLVE_LINEAR_SYSTEM:
+        thresh_eff = jnp.maximum(strat.threshold,
+                                 cfg.convergence_floor) * floor_scale
+    else:
+        # eig/SVD: accept only at the dtype floor, never at the strategy's
+        # loosened dynamic threshold. A loosely-accepted eigen/SVD candidate
+        # FREEZES with an O(threshold) vector error, counts as "distinct" on
+        # the device, and is later snapped by the finisher onto whatever true
+        # eigenpair/triplet is nearest — several crude slots collapse onto one
+        # (measured at 8192²: device count hit 16 at iteration 7 under a
+        # ~1e-2-loose threshold; the honest post-finisher count was 5). The
+        # reference accepts at the dynamic threshold (AMS:318-331) and its
+        # 2/8-forever scenarios are this same failure. Linear keeps the
+        # dynamic acceptance: its candidates track ONE solution and the
+        # refinement stage closes the gap deterministically. The bar is the
+        # user's tol or the dtype floor, whichever is reachable
+        # (convergence_floor is 0.0 on full-precision backends).
+        thresh_eff = jnp.maximum(cfg.tol, cfg.convergence_floor) * floor_scale
     conv = active & (new_residual < thresh_eff) & params_finite & solve_ok
     status = jnp.where(conv, jnp.int8(CandidateStatus.CONVERGED), status)
     weight = jnp.where(conv, jnp.ones_like(weight), weight)
@@ -213,6 +236,11 @@ def step_linear(cfg: SolverConfig, A: jax.Array, b: jax.Array, fac: LUFactors,
             return solve_chol(fac, b)
         if isinstance(fac, QRFactors):
             return solve_qr(fac, b)
+        from ..ops.blocked_lu import BlockedLU, RBTLU, solve_lu, solve_rbt_lu
+        if isinstance(fac, BlockedLU):
+            return solve_lu(fac, b)
+        if isinstance(fac, RBTLU):
+            return solve_rbt_lu(fac, b)
         return solve_factored(fac, b)
 
     def iterative(_):
@@ -302,8 +330,22 @@ def step_eigen(cfg: SolverConfig, A: jax.Array, pop: Population,
 
     Av = pop.v @ A.T                                             # (K, N)
     vv = jnp.sum(jnp.conj(pop.v) * pop.v, axis=-1)
-    lam = jnp.where(jnp.abs(vv) > 1e-12,
-                    jnp.sum(jnp.conj(pop.v) * Av, axis=-1) / vv, pop.lam)
+    rq = jnp.where(jnp.abs(vv) > 1e-12,
+                   jnp.sum(jnp.conj(pop.v) * Av, axis=-1) / vv, pop.lam)
+    # Shift locking: the Rayleigh quotient of a still-random iterate is
+    # ≈ tr(A)/N ± ‖A‖_F/N for EVERY candidate — adopting it immediately
+    # collapses the population's moment-matched shift spread onto the spectral
+    # centroid and the engine only ever finds center-of-spectrum eigenpairs
+    # (measured: 5-7 of 16 distinct at N=4096-8192, all |λ| ≲ 0.1 on a
+    # radius-1 operand). Classic schedule instead: keep the candidate's
+    # CARRIED shift (diverse by construction — init_population moment-matches,
+    # population.manage pushes respawns away from claimed λ's) while the
+    # iterate is unaligned, and switch to RQ — cubically-convergent RQI —
+    # once the eigenresidual shows the vector has locked onto the shift's
+    # nearest eigenpair. The reference re-derives the RQ every step
+    # (AMS:264-268) and exhibits exactly this collapse (SURVEY §0.1).
+    aligned = pop.residual < _SHIFT_LOCK_FRAC * anorm
+    lam = jnp.where(aligned, rq, pop.lam)
 
     def direct(_):
         if hess_cache is not None or dist_solve is not None:
@@ -378,7 +420,13 @@ def step_eigen(cfg: SolverConfig, A: jax.Array, pop: Population,
     phase = jnp.where(jnp.abs(phase) > 1e-12, phase / jnp.abs(phase),
                       jnp.ones_like(phase))
     Wn = Wn * phase[:, None]
-    alpha_c = pop.alpha.astype(cfg.dtype)[:, None]
+    # while the shift is locked (unaligned), take the FULL inverse-iteration
+    # step — damping a fixed-shift power step just slows the linear
+    # convergence down (the reference's α₀=0.01 relaxation is why its eig
+    # scenarios stall, SURVEY §0.1); α-damped mixing resumes with RQI
+    alpha_eff = jnp.where(aligned, pop.alpha.astype(cfg.real_dtype),
+                          jnp.ones((), cfg.real_dtype))
+    alpha_c = alpha_eff.astype(cfg.dtype)[:, None]
     v_new = (1.0 - alpha_c) * pop.v + alpha_c * Wn
     v_new = v_new / jnp.maximum(jnp.linalg.norm(v_new, axis=-1, keepdims=True),
                                 jnp.finfo(cfg.real_dtype).tiny)
@@ -389,11 +437,16 @@ def step_eigen(cfg: SolverConfig, A: jax.Array, pop: Population,
     lam_new = jnp.sum(jnp.conj(v_new) * Av_new, axis=-1)
     resid = jnp.linalg.norm(Av_new - lam_new[:, None] * v_new, axis=-1)
 
+    # carried λ: the locked shift persists until the NEW iterate is aligned
+    # (residual and convergence still use the honest RQ above)
+    aligned_new = resid < _SHIFT_LOCK_FRAC * anorm
+    lam_keep = jnp.where(aligned_new, lam_new, pop.lam)
+
     frozen = (pop.status == CandidateStatus.CONVERGED) | \
              (pop.status == CandidateStatus.RETIRED)
     pop = dataclasses.replace(pop,
                               v=jnp.where(frozen[:, None], pop.v, v_new),
-                              lam=jnp.where(frozen, pop.lam, lam_new))
+                              lam=jnp.where(frozen, pop.lam, lam_keep))
     regress = _regress_frac(cfg, pop, resid.astype(cfg.real_dtype), frozen,
                             floor_scale=anorm.astype(cfg.real_dtype))
     pop = _adapt_and_classify(cfg, pop, resid.astype(cfg.real_dtype), solve_ok, strat,

@@ -26,8 +26,9 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..core.types import (Population, ProblemKnowledge, ProblemType,
-                          SolverConfig, StrategyState, initial_strategy)
+from ..core.types import (CandidateStatus, Population, ProblemKnowledge,
+                          ProblemType, SolverConfig, StrategyState,
+                          initial_strategy)
 from ..ops.batched_solve import (LUFactors, shared_factor_hpd, shared_factor_qr,
                                  solve_chol)
 from ..ops.regularize import psi_magnitude
@@ -226,14 +227,25 @@ def make_iteration(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
                                     solver_pref=solver_pref)
 
         # stagnation tracking for early stop (cfg.stall_limit): progress is
-        # EITHER a better best-residual OR a new distinct solution (multi-
-        # solution searches keep exploring long after the first residual
-        # saturates)
-        cur_min = jnp.min(jnp.where(jnp.isfinite(pop.residual), pop.residual,
-                                    jnp.inf)).astype(jnp.float32)
+        # EITHER a better best ACTIVE residual than LAST iteration's, or a new
+        # distinct solution. Active-only and non-monotone on purpose: once any
+        # candidate converges, the global minimum saturates at the floor and a
+        # monotone tracker goes blind — respawned candidates descending from
+        # residual ≈ 1 toward a missing eigenpair registered no progress and
+        # stall_limit killed multi-solution searches two short of target
+        # (measured 14/16 at N=1024). A respawn wave bumps the active minimum
+        # UP for one non-improved tick; its descent resets the counter.
+        frozen_now = (pop.status == CandidateStatus.CONVERGED) | \
+            (pop.status == CandidateStatus.RETIRED)
+        cur_min = jnp.min(jnp.where(
+            jnp.isfinite(pop.residual) & ~frozen_now, pop.residual,
+            jnp.inf)).astype(jnp.float32)
         improved = (cur_min < carry.best_residual * 0.99) | \
             (strat.num_distinct > carry.strat.num_distinct)
-        best_residual = jnp.minimum(carry.best_residual, cur_min)
+        # carried as PREV active-min; with no active slot this iteration
+        # (everything converged/retired) keep the last finite value
+        best_residual = jnp.where(jnp.isfinite(cur_min), cur_min,
+                                  carry.best_residual)
         stall_count = jnp.where(improved, 0, carry.stall_count + 1)
 
         if cfg.capture_history:

@@ -102,6 +102,75 @@ def test_backward_error_illconditioned():
     assert res < 1e-13, f"backward error {res}"
 
 
+def test_butterfly_is_unitary_and_adjoint_inverts():
+    from maus_tpu.ops.blocked_lu import _butterfly_apply, _rand_unit_diags
+
+    n, depth = 64, 2
+    key = jax.random.PRNGKey(5)
+    diags = _rand_unit_diags(key, depth, n, jnp.complex128)
+    rng = np.random.default_rng(6)
+    X = jnp.asarray(rng.standard_normal((n, 3))
+                    + 1j * rng.standard_normal((n, 3)), jnp.complex128)
+    W = _butterfly_apply(X, diags, transpose=False, conj=False)
+    # norms preserved (unitary)
+    assert np.allclose(np.linalg.norm(np.asarray(W), axis=0),
+                       np.linalg.norm(np.asarray(X), axis=0))
+    # Wᴴ W = I
+    back = _butterfly_apply(W, diags, transpose=True, conj=True)
+    assert np.allclose(np.asarray(back), np.asarray(X), atol=1e-12)
+
+
+@pytest.mark.parametrize("dtype", ["float64", "complex128"])
+@pytest.mark.parametrize("n,block", [(128, 32), (96, 32), (200, 64)])
+def test_rbt_lu_solves_dense_oracle(dtype, n, block):
+    from maus_tpu.ops.blocked_lu import factor_rbt_lu, solve_rbt_lu
+
+    A = _rand(n, dtype, seed=n + 1)
+    rng = np.random.default_rng(2 * n)
+    B = rng.standard_normal((n, 3))
+    if "complex" in dtype:
+        B = B + 1j * rng.standard_normal((n, 3))
+    B = jnp.asarray(B, dtype)
+    fac = factor_rbt_lu(A, block=block)
+    X = solve_rbt_lu(fac, B)
+    res = np.linalg.norm(np.asarray(A) @ np.asarray(X) - np.asarray(B)) / \
+        np.linalg.norm(np.asarray(B))
+    assert res < 1e-11, f"RBT-LU residual {res}"
+    x0 = solve_rbt_lu(fac, B[:, 0])
+    assert np.allclose(np.asarray(x0), np.asarray(X)[:, 0])
+
+
+def test_rbt_lu_zero_pivot_and_illconditioned():
+    from maus_tpu.ops.blocked_lu import factor_rbt_lu, solve_rbt_lu
+
+    # leading zero pivot (kills unpivoted LU without the transform) and
+    # kappa=1e8: backward error must stay eps-grade w.h.p.
+    n = 160
+    A = np.array(_rand(n, "complex128", seed=21, cond=1e8), np.complex128)
+    A[0, 0] = 0.0
+    rng = np.random.default_rng(22)
+    b = jnp.asarray(rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    fac = factor_rbt_lu(jnp.asarray(A), block=32)
+    x = solve_rbt_lu(fac, b)
+    res = np.linalg.norm(A @ np.asarray(x) - np.asarray(b)) / (
+        np.linalg.norm(A) * np.linalg.norm(np.asarray(x)))
+    assert res < 1e-12, f"RBT-LU backward error {res}"
+
+
+def test_rbt_lu_under_jit():
+    from maus_tpu.ops.blocked_lu import factor_rbt_lu, solve_rbt_lu
+
+    n = 128
+    A = _rand(n, "complex128", seed=31)
+    rng = np.random.default_rng(32)
+    b = jnp.asarray(rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    fac = jax.jit(lambda a: factor_rbt_lu(a, block=32))(A)
+    x = jax.jit(solve_rbt_lu)(fac, b)
+    res = np.linalg.norm(np.asarray(A) @ np.asarray(x) - np.asarray(b)) / \
+        np.linalg.norm(np.asarray(b))
+    assert res < 1e-11
+
+
 def test_jit_and_c64():
     n = 128
     A = _rand(n, "complex64", seed=13)
