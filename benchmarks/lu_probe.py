@@ -81,16 +81,17 @@ def main():
         t_rbt = max((_fence_time(jax.jit(rbt_chain), A) - overhead) / R, 1e-9)
 
         # --- solve quality (backward error at the bench κ) ----------------
-        fac_qr = factor_qr(A, with_rinv=False)
-        fac_rbt = factor_rbt_lu(A, block=args.block)
+        # everything under jit: eager complex ops can crash on this backend
+        fac_qr = jax.jit(lambda a: factor_qr(a, with_rinv=False))(A)
+        fac_rbt = jax.jit(lambda a: factor_rbt_lu(a, block=args.block))(A)
 
         @jax.jit
         def rel_resid(x, a, bb):
             r = bb - x @ a.T
             return (jnp.linalg.norm(r) / jnp.linalg.norm(bb)).real
 
-        x_qr = solve_qr(fac_qr, b)
-        x_rbt = solve_rbt_lu(fac_rbt, b)
+        x_qr = jax.jit(solve_qr)(fac_qr, b)
+        x_rbt = jax.jit(solve_rbt_lu)(fac_rbt, b)
         rq = float(rel_resid(x_qr, A, b))
         rl = float(rel_resid(x_rbt, A, b))
 

@@ -59,7 +59,13 @@ class FacPlanes(NamedTuple):
     im: object      # pytree: fac with complex leaves replaced by .imag
 
     def combine(self):
-        return jax.tree.map(jax.lax.complex, self.re, self.im)
+        # non-complex leaves (e.g. BlockedLU/RBTLU's int32 perm) pass through
+        # unchanged: .real of an int/float leaf is the leaf itself, and
+        # lax.complex on it would manufacture a bogus complex permutation
+        return jax.tree.map(
+            lambda r, i: jax.lax.complex(r, i)
+            if jnp.issubdtype(r.dtype, jnp.floating) else r,
+            self.re, self.im)
 
 
 # registered as an ordinary NamedTuple pytree; jit at the call boundary
@@ -67,7 +73,9 @@ class FacPlanes(NamedTuple):
 def fac_to_planes(fac) -> FacPlanes:
     """Split a factorization's complex leaves into plane pairs (one compiled
     program; callers may then ``delete()`` the complex originals to halve the
-    factors' resident footprint before a large refinement program)."""
+    factors' resident footprint before a large refinement program).
+    Non-complex leaves ride along unchanged (``.real``/``.imag`` of a real
+    array are the array / zeros; combine() restores them verbatim)."""
     return FacPlanes(jax.tree.map(lambda z: z.real, fac),
                      jax.tree.map(lambda z: z.imag, fac))
 
@@ -725,8 +733,20 @@ def refine_gmres(A, fac, b, x0: jax.Array, steps: int = 3, tol: float = 0.0,
     A64 = A if isinstance(A, SplitComplex) else SplitComplex.from_complex(A)
     b64 = b if isinstance(b, SplitComplex) else SplitComplex.from_complex(b)
     with jax.default_matmul_precision("highest"):
-        return _refine_gmres_impl(A64, fac, b64, x0, steps, tol, restart,
-                                  gmres_batched)
+        # the impl MUST be jitted with the factors as arguments: executed
+        # eagerly, the lax.while_loop captures fac/A64 as jaxpr CONSTANTS,
+        # whose materialization needs a complex host crossing — UNIMPLEMENTED
+        # on this backend (probed round 4; the path was CPU-only until then)
+        return _refine_gmres_jit(A64, fac, b64, x0, steps, float(tol),
+                                 restart, gmres_batched)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("steps", "tol", "restart",
+                                    "gmres_batched"))
+def _refine_gmres_jit(A64, fac, b64, x0, steps, tol, restart, gmres_batched):
+    return _refine_gmres_impl(A64, fac, b64, x0, steps, tol, restart,
+                              gmres_batched)
 
 
 def _refine_gmres_impl(A64, fac, b64, x0, steps, tol, restart, gmres_batched):

@@ -171,6 +171,27 @@ def test_rbt_lu_under_jit():
     assert res < 1e-11
 
 
+def test_facplanes_roundtrip_keeps_int_perm():
+    # FacPlanes (ops/refine.py) splits complex factor leaves into planes for
+    # large-N refinement; BlockedLU/RBTLU carry an int32 perm that must ride
+    # through combine() unchanged (lax.complex on it would manufacture a
+    # complex permutation)
+    from maus_tpu.ops.blocked_lu import factor_rbt_lu, solve_rbt_lu
+    from maus_tpu.ops.refine import fac_to_planes
+
+    n = 96
+    A = _rand(n, "complex128", seed=41)
+    rng = np.random.default_rng(42)
+    b = jnp.asarray(rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    fac = factor_rbt_lu(A, block=32)
+    fac2 = fac_to_planes(fac).combine()
+    assert fac2.perm.dtype == jnp.int32
+    x = solve_rbt_lu(fac2, b)
+    res = np.linalg.norm(np.asarray(A) @ np.asarray(x) - np.asarray(b)) / \
+        np.linalg.norm(np.asarray(b))
+    assert res < 1e-11
+
+
 def test_jit_and_c64():
     n = 128
     A = _rand(n, "complex64", seed=13)
