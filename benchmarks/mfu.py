@@ -77,6 +77,7 @@ _R_HESS = 512
 _R_MV = 2048
 _R_STREAM = 64
 _R_SLICED = 128
+_R_FUSED = 512
 
 
 def _timeit(fn, *args, overhead: float = 0.0, reps: int = 8) -> float:
@@ -100,6 +101,22 @@ def _measure_overhead():
 
     return _fence_time(jax.jit(lambda x: x + 1.0),
                        jnp.asarray(1.0, jnp.float32))
+
+
+def _git_sha() -> str:
+    """HEAD sha at measurement time — lets artifact staleness vs the library
+    be detected mechanically (VERDICT r4 next-round #1)."""
+    import pathlib
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=pathlib.Path(__file__).resolve().parent.parent,
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
 
 
 # ---------------------------------------------------------------------------
@@ -212,11 +229,17 @@ def _probe_sliced_residual(overhead, n_sr: int = 4096):
             s_a)
 
 
-def _probe_fused_residual(overhead, n_fu: int = 1024):
+def _probe_fused_residual(overhead, n_fu: int = 2048):
     """The in-VMEM fused digit-extraction kernel (ops/pallas/slice_residual)
     at a small tileable shape — accelerator only. gflops uses the kernel's
     LOGICAL work model (the f64 residual it replaces, 8·N² flops) so the
-    number tracks effective residual throughput, not digit-GEMM volume."""
+    number tracks effective residual throughput, not digit-GEMM volume.
+
+    Shape/rep note (round-5 canary fix): the round-4 probe ran N=1024 with
+    R=64 — a ~13 ms loop against a ~34 ms dispatch overhead, violating this
+    module's own "loop total ≥10× overhead" rule, and the resulting 200 µs
+    measurement drifted 26% run-to-run with zero code changes (BENCH_r04
+    canary rc=1). N=2048 × R=512 puts the loop at ~0.4 s, ~12× overhead."""
     import jax
     import jax.numpy as jnp
 
@@ -241,7 +264,7 @@ def _probe_fused_residual(overhead, n_fu: int = 1024):
     tri = jax.jit(split_triple)(A64)
     jax.block_until_ready(tri.sigma)
     f32z = jnp.asarray(0.0, jnp.float32)
-    R = 64
+    R = _R_FUSED
 
     @jax.jit
     def fres(tri_, xr, xi):
@@ -273,7 +296,7 @@ def scorecard(n_gemm: int = 4096, n_qr: int = 4096, k_lu: int = 32,
 
     out = {"device_kind": kind, "peak_bf16_tflops": peak_bf16_tf,
            "hbm_gbs": bw_gbs, "measured_at": time.strftime("%Y-%m-%d"),
-           "kernels": {}}
+           "git_sha": _git_sha(), "kernels": {}}
 
     overhead = _fence_time(jax.jit(lambda x: x + 1.0),
                            jnp.asarray(1.0, jnp.float32))
@@ -398,41 +421,88 @@ def scorecard(n_gemm: int = 4096, n_qr: int = 4096, k_lu: int = 32,
     if fused is not None:
         t, flops, bytes_ = fused
         entry("fused_slice_residual",
-              "N=1024 in-VMEM triple (logical f64-residual flops)",
+              "N=2048 in-VMEM triple (logical f64-residual flops)",
               t, flops, bytes_)
 
     return out
 
 
+def _canary_probe_fns():
+    """One cheap probe per production kernel family, at the EXACT scorecard
+    shapes so measured gflops are directly comparable with the artifact's.
+    Each returns (time_s, flops) or None (kernel unavailable on this
+    backend)."""
+    return {
+        "population_matvec": lambda ov: _probe_matvec(ov)[:2],
+        "hessenberg_shifted_solve": lambda ov: _probe_hess_solve(ov)[:2],
+        "sliced_f64_residual": lambda ov: _probe_sliced_residual(ov)[:2],
+        "fused_slice_residual": lambda ov: (
+            None if (f := _probe_fused_residual(ov)) is None else f[:2]),
+    }
+
+
+def canary_probe(name: str, overhead: float | None = None) -> dict | None:
+    """Re-run a SINGLE canary kernel probe (used by bench.py's retry: a
+    drift failure is re-measured before it flips the exit code — a real
+    regression fails every repeat, a noise spike does not)."""
+    if overhead is None:
+        overhead = _measure_overhead()
+    res = _canary_probe_fns()[name](overhead)
+    if res is None:
+        return None
+    t, flops = res
+    return {"time_s": round(t, 5), "gflops": round(flops / t / 1e9, 1)}
+
+
 def canary_suite() -> dict:
     """Cheap always-live kernel probes — one per production kernel family
     (VERDICT r3 #9): population matvec, Hessenberg shifted solve, exact-
-    slicing f64 residual (all at the EXACT scorecard shapes, so the measured
-    gflops are directly comparable with the committed artifact's), plus the
-    fused in-VMEM digit-extraction kernel at a small tileable shape
-    (accelerator only; no artifact entry yet — reported, not gated, until a
-    live scorecard run records it). Run per bench invocation so a
-    kernel/toolchain regression cannot hide behind the cached scorecard.
+    slicing f64 residual, and the fused in-VMEM digit-extraction kernel
+    (accelerator only). Run per bench invocation so a kernel/toolchain
+    regression cannot hide behind the cached scorecard.
 
-    Returns ``{kernel_name: {"time_s", "gflops"}}``; the 20%-drift comparison
-    against the artifact happens in bench.py."""
+    Returns ``{kernel_name: {"time_s", "gflops"}}``; the drift comparison
+    against the artifact happens in bench.py (per-kernel gates calibrated
+    from the artifact's ``canary_calibration`` spread, see
+    :func:`calibrate_canary`)."""
     overhead = _measure_overhead()
     suite = {}
-    t, flops, _ = _probe_matvec(overhead)
-    suite["population_matvec"] = {"time_s": round(t, 5),
-                                  "gflops": round(flops / t / 1e9, 1)}
-    t, flops, _ = _probe_hess_solve(overhead)
-    suite["hessenberg_shifted_solve"] = {"time_s": round(t, 5),
-                                         "gflops": round(flops / t / 1e9, 1)}
-    t, flops, _, _ = _probe_sliced_residual(overhead)
-    suite["sliced_f64_residual"] = {"time_s": round(t, 5),
-                                    "gflops": round(flops / t / 1e9, 1)}
-    fused = _probe_fused_residual(overhead)
-    if fused is not None:
-        t, flops, _ = fused
-        suite["fused_slice_residual"] = {"time_s": round(t, 5),
-                                         "gflops": round(flops / t / 1e9, 1)}
+    for name, fn in _canary_probe_fns().items():
+        res = fn(overhead)
+        if res is None:
+            continue
+        t, flops = res
+        suite[name] = {"time_s": round(t, 5),
+                       "gflops": round(flops / t / 1e9, 1)}
     return suite
+
+
+def calibrate_canary(runs: int = 3) -> dict:
+    """Measure each canary probe ``runs`` times and record the run-to-run
+    spread — the basis for bench.py's per-kernel drift gates (VERDICT r4
+    next-round #1: 'per-kernel gates calibrated to measured variance').
+    Stored in the artifact as::
+
+        canary_calibration: {kernel: {gflops_runs: [...], median, spread}}
+
+    ``spread`` = (max − min) / median over the runs; bench.py gates at
+    max(0.20, 4·spread) capped at 0.5 against ``median``."""
+    out = {}
+    for name, fn in _canary_probe_fns().items():
+        gfs = []
+        for _ in range(runs):
+            overhead = _measure_overhead()   # fresh overhead per run, like
+            res = fn(overhead)               # a real bench invocation
+            if res is None:
+                break
+            t, flops = res
+            gfs.append(round(flops / t / 1e9, 1))
+        if not gfs:
+            continue
+        med = float(np.median(gfs))
+        out[name] = {"gflops_runs": gfs, "median": round(med, 1),
+                     "spread": round((max(gfs) - min(gfs)) / med, 4)}
+    return out
 
 
 def canary(k_mv: int = 16, n_mv: int = 4096) -> dict:

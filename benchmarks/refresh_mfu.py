@@ -21,9 +21,13 @@ def main():
         print(json.dumps({"metric": "mfu_refresh_skipped",
                           "reason": "cpu backend"}))
         return 0
-    from benchmarks.mfu import scorecard
+    from benchmarks.mfu import calibrate_canary, scorecard
 
     sc = scorecard()
+    # per-kernel run-to-run variance for bench.py's drift gates (VERDICT r4
+    # #1): 3 full canary passes, each with a fresh overhead measurement,
+    # exactly as bench invocations will measure them
+    sc["canary_calibration"] = calibrate_canary(runs=3)
     path = pathlib.Path(__file__).parent / "mfu_v5e.json"
     if path.exists():
         old = json.loads(path.read_text())
@@ -36,6 +40,9 @@ def main():
     path.write_text(json.dumps(sc, indent=1) + "\n")
     print(json.dumps({"metric": "mfu_scorecard_refresh",
                       "measured_at": sc["measured_at"],
+                      "git_sha": sc.get("git_sha"),
+                      "canary_spread": {k: v["spread"] for k, v in
+                                        sc["canary_calibration"].items()},
                       "kernels": sorted(sc["kernels"])}))
     return 0
 
