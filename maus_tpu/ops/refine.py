@@ -56,15 +56,16 @@ class FacPlanes(NamedTuple):
     """
 
     re: object      # pytree: fac with complex leaves replaced by .real
-    im: object      # pytree: fac with complex leaves replaced by .imag
+    im: object      # pytree: .imag for complex leaves, 0-size marker otherwise
 
     def combine(self):
-        # non-complex leaves (e.g. BlockedLU/RBTLU's int32 perm) pass through
-        # unchanged: .real of an int/float leaf is the leaf itself, and
-        # lax.complex on it would manufacture a bogus complex permutation
+        # only leaves that were COMPLEX at split time are recombined;
+        # real-float and int leaves (a real-operand QR's factors, BlockedLU/
+        # RBTLU's int32 perm) ride in `re` verbatim, marked by a zero-size
+        # `im` — a STATIC property under jit, so this branch folds at trace
+        # time and the markers cost nothing to pass
         return jax.tree.map(
-            lambda r, i: jax.lax.complex(r, i)
-            if jnp.issubdtype(r.dtype, jnp.floating) else r,
+            lambda r, i: jax.lax.complex(r, i) if i.size else r,
             self.re, self.im)
 
 
@@ -74,10 +75,17 @@ def fac_to_planes(fac) -> FacPlanes:
     """Split a factorization's complex leaves into plane pairs (one compiled
     program; callers may then ``delete()`` the complex originals to halve the
     factors' resident footprint before a large refinement program).
-    Non-complex leaves ride along unchanged (``.real``/``.imag`` of a real
-    array are the array / zeros; combine() restores them verbatim)."""
-    return FacPlanes(jax.tree.map(lambda z: z.real, fac),
-                     jax.tree.map(lambda z: z.imag, fac))
+    Non-complex leaves (real floats, int perms) ride along in ``re``
+    unchanged — dtype preserved — with a zero-size ``im`` marker;
+    ``combine()`` restores them verbatim."""
+    def _re(z):
+        return z.real if jnp.issubdtype(z.dtype, jnp.complexfloating) else z
+
+    def _im(z):
+        return (z.imag if jnp.issubdtype(z.dtype, jnp.complexfloating)
+                else jnp.zeros((0,), jnp.float32))
+
+    return FacPlanes(jax.tree.map(_re, fac), jax.tree.map(_im, fac))
 
 
 def _combine_fac(fac):
