@@ -268,6 +268,31 @@ def _host_refactor_program(A, psi, hpd: bool):
     return _host_refactor_hpd(A, psi) if hpd else _host_refactor_qr(A, psi)
 
 
+def _fac_all_finite(fac) -> bool:
+    """True iff every array leaf of a factorization pytree is finite.
+
+    A declared-HPD operand with an indefinite defect leaves NaN Cholesky
+    factors in the evolve carry whenever the run's final Ψ rung decayed back
+    below |λ_min| (the engine itself survives via the direct→GMRES failover,
+    so frustration can read 0.0 at exit) — those factors must never seed the
+    refinement cache. One jitted device reduction; bytes-bound, so cheap even
+    for multi-GB factors."""
+    leaves = [l for l in jax.tree.leaves(fac) if hasattr(l, "dtype")]
+    if not leaves:
+        return True
+
+    @jax.jit
+    def _prog(ls):
+        ok = jnp.asarray(True)
+        for l in ls:
+            if jnp.issubdtype(l.dtype, jnp.floating) or \
+                    jnp.issubdtype(l.dtype, jnp.complexfloating):
+                ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(l)))
+        return ok
+
+    return bool(_prog(leaves))
+
+
 def resolve_refactor_carry(A, carry, hpd: bool = False):
     """ONE implementation of the host-refactor handoff protocol, shared by
     ``MausSolver`` and the bench/probe drivers: when the evolve loop exited
@@ -553,7 +578,14 @@ class MausSolver:
             cond_k = float(cond_k) if np.isfinite(cond_k) else 1e15
             aggr_cap = max(1.5, 1e-3 / (cfg.psi_base * cond_k))
             if float(carry.strat.frustration) == 0.0 and \
-                    float(carry.strat.psi_aggression) <= aggr_cap:
+                    float(carry.strat.psi_aggression) <= aggr_cap and \
+                    _fac_all_finite(carry.fac):
+                # the finiteness gate matters for declared-HPD operands with
+                # an indefinite defect: the carried Cholesky is NaN whenever
+                # the final Ψ rung sits below |λ_min|, and a NaN preconditioner
+                # makes IR and GMRES-IR silently return inf (found by
+                # benchmarks/handoff_probe.py); refinement then falls back to
+                # a fresh psi_base QR at line's _refine_linear site
                 self._fac_cache = carry.fac
 
         pop, strat = carry.pop, carry.strat

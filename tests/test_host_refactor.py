@@ -124,3 +124,89 @@ def test_auto_enable_policy():
     s = api_mod.MausSolver(A, ProblemType.SOLVE_LINEAR_SYSTEM, b_vector=b,
                            seed=0)
     assert s.config.host_refactor is False
+
+
+def _indefinite_declared_hpd(n=128, cond=1e6, seed=0):
+    """Hermitian operand with exactly one negative eigenvalue (-1/cond) that
+    the HOST wrongly declares positive definite — the production trigger for
+    Ψ-ladder escalation: the shared Cholesky of A + ΨI is NaN until Ψ exceeds
+    |λ_min| (the reference escalates on LinAlgError the same way, AMS:44)."""
+    rng = np.random.default_rng(seed)
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n))
+                        + 1j * rng.standard_normal((n, n)))
+    s = np.logspace(0, -np.log10(cond), n)
+    s[-1] = -1.0 / cond
+    A = (Q * s) @ Q.conj().T
+    A = (A + A.conj().T) / 2
+    xt = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    xt /= np.linalg.norm(xt)
+    return A, A @ xt
+
+
+def test_fac_all_finite_gate():
+    """The seeding gate itself: finite pytrees pass, any NaN leaf fails,
+    int leaves are ignored."""
+    from maus_tpu.ops.batched_solve import QRFactors
+    good = QRFactors(jnp.ones((4, 4), jnp.complex64),
+                     jnp.eye(4, dtype=jnp.complex64))
+    assert api_mod._fac_all_finite(good)
+    bad = QRFactors(jnp.ones((4, 4), jnp.complex64)
+                    * jnp.asarray(jnp.nan, jnp.complex64),
+                    jnp.eye(4, dtype=jnp.complex64))
+    assert not api_mod._fac_all_finite(bad)
+    assert api_mod._fac_all_finite((jnp.arange(3),))  # ints: vacuously finite
+
+
+def test_nan_cholesky_carry_never_seeds_refinement():
+    """Declared-HPD operand with an indefinite defect (found by
+    benchmarks/handoff_probe.py): the evolve carry can exit with frustration
+    decayed to 0 while holding NaN Cholesky factors — seeding those into
+    _fac_cache made IR/GMRES-IR silently return inf. The gate must reject
+    them, refinement must fall back to a fresh QR, and (the user-visible
+    contract) the refined residual must meet tol; host handoffs must have
+    fired along the way."""
+    A, b = _indefinite_declared_hpd()
+    eps = float(np.finfo(np.float32).eps)
+    cond = 1e6
+    kn = ProblemKnowledge(shape=A.shape, cond_estimate=cond,
+                          is_hermitian=True, is_positive_definite=True)
+    cfg = SolverConfig(problem_type=ProblemType.SOLVE_LINEAR_SYSTEM,
+                       num_candidates=8, tol=1e-8, dtype=jnp.complex64,
+                       psi_base=1e-12,
+                       convergence_floor=max(50 * eps, 2 * eps * cond),
+                       refine=True, max_refine_steps=60, host_refactor=True)
+
+    handoffs = []
+    rejected = []
+    orig_resolve = api_mod.resolve_refactor_carry
+    orig_gate = api_mod._fac_all_finite
+
+    def counting(Aop, carry, hpd=False):
+        out = orig_resolve(Aop, carry, hpd=hpd)
+        if out is not None:
+            handoffs.append(float(carry.refactor_psi))
+        return out
+
+    def gate_spy(fac):
+        ok = orig_gate(fac)
+        rejected.append(not ok)
+        return ok
+
+    api_mod.resolve_refactor_carry = counting
+    api_mod._fac_all_finite = gate_spy
+    try:
+        s = api_mod.MausSolver(A, ProblemType.SOLVE_LINEAR_SYSTEM,
+                               b_vector=b, config=cfg, knowledge=kn, seed=1)
+        rep = s.evolve(max_iterations=80)
+    finally:
+        api_mod.resolve_refactor_carry = orig_resolve
+        api_mod._fac_all_finite = orig_gate
+
+    assert len(handoffs) >= 1          # the Ψ ladder actually fired on-host
+    assert rep.residuals, "no solution returned"
+    assert rep.residuals[0] <= cfg.tol
+    # the carry's Cholesky was NaN and must have been rejected by the gate
+    assert any(rejected)
+    # refinement's cache, if populated, holds the fallback QR — finite
+    if s._fac_cache is not None:
+        assert api_mod._fac_all_finite(s._fac_cache)
