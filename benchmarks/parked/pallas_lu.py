@@ -139,3 +139,32 @@ def lu_factor_batched(A: jax.Array, *, interpret: bool = False):
     )(ar, ai)
     lu = jax.lax.complex(outr, outi).astype(A.dtype)
     return lu, piv[:, 0, :]
+
+
+if __name__ == "__main__":
+    # this environment pre-registers a TPU backend; the self-check must
+    # run on CPU (env vars are read too early — post-import config only)
+    jax.config.update("jax_platforms", "cpu")
+    # self-check (interpret mode, CPU-safe): scipy lu_solve contract + a
+    # pivot-requiring zero leading diagonal
+    import numpy as np
+    import jax.scipy.linalg as jsla
+
+    rng = np.random.default_rng(0)
+    K, n = 3, 16
+    A = (rng.standard_normal((K, n, n)) + 1j * rng.standard_normal((K, n, n))
+         ).astype(np.complex64) + 2 * np.eye(n, dtype=np.complex64)
+    lu, piv = lu_factor_batched(jnp.asarray(A), interpret=True)
+    b = (rng.standard_normal((K, n)) + 1j * rng.standard_normal((K, n))
+         ).astype(np.complex64)
+    x = jax.vmap(lambda l, p, bb: jsla.lu_solve((l, p), bb))(
+        lu, piv, jnp.asarray(b))
+    for k in range(K):
+        r = np.linalg.norm(A[k] @ np.asarray(x[k]) - b[k]) / np.linalg.norm(b[k])
+        assert r < 5e-5, r
+    A0 = np.array([[[0.0, 1.0], [1.0, 0.0]]], np.complex64)
+    lu, piv = lu_factor_batched(jnp.asarray(A0), interpret=True)
+    x = jax.vmap(lambda l, p, bb: jsla.lu_solve((l, p), bb))(
+        lu, piv, jnp.asarray(np.array([[1.0, 2.0]], np.complex64)))
+    np.testing.assert_allclose(np.asarray(x[0]), [2.0, 1.0], atol=1e-6)
+    print("pallas_lu self-check: ok")

@@ -1,6 +1,6 @@
 """Panel-blocked Pallas batched LU with partial pivoting (split-plane complex).
 
-The unblocked kernel (ops/pallas/lu.py) is numerically right but VPU-bound:
+The unblocked kernel (benchmarks/parked/pallas_lu.py) is numerically right but VPU-bound:
 Mosaic forbids *unaligned* dynamic column access, so every column step paid
 O(n²) masked passes. Probing shows what IS legal on this hardware: dynamic
 single-row reads/writes, dynamic 8-aligned row blocks, and **128-aligned dynamic
@@ -204,3 +204,34 @@ def lu_factor_batched_blocked(A: jax.Array, *, interpret: bool = False):
     )(ar, ai)
     lu = jax.lax.complex(outr, outi).astype(A.dtype)
     return lu, piv[:, 0, :]
+
+
+if __name__ == "__main__":
+    # this environment pre-registers a TPU backend; the self-check must
+    # run on CPU (env vars are read too early — post-import config only)
+    jax.config.update("jax_platforms", "cpu")
+    # self-check (interpret mode, CPU-safe): solve-oracle residuals + the
+    # 128-alignment rejection contract
+    import numpy as np
+    import jax.scipy.linalg as jsla
+
+    rng = np.random.default_rng(3)
+    K, n = 2, 256
+    A = (rng.standard_normal((K, n, n)) + 1j * rng.standard_normal((K, n, n))
+         ).astype(np.complex64) + 4 * np.eye(n, dtype=np.complex64)
+    lu, piv = lu_factor_batched_blocked(jnp.asarray(A), interpret=True)
+    b = (rng.standard_normal((K, n)) + 1j * rng.standard_normal((K, n))
+         ).astype(np.complex64)
+    x = jax.vmap(lambda l, p, bb: jsla.lu_solve((l, p), bb))(
+        lu, piv, jnp.asarray(b))
+    for k in range(K):
+        r = np.linalg.norm(A[k] @ np.asarray(x[k]) - b[k]) / np.linalg.norm(b[k])
+        assert r < 1e-4, r
+    try:
+        lu_factor_batched_blocked(jnp.zeros((1, 100, 100), jnp.complex64),
+                                  interpret=True)
+    except ValueError as e:
+        assert "128" in str(e)
+    else:
+        raise AssertionError("unaligned shape not rejected")
+    print("pallas_lu_blocked self-check: ok")

@@ -71,28 +71,39 @@ def _svd_operand(m, n, seed=1, top=16):
 
     s_head = 0.8 ** np.arange(top)                    # 1.0 … 0.035
     s_tail = np.logspace(-2.0, -4.0, n - top)
-    s = jnp.asarray(np.concatenate([s_head, s_tail]),
-                    jnp.float32).astype(jnp.complex64)
+    # σ enters the jit as a REAL f32 argument and complexifies on device: an
+    # eager complex64 constant closed over by the jit would be materialized
+    # through the host boundary at lowering time, which this backend cannot
+    # do (UNIMPLEMENTED) — the same rule as every other complex transfer
+    s_f32 = jnp.asarray(np.concatenate([s_head, s_tail]), jnp.float32)
 
     @jax.jit
-    def make():
+    def make(s_real):
         u = haar(k1, k2, m)[:, :n]
         v = haar(k3, k4, n)
-        return (u * s[None, :]) @ v.conj().T
+        return (u * s_real.astype(jnp.complex64)[None, :]) @ v.conj().T
 
-    return jax.block_until_ready(make())
+    return jax.block_until_ready(make(s_f32))
 
 
-def _row(fn, metric):
+def _row(fn, metric, tol):
     fn()                                       # compile + warm
     t0 = time.perf_counter()
     rep = fn()
     dt = time.perf_counter() - t0
+    # oversubscribed runs return MORE distinct solutions than the target; the
+    # contract is "target distinct pairs at tol", so report both the overall
+    # worst residual AND the worst within the best-`target` subset (plus how
+    # many of the returned pairs individually meet tol)
+    rs = sorted(rep.residuals)
     out = {"metric": metric, "time_s": round(dt, 3),
            "num_distinct": rep.num_distinct,
            "target": rep.target_solutions,
+           "n_at_tol": sum(1 for r in rs if r <= tol),
            "iterations": rep.iterations,
-           "max_resid": max(rep.residuals) if rep.residuals else None,
+           "max_resid": rs[-1] if rs else None,
+           "resid_top_target": rs[min(rep.target_solutions, len(rs)) - 1]
+           if rs else None,
            "hbm_peak_gb": _hbm_peak_gb()}
     print(json.dumps(out), flush=True)
     return out
@@ -129,7 +140,7 @@ def main():
             _row(lambda A=A: maus_tpu.eig(
                 A, tol=args.tol, max_iterations=args.iters,
                 num_candidates=2 * args.cands, target_solutions=args.cands),
-                f"eig N={n} {kind}")
+                f"eig N={n} {kind}", args.tol)
             del A
 
     m, n = (int(x) for x in args.svd_shape.split("x"))
@@ -138,7 +149,7 @@ def main():
                               max_iterations=args.iters,
                               num_candidates=2 * args.cands,
                               target_solutions=args.cands),
-         f"svd {m}x{n}")
+         f"svd {m}x{n}", max(args.tol, 1e-6))
     return 0
 
 

@@ -39,7 +39,8 @@ def factor(H: jax.Array) -> LUFactors:
     """LU-factorize a (possibly batched) square matrix.
 
     On TPU this lowers to XLA's blocked LU; the Pallas kernel in
-    :mod:`maus_tpu.ops.pallas.lu` can be swapped in here once it wins.
+    the parked from-scratch kernel (benchmarks/parked/pallas_lu.py) can be
+    swapped in here once it wins.
     """
     if H.ndim == 2:
         lu, piv = jsla.lu_factor(H)

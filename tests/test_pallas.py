@@ -31,53 +31,11 @@ def test_cgemm_bad_shapes():
         cgemm(a, b, interpret=True)
 
 
-class TestPallasLU:
-    def test_lu_matches_scipy_contract(self):
-        import jax.scipy.linalg as jsla
-        from maus_tpu.ops.pallas.lu import lu_factor_batched
-        rng = np.random.default_rng(0)
-        K, n = 3, 16
-        A = _rand_c64(rng, K, n, n) + 2 * np.eye(n, dtype=np.complex64)
-        lu, piv = lu_factor_batched(jnp.asarray(A), interpret=True)
-        b = _rand_c64(rng, K, n)
-        x = jax.vmap(lambda l, p, bb: jsla.lu_solve((l, p), bb))(
-            lu, piv, jnp.asarray(b))
-        for k in range(K):
-            resid = np.linalg.norm(A[k] @ np.asarray(x[k]) - b[k]) \
-                / np.linalg.norm(b[k])
-            assert resid < 5e-5, resid
-
-    def test_lu_pivoting_handles_zero_leading_diagonal(self):
-        import jax.scipy.linalg as jsla
-        from maus_tpu.ops.pallas.lu import lu_factor_batched
-        A = np.array([[[0.0, 1.0], [1.0, 0.0]]], np.complex64)  # needs pivoting
-        lu, piv = lu_factor_batched(jnp.asarray(A), interpret=True)
-        b = jnp.asarray(np.array([[1.0, 2.0]], np.complex64))
-        x = jax.vmap(lambda l, p, bb: jsla.lu_solve((l, p), bb))(lu, piv, b)
-        np.testing.assert_allclose(np.asarray(x[0]), [2.0, 1.0], atol=1e-6)
-
-
-class TestPallasBlockedLU:
-    def test_blocked_lu_matches_solve_oracle(self):
-        import jax.scipy.linalg as jsla
-        from maus_tpu.ops.pallas.lu_blocked import lu_factor_batched_blocked
-        rng = np.random.default_rng(3)
-        K, n = 2, 256
-        A = _rand_c64(rng, K, n, n) + 4 * np.eye(n, dtype=np.complex64)
-        lu, piv = lu_factor_batched_blocked(jnp.asarray(A), interpret=True)
-        b = _rand_c64(rng, K, n)
-        x = jax.vmap(lambda l, p, bb: jsla.lu_solve((l, p), bb))(
-            lu, piv, jnp.asarray(b))
-        for k in range(K):
-            resid = np.linalg.norm(A[k] @ np.asarray(x[k]) - b[k]) \
-                / np.linalg.norm(b[k])
-            assert resid < 1e-4, resid
-
-    def test_blocked_lu_rejects_unaligned(self):
-        from maus_tpu.ops.pallas.lu_blocked import lu_factor_batched_blocked
-        with pytest.raises(ValueError, match="128"):
-            lu_factor_batched_blocked(jnp.zeros((1, 100, 100), jnp.complex64),
-                                      interpret=True)
+# The two from-scratch Pallas batched-LU kernels (unblocked + panel-blocked)
+# were measured losing to XLA's batched LU at production shapes and live as
+# runnable evidence in benchmarks/parked/ (each carries a __main__ self-check
+# in interpret mode); their production role is covered by the XLA LU path
+# tested throughout this suite.
 
 
 class TestPallasHessSolve:
