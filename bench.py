@@ -151,14 +151,16 @@ def main():
 
     import functools
 
-    # MAUS_BENCH_C64EXACT=1: refine through the hi-only-triple path
-    # (refine_split_c64exact) instead of the widened-plane ladder. The bench
-    # operand is c64-exact, so both certify the same residual; the hi-only
-    # path skips the one-time ladder extraction (~24 ms at 4096²) at the cost
-    # of per-cert VPU digit re-extraction. A/B-able on hardware via
-    # benchmarks/run_hw_suite.sh; flip the default if it wins.
+    # Refinement path A/B, decided on hardware: the hi-only-triple path
+    # (refine_split_c64exact) beat the widened-plane ladder at the headline
+    # config in BOTH on-chip A/Bs (r4: 0.103 vs 0.107 s; r5 re-confirmed the
+    # ladder at 0.1072 s) — it skips the per-solve ladder extraction (~4 ms
+    # at 4096²) at the cost of per-cert VPU digit re-extraction, and the
+    # bench operand is c64-exact so both certify the same residual. The
+    # hi-only path is therefore the DEFAULT; MAUS_BENCH_LADDER=1 restores
+    # the widened-plane ladder for re-A/Bing.
     import os as _os
-    c64exact_mode = _os.environ.get("MAUS_BENCH_C64EXACT") == "1"
+    c64exact_mode = _os.environ.get("MAUS_BENCH_LADDER") != "1"
 
     if not host_mode:
         from maus_tpu.ops.refine import refine_split_c64exact
