@@ -217,6 +217,18 @@ def _pallas_dispatch_ok(K: int, N: int, dtype) -> bool:
     return K % _kc_for(N) == 0
 
 
+# The scan-based sweep materializes the evolving (K, N, N) triangularization
+# as a double-buffered loop carry — 2·K·N²·itemsize bytes of HLO temps. At
+# the probe's 4096²/K=32 eig config that is 8.6 GiB and the full evolve
+# program fits (measured); at 8192²/K=32 it is 34 GiB and the compile dies
+# RESOURCE_EXHAUSTED (driver-captured, benchmarks/results/r5/spectral.log:
+# two 8.00G allocations at hessenberg.py's shifted add). Past the cap the
+# sweep runs candidate-chunked under lax.map: identical flops, K/KC× the
+# scan-launch latency, temps bounded by the chunk budget.
+_HESS_SOLVE_TEMP_CAP = 9 << 30     # single-batch allowed up to here (probed)
+_HESS_SOLVE_CHUNK_BUDGET = 4 << 30  # per-chunk temp bytes once chunked
+
+
 @functools.partial(jax.jit)
 def solve_shifted_hessenberg(H: jax.Array, lams: jax.Array, B: jax.Array,
                              psi: jax.Array | None = None) -> jax.Array:
@@ -229,6 +241,7 @@ def solve_shifted_hessenberg(H: jax.Array, lams: jax.Array, B: jax.Array,
 
     On TPU at supported shapes the whole sweep runs as ONE Pallas kernel
     (:mod:`maus_tpu.ops.pallas.hess_solve`) instead of a ~2N-step scan.
+    Large (K, N) batches run candidate-chunked (see _HESS_SOLVE_TEMP_CAP).
     """
     K, N = B.shape
     if _pallas_dispatch_ok(K, N, B.dtype):
@@ -237,6 +250,31 @@ def solve_shifted_hessenberg(H: jax.Array, lams: jax.Array, B: jax.Array,
         if psi is not None:
             shift = shift + psi.astype(B.dtype)
         return hess_solve_batched_pallas(H, shift, B)
+    percand = 2 * N * N * jnp.dtype(B.dtype).itemsize
+    if K * percand > _HESS_SOLVE_TEMP_CAP:
+        kc = max(1, int(_HESS_SOLVE_CHUNK_BUDGET // percand))
+        g = -(-K // kc)
+        pad = g * kc - K
+        lams_p = jnp.concatenate([lams, jnp.broadcast_to(lams[-1:], (pad,))])
+        B_p = jnp.concatenate([B, jnp.broadcast_to(B[-1:], (pad, N))])
+        if psi is not None:
+            psi_p = jnp.concatenate([psi,
+                                     jnp.broadcast_to(psi[-1:], (pad,))])
+            out = jax.lax.map(
+                lambda t: _hess_solve_scan(H, t[0], t[1], t[2]),
+                (lams_p.reshape(g, kc), B_p.reshape(g, kc, N),
+                 psi_p.reshape(g, kc)))
+        else:
+            out = jax.lax.map(
+                lambda t: _hess_solve_scan(H, t[0], t[1], None),
+                (lams_p.reshape(g, kc), B_p.reshape(g, kc, N)))
+        return out.reshape(g * kc, N)[:K]
+    return _hess_solve_scan(H, lams, B, psi)
+
+
+def _hess_solve_scan(H: jax.Array, lams: jax.Array, B: jax.Array,
+                     psi: jax.Array | None = None) -> jax.Array:
+    K, N = B.shape
     dtype = B.dtype
     rdt = jnp.finfo(dtype).dtype
     cols = jnp.arange(N)

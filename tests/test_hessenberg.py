@@ -125,3 +125,32 @@ class TestBlockedReduction:
             rel = np.linalg.norm(Q @ H @ Q.conj().T - A) / np.linalg.norm(A)
             assert rel < 1e-12
             assert np.abs(np.tril(H, -2)).max() == 0.0
+
+
+class TestCandidateChunking:
+    def test_chunked_matches_single_batch(self, monkeypatch):
+        """Past _HESS_SOLVE_TEMP_CAP the sweep runs candidate-chunked under
+        lax.map (the single-batch scan carries 2·K·N² of temps — 34 GiB at
+        the 8192²/K=32 eig config, a driver-captured compile OOM). The
+        chunked result must be BIT-identical: same scan body, same order,
+        only the batching changes. Covers uneven K (pad duplicates the last
+        candidate, then slices off) and the psi operand."""
+        import maus_tpu.ops.hessenberg as hz
+        rng = np.random.default_rng(5)
+        n, K = 48, 7
+        A = (rng.standard_normal((n, n))
+             + 1j * rng.standard_normal((n, n))).astype(np.complex64)
+        cache = hz.reduce_hessenberg(jnp.asarray(A))
+        lams = jnp.asarray((rng.standard_normal(K)
+                            + 1j * rng.standard_normal(K)).astype(np.complex64))
+        B = jnp.asarray((rng.standard_normal((K, n))
+                         + 1j * rng.standard_normal((K, n))).astype(np.complex64))
+        psi = jnp.asarray(np.full(K, 1e-4, np.float32))
+        x_ref = np.asarray(solve_shifted_via_hessenberg(cache, lams, B, psi))
+        monkeypatch.setattr(hz, "_HESS_SOLVE_TEMP_CAP", 1)
+        monkeypatch.setattr(hz, "_HESS_SOLVE_CHUNK_BUDGET",
+                            3 * 2 * n * n * 8)          # kc=3: 7 pads to 9
+        hz.solve_shifted_hessenberg._clear_cache()
+        x_chunk = np.asarray(solve_shifted_via_hessenberg(cache, lams, B, psi))
+        hz.solve_shifted_hessenberg._clear_cache()
+        np.testing.assert_array_equal(x_ref, x_chunk)
