@@ -62,9 +62,8 @@ def row_stage3_throughput(n_cands: int):
     kern = jnp.asarray(np.asarray(c.base_kernel, np.float32))
 
     def run():
-        final, ok = diffusion.run_diffusion_population(
+        fit = diffusion.population_fitness(
             tapes, c.diffusion_n, c.diffusion_t, kern)
-        fit = diffusion.spread_fitness(final, ok)
         return jax.block_until_ready(fit)
 
     fit = run()                              # compile + warm

@@ -98,6 +98,21 @@ def run_diffusion_population(tapes: dict, n: int, t: int,
     return state, ok
 
 
+@partial(jax.jit, static_argnames=("n", "t"))
+def population_fitness(tapes: dict, n: int, t: int,
+                       base_kernel: jax.Array) -> jax.Array:
+    """Diffusion sim + spread fitness as ONE device program.
+
+    The engine's stage-III hot path: composing the two calls eagerly costs a
+    separate program dispatch for the sim plus ~10 eager-op round-trips for
+    the fitness reduction — on the remote TPU backend each is a ~30 ms RPC,
+    and every distinct population size is a fresh 20-120 s compile. Callers
+    pad the population axis to a fixed bucket (age/engine.stage_III_test) so
+    the reference workload compiles exactly once."""
+    final, ok = run_diffusion_population(tapes, n, t, base_kernel)
+    return spread_fitness(final, ok)
+
+
 def spread_fitness(final_state: jax.Array, ok: jax.Array) -> jax.Array:
     """Normalized spatial std-dev of the final concentration (K:122-152):
     0 for failed/died-out members, else clamp(std/(N/2.5), 0, 1)."""

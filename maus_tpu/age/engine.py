@@ -146,10 +146,22 @@ class GenesisEngine:
         if fitness is None:
             tapes = stack_tapes([compile_tree(g.tree, c.variables)
                                  for g in candidates])
+            # Pad the population axis to a 32-wide bucket: the weave's
+            # candidate count varies per cycle, and on the remote TPU backend
+            # every distinct batch shape is a fresh 20-120 s compile — the
+            # un-bucketed reference workload (5 cycles x ~10-25 candidates)
+            # measured 1194 s on chip, ~all of it recompiles
+            # (benchmarks/results/r5/age.log). One bucket shape -> one
+            # compile; padded rows repeat the last tape and are sliced off.
+            P = len(candidates)
+            Pb = -(-P // 32) * 32
+            if Pb > P:
+                tapes = {k: np.concatenate(
+                    [v, np.repeat(v[-1:], Pb - P, axis=0)]) for k, v in
+                    tapes.items()}
             tapes = {k: jnp.asarray(v) for k, v in tapes.items()}
-            final, ok = diffusion.run_diffusion_population(
-                tapes, c.diffusion_n, c.diffusion_t, self._base_kernel)
-            fitness = np.asarray(diffusion.spread_fitness(final, ok))
+            fitness = np.asarray(diffusion.population_fitness(
+                tapes, c.diffusion_n, c.diffusion_t, self._base_kernel))[:P]
         else:
             fitness = np.asarray(fitness)
 
