@@ -81,8 +81,18 @@ _R_FUSED = 512
 
 
 def _timeit(fn, *args, overhead: float = 0.0, reps: int = 8) -> float:
-    """Per-iteration kernel time from a reps-times-looped program."""
+    """Per-iteration kernel time from a reps-times-looped program.
+
+    Every probe sizes its loop ≥10× the dispatch overhead, so
+    ``elapsed − overhead ≤ 0`` means the CALLER'S overhead sample was a
+    backend stall (a tunnel hiccup during the trivial-program fence), not a
+    fast kernel — re-measure both rather than return the 1e-9 clamp (one
+    such clamped run put a 2^27-gflops outlier into the round-5 canary
+    calibration and blew the hessenberg gate's spread to 1.9e5)."""
     t = _fence_time(fn, *args)
+    if t - overhead <= 0:
+        overhead = _measure_overhead()
+        t = _fence_time(fn, *args)
     return max((t - overhead) / reps, 1e-9)
 
 

@@ -141,6 +141,79 @@ def _from_c(z: jax.Array, rdt) -> SplitComplex:
 # Eigenpair refinement
 # ---------------------------------------------------------------------------
 
+def _bordered_newton(smv, solve, V: SplitComplex, lam_init: SplitComplex,
+                     steps: int, cdtype):
+    """``steps`` bordered-Newton iterations, returning the per-candidate BEST
+    observed state (by f64 residual), not the last iterate.
+
+    ``solve(B: (K, N) cdtype) -> (K, N)`` applies the per-candidate shifted
+    inverses (a direct factorization solve against H_k = A − (λ_k − ψ_k)I).
+    Returns ``(V, lam, resid)``.
+
+    The iterate ADVANCES through a finite-but-worse step: an earlier version
+    rejected such steps in place, which makes any one-step rise an absorbing
+    state at a fixed factorization (the rejected step recomputes identically
+    forever — measured on the N=4096 Ginibre stragglers, whose first step
+    from the stuck state rises 6.06e-5 → 6.93e-5 and then falls 3.3e-6 →
+    8.7e-8 → 2e-9 → 4e-11 if allowed to proceed). Only a non-finite step
+    (true blow-up on defective/near-singular shifts) keeps the old iterate;
+    best-keeping guarantees the RETURNED state never regresses either way."""
+    rdt = V.re.dtype
+    K = V.re.shape[0]
+
+    def rayleigh_resid(V):
+        W = smv(V)                                # A v (f64)
+        lam = _sdiv(_sdot(V, W), _sdot(V, V))     # f64 Rayleigh
+        r = SplitComplex(W.re - (lam.re[:, None] * V.re
+                                 - lam.im[:, None] * V.im),
+                         W.im - (lam.re[:, None] * V.im
+                                 + lam.im[:, None] * V.re))
+        return lam, r, _snorm(r)
+
+    def body(_, carry):
+        V, bV, blam, brn = carry
+        lam_new, r, rn = rayleigh_resid(V)
+        # fold the CURRENT state into best-so-far (covers the incoming state
+        # on the first iteration and the final advanced state implicitly —
+        # each iterate is scored before the next step is taken)
+        cur_better = jnp.isfinite(rn) & (rn < brn)
+        bV = SplitComplex(jnp.where(cur_better[:, None], V.re, bV.re),
+                          jnp.where(cur_better[:, None], V.im, bV.im))
+        blam = SplitComplex(jnp.where(cur_better, lam_new.re, blam.re),
+                            jnp.where(cur_better, lam_new.im, blam.im))
+        brn = jnp.where(cur_better, rn, brn)
+        u1 = solve(_to_c(V, cdtype))              # H⁻¹ v
+        u2 = solve(_to_c(r, cdtype))              # H⁻¹ r
+        num = jnp.sum(jnp.conj(_to_c(V, cdtype)) * u2, axis=-1)
+        den = jnp.sum(jnp.conj(_to_c(V, cdtype)) * u1, axis=-1)
+        den = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
+        dlam = num / den
+        dv = dlam[:, None] * u1 - u2              # δλ H⁻¹v − H⁻¹r
+        dv64 = _from_c(dv, rdt)
+        V_new = SplitComplex(V.re + dv64.re, V.im + dv64.im)
+        nn = jnp.maximum(_snorm(V_new), 1e-30)
+        V_new = SplitComplex(V_new.re / nn[:, None],
+                             V_new.im / nn[:, None])
+        ok = jnp.all(jnp.isfinite(V_new.re), axis=-1) \
+            & jnp.all(jnp.isfinite(V_new.im), axis=-1)
+        Vo = SplitComplex(jnp.where(ok[:, None], V_new.re, V.re),
+                          jnp.where(ok[:, None], V_new.im, V.im))
+        return Vo, bV, blam, brn
+
+    brn0 = jnp.full((K,), jnp.inf, rdt)
+    V_last, bV, blam, brn = jax.lax.fori_loop(
+        0, steps, body, (V, V, lam_init, brn0))
+    # score the final advanced iterate too (the loop scores pre-step states)
+    lam_f, _, rn_f = rayleigh_resid(V_last)
+    fin_better = jnp.isfinite(rn_f) & (rn_f < brn)
+    bV = SplitComplex(jnp.where(fin_better[:, None], V_last.re, bV.re),
+                      jnp.where(fin_better[:, None], V_last.im, bV.im))
+    blam = SplitComplex(jnp.where(fin_better, lam_f.re, blam.re),
+                        jnp.where(fin_better, lam_f.im, blam.im))
+    brn = jnp.where(fin_better, rn_f, brn)
+    return bV, blam, brn
+
+
 @functools.partial(jax.jit, static_argnames=("steps", "rounds"))
 def refine_eigenpairs(A64: SplitComplex, lam0: jax.Array, V0: jax.Array,
                       steps: int = 4, psi_rel: float = 3e-6,
@@ -167,18 +240,31 @@ def refine_eigenpairs(A64: SplitComplex, lam0: jax.Array, V0: jax.Array,
         psi = (psi_rel * anorm).astype(jnp.float32)
 
         smv, _ = _matvec_fns(A64)
-        # one batched c64 LU of H_k = A − λ_k I + ψ I
+        # one batched c64 LU of H_k = A − λ_k I + ψ_k I
         Ac = _to_c(A64, cdtype)
         idx = jnp.arange(N)
 
         def build_H(l):
-            return Ac.at[idx, idx].add(-l + psi.astype(Ac.real.dtype))
+            return Ac.at[idx, idx].add(-l)
 
-        def one_round(lam_shift, V, lam_init):
-            """One fixed-shift round: factor H_k = A − λ_k I + ψI, run masked
-            inverse-iteration pre-sweeps, then ``steps`` bordered-Newton
-            steps. Returns (V, lam, resid) with per-step best-keeping."""
-            solve = _percand_shifted_solver(build_H, lam_shift, N)
+        def one_round(lam_shift, V, lam_init, psi_k):
+            """One fixed-shift round: factor H_k = A − (λ_k − ψ_k) I, run
+            masked inverse-iteration pre-sweeps, then ``steps`` bordered-
+            Newton steps. Returns (V, lam, resid) with per-step best-keeping.
+
+            ``psi_k`` is PER-CANDIDATE: the ψ continuation below shrinks it
+            between rounds, because ψ perturbs the Newton Jacobian itself —
+            harmless on normal operands (A and A+ψI share eigenvectors) but
+            an O(ψ·non-normality) inexact-Newton stall on non-normal ones.
+            Measured (N=4096 Ginibre, c64-floor starts off true pairs):
+            3/16 pseudospectrally bad pairs stall at 6e-5..8e-5 with the
+            fixed default ψ (=0.3·ψ_abs), while psi_rel=1e-10 converges all
+            three to ≤1.2e-13; an exact f64 bordered solve (ψ=0) converges
+            quadratically from the stuck state, and a GMRES-IR escalation
+            that solved the SAME ψ-shifted system more accurately moved
+            nothing — the regularization, not solve accuracy, is the stall."""
+            solve = _percand_shifted_solver(
+                build_H, lam_shift - psi_k.astype(Ac.dtype), N)
 
             # Engine leaders that converged at a loose EARLY threshold can
             # sit ~0.1 off their eigenvector; plain Newton from such starts
@@ -204,55 +290,16 @@ def refine_eigenpairs(A64: SplitComplex, lam0: jax.Array, V0: jax.Array,
                     jnp.where(crude[:, None], U64.re / un[:, None], V.re),
                     jnp.where(crude[:, None], U64.im / un[:, None], V.im))
 
-            def body(_, carry):
-                V, lam, resid = carry
-                W = smv(V)                                # A v (f64)
-                lam_new = _sdiv(_sdot(V, W), _sdot(V, V))  # f64 Rayleigh
-                r = SplitComplex(W.re - (lam_new.re[:, None] * V.re
-                                         - lam_new.im[:, None] * V.im),
-                                 W.im - (lam_new.re[:, None] * V.im
-                                         + lam_new.im[:, None] * V.re))
-                rn = _snorm(r)
-                u1 = solve(_to_c(V, cdtype))              # H⁻¹ v
-                u2 = solve(_to_c(r, cdtype))              # H⁻¹ r
-                num = jnp.sum(jnp.conj(_to_c(V, cdtype)) * u2, axis=-1)
-                den = jnp.sum(jnp.conj(_to_c(V, cdtype)) * u1, axis=-1)
-                den = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
-                dlam = num / den
-                dv = dlam[:, None] * u1 - u2              # δλ H⁻¹v − H⁻¹r
-                dv64 = _from_c(dv, rdt)
-                V_new = SplitComplex(V.re + dv64.re, V.im + dv64.im)
-                nn = jnp.maximum(_snorm(V_new), 1e-30)
-                V_new = SplitComplex(V_new.re / nn[:, None],
-                                     V_new.im / nn[:, None])
-                # keep the better iterate per candidate (guards divergent
-                # steps on defective/clustered eigenvalues)
-                W2 = smv(V_new)
-                lam2 = _sdiv(_sdot(V_new, W2), _sdot(V_new, V_new))
-                r2 = SplitComplex(W2.re - (lam2.re[:, None] * V_new.re
-                                           - lam2.im[:, None] * V_new.im),
-                                  W2.im - (lam2.re[:, None] * V_new.im
-                                           + lam2.im[:, None] * V_new.re))
-                rn2 = _snorm(r2)
-                better = rn2 < rn
-                Vo = SplitComplex(jnp.where(better[:, None], V_new.re, V.re),
-                                  jnp.where(better[:, None], V_new.im, V.im))
-                lo = SplitComplex(jnp.where(better, lam2.re, lam_new.re),
-                                  jnp.where(better, lam2.im, lam_new.im))
-                # where, not minimum: report the residual OF THE RETURNED
-                # state; a NaN rn2 from a blown-up step must not poison it
-                return Vo, lo, jnp.where(better, rn2, rn)
-
-            resid0 = jnp.full((K,), jnp.inf, rdt)
-            return jax.lax.fori_loop(0, steps, body, (V, lam_init, resid0))
+            return _bordered_newton(smv, solve, V, lam_init, steps, cdtype)
 
         V = _from_c(V0, rdt)
         nrm = jnp.maximum(_snorm(V), 1e-30)
         V = SplitComplex(V.re / nrm[:, None], V.im / nrm[:, None])
         lam_init = SplitComplex(lam0.real.astype(rdt), lam0.imag.astype(rdt))
         lam_shift = lam0
+        psi_k = jnp.full((K,), psi, jnp.float32)
         for _ in range(rounds):
-            V, lam, resid = one_round(lam_shift, V, lam_init)
+            V, lam, resid = one_round(lam_shift, V, lam_init, psi_k)
             # Rayleigh-quotient REFACTORING for the next round: a shift that
             # started between two near-degenerate eigenvalues (engine λ error
             # ≈ local gap — the measured 8192² straggler had a 1.8e-3
@@ -263,6 +310,15 @@ def refine_eigenpairs(A64: SplitComplex, lam0: jax.Array, V0: jax.Array,
                 lam.re.astype(jnp.float32),
                 lam.im.astype(jnp.float32)).astype(cdtype)
             lam_init = lam
+            # ψ continuation (see one_round): tie the next round's
+            # regularization to the achieved residual so it can never
+            # dominate the Jacobian error — 1e-4·resid sits in the
+            # measured-converging regime while staying nonzero (the c64 LU
+            # never factors an exactly singular H). Non-finite residuals
+            # (blown-up candidates) keep the robust base ψ.
+            r32 = resid.astype(jnp.float32)
+            psi_k = jnp.where(jnp.isfinite(r32),
+                              jnp.minimum(psi, 1e-4 * r32), psi)
         return lam, V, resid
 
 

@@ -47,6 +47,8 @@ from ..ops.refine_eig import (_from_c, _sdiv, _sdot, _smatvec, _smatvec_adj,
 from .dist_hessenberg import DistHess, dist_solve_shifted
 from .mesh import MODEL_AXIS
 
+_EPS32 = float(jnp.finfo(jnp.float32).eps)
+
 
 def stage_spectral(mesh: Mesh, A, dtype=None):
     """Stage an eig/SVD operand for the distributed engine + finishers:
@@ -103,9 +105,12 @@ def dist_refine_eigenpairs(mesh: Mesh, hess: DistHess, A64: SplitComplex,
     Same Newton iteration as :func:`maus_tpu.ops.refine_eig.refine_eigenpairs`
     (cited there: F(v,λ) Newton with bordered elimination), with the batched
     c64 LU replaced by shifted solves against the column-sharded Hessenberg
-    form at the FIXED initial shifts λ₀ + ψ (the single-chip version also
-    factors once at λ₀). Returns ``(lam Split (K,), V Split (K,N), resid (K,)
-    f64)`` with ‖v‖=1, resid = ‖Av − λv‖ in f64 vs the sharded planes.
+    form. The shift refactors at the current Rayleigh quotient EVERY step
+    (free here — the sweep takes shifts as data) with per-step ψ continuation,
+    and the iterate advances through finite-but-worse steps with best-so-far
+    returned (see the body comment). Returns ``(lam Split (K,), V Split
+    (K,N), resid (K,) f64)`` with ‖v‖=1, resid = ‖Av − λv‖ in f64 vs the
+    sharded planes.
     """
     cdtype = V0.dtype
     rdt = A64.re.dtype
@@ -114,10 +119,6 @@ def dist_refine_eigenpairs(mesh: Mesh, hess: DistHess, A64: SplitComplex,
         scale, s2 = scaled_fro(A64.re, A64.im)
         anorm = (scale * jnp.sqrt(s2 / N)).astype(rdt)
         psi = (psi_rel * anorm).astype(jnp.float32)
-        psi_k = jnp.broadcast_to(psi, (K,))
-
-        def solve(B):
-            return dist_solve_shifted(mesh, hess, lam0, B, psi_k)
 
         smv = lambda X: _smatvec(A64, X)      # GSPMD shards the plane GEMMs
 
@@ -125,15 +126,37 @@ def dist_refine_eigenpairs(mesh: Mesh, hess: DistHess, A64: SplitComplex,
         nrm = jnp.maximum(_snorm(V), 1e-30)
         V = SplitComplex(V.re / nrm[:, None], V.im / nrm[:, None])
 
-        def body(_, carry):
-            V, lam, resid = carry
+        def rayleigh_resid(V):
             W = smv(V)                                    # A v (f64)
-            lam_new = _sdiv(_sdot(V, W), _sdot(V, V))     # f64 Rayleigh quotient
-            r = SplitComplex(W.re - (lam_new.re[:, None] * V.re
-                                     - lam_new.im[:, None] * V.im),
-                             W.im - (lam_new.re[:, None] * V.im
-                                     + lam_new.im[:, None] * V.re))
-            rn = _snorm(r)
+            lam = _sdiv(_sdot(V, W), _sdot(V, V))         # f64 Rayleigh
+            r = SplitComplex(W.re - (lam.re[:, None] * V.re
+                                     - lam.im[:, None] * V.im),
+                             W.im - (lam.re[:, None] * V.im
+                                     + lam.im[:, None] * V.re))
+            return lam, r, _snorm(r)
+
+        # The Hessenberg sweep takes its shifts as DATA (one Givens pass per
+        # solve either way), so unlike the single-chip LU/QR transports the
+        # shift refactors EVERY step for free — classic RQI — and the ψ
+        # continuation (see refine_eigenpairs.one_round: a fixed ψ is an
+        # O(ψ·non-normality) inexact-Newton stall on non-normal operands)
+        # rides along per step, tied to the candidate's current residual.
+        # The iterate ADVANCES through finite-but-worse steps (an in-place
+        # rejection is an absorbing state — see ops.refine_eig
+        # ._bordered_newton); best-so-far is tracked separately and returned.
+        def body(_, carry):
+            V, lam_sh, psi_k, bV, blam, brn = carry
+            lam_new, r, rn = rayleigh_resid(V)
+            cur_better = jnp.isfinite(rn) & (rn < brn)
+            bV = SplitComplex(jnp.where(cur_better[:, None], V.re, bV.re),
+                              jnp.where(cur_better[:, None], V.im, bV.im))
+            blam = SplitComplex(jnp.where(cur_better, lam_new.re, blam.re),
+                                jnp.where(cur_better, lam_new.im, blam.im))
+            brn = jnp.where(cur_better, rn, brn)
+
+            def solve(B):
+                return dist_solve_shifted(mesh, hess, lam_sh, B, psi_k)
+
             u1 = solve(_to_c(V, cdtype))                  # H⁻¹ v
             u2 = solve(_to_c(r, cdtype))                  # H⁻¹ r
             num = jnp.sum(jnp.conj(_to_c(V, cdtype)) * u2, axis=-1)
@@ -145,28 +168,42 @@ def dist_refine_eigenpairs(mesh: Mesh, hess: DistHess, A64: SplitComplex,
             V_new = SplitComplex(V.re + dv64.re, V.im + dv64.im)
             nn = jnp.maximum(_snorm(V_new), 1e-30)
             V_new = SplitComplex(V_new.re / nn[:, None], V_new.im / nn[:, None])
-            W2 = smv(V_new)
-            lam2 = _sdiv(_sdot(V_new, W2), _sdot(V_new, V_new))
-            r2 = SplitComplex(W2.re - (lam2.re[:, None] * V_new.re
-                                       - lam2.im[:, None] * V_new.im),
-                              W2.im - (lam2.re[:, None] * V_new.im
-                                       + lam2.im[:, None] * V_new.re))
-            rn2 = _snorm(r2)
-            better = rn2 < rn            # keep-better guards divergent steps
-            Vo = SplitComplex(jnp.where(better[:, None], V_new.re, V.re),
-                              jnp.where(better[:, None], V_new.im, V.im))
-            lo = SplitComplex(jnp.where(better, lam2.re, lam_new.re),
-                              jnp.where(better, lam2.im, lam_new.im))
-            # where, not minimum: the reported residual must be the residual
-            # OF THE RETURNED STATE, and a NaN rn2 from a blown-up step (inf
-            # pivot → NaN normalization) must not poison it
-            return Vo, lo, jnp.where(better, rn2, rn)
+            ok = jnp.all(jnp.isfinite(V_new.re), axis=-1) \
+                & jnp.all(jnp.isfinite(V_new.im), axis=-1)
+            Vo = SplitComplex(jnp.where(ok[:, None], V_new.re, V.re),
+                              jnp.where(ok[:, None], V_new.im, V.im))
+            # Refactor the shift at the current Rayleigh quotient while the
+            # residual is ABOVE the c64 rounding cloud, then FREEZE: chasing
+            # λ below ~100·ε_f32·‖A‖ puts σ_min(H) inside H's own c64
+            # rounding error and the near-exactly-singular solves degrade the
+            # bordered cancellation (measured on the 64² CPU-mesh tier:
+            # always-refactor left 3/16 pairs at 1.2-3.3e-9 vs the 1e-11·‖A‖_F
+            # bar; a frozen ~1e-5-distant shift still contracts ≥1e4×/step).
+            # A non-finite step keeps shift and ψ unchanged either way.
+            refactor = ok & (rn > 100.0 * _EPS32 * anorm).astype(bool)
+            lam_c = jax.lax.complex(lam_new.re.astype(jnp.float32),
+                                    lam_new.im.astype(jnp.float32)
+                                    ).astype(cdtype)
+            lam_sh = jnp.where(refactor, lam_c, lam_sh)
+            r32 = rn.astype(jnp.float32)
+            psi_new = jnp.where(jnp.isfinite(r32),
+                                jnp.minimum(psi, 1e-4 * r32), psi)
+            psi_k = jnp.where(refactor, psi_new, psi_k)
+            return Vo, lam_sh, psi_k, bV, blam, brn
 
         lam_init = SplitComplex(lam0.real.astype(rdt), lam0.imag.astype(rdt))
-        resid0 = jnp.full((K,), jnp.inf, rdt)
-        V, lam, resid = jax.lax.fori_loop(0, steps, body,
-                                          (V, lam_init, resid0))
-        return lam, V, resid
+        brn0 = jnp.full((K,), jnp.inf, rdt)
+        psi_k0 = jnp.broadcast_to(psi, (K,))
+        V_last, _, _, bV, blam, brn = jax.lax.fori_loop(
+            0, steps, body, (V, lam0, psi_k0, V, lam_init, brn0))
+        lam_f, _, rn_f = rayleigh_resid(V_last)   # score the final iterate
+        fin_better = jnp.isfinite(rn_f) & (rn_f < brn)
+        bV = SplitComplex(jnp.where(fin_better[:, None], V_last.re, bV.re),
+                          jnp.where(fin_better[:, None], V_last.im, bV.im))
+        blam = SplitComplex(jnp.where(fin_better, lam_f.re, blam.re),
+                            jnp.where(fin_better, lam_f.im, blam.im))
+        brn = jnp.where(fin_better, rn_f, brn)
+        return blam, bV, brn
 
 
 # ---------------------------------------------------------------------------

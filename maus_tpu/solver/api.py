@@ -865,7 +865,52 @@ class MausSolver:
                                   (u_re[j] + 1j * u_im[j]).astype(np.complex128),
                                   (v_re[j] + 1j * v_im[j]).astype(np.complex128),
                                   float(res_h[j]))
+        if cfg.problem_type == ProblemType.EIGENVALUE:
+            self._escalate_eig_stragglers(ks, lam, v, residual, out, A64, CH)
         return out
+
+    def _escalate_eig_stragglers(self, ks, lam, v, residual, out, A64,
+                                 CH: int) -> None:
+        """Small-ψ escalation for eigenpairs still above tol after the
+        standard rounds: the default ψ regularization perturbs the Newton
+        Jacobian, which stalls pseudospectrally ill-conditioned pairs of
+        NON-NORMAL operands at O(ψ·non-normality) (measured N=4096 Ginibre:
+        3/16 stall at 6e-5..8e-5 with psi_rel=3e-6; psi_rel=1e-10 converges
+        all three to ≤1.2e-13; an exact ψ=0 f64 bordered solve converges
+        quadratically from the stuck state). refine_eigenpairs' own ψ
+        continuation handles this in-band; this host-side gather catches
+        candidates whose round-0 stall left them just above tol — only the
+        stragglers pay the extra factorizations. Mutates ``out``."""
+        from ..ops.refine_eig import refine_eigenpairs
+        cfg = self.config
+        tol_eff = max(cfg.tol, 0.0)
+
+        def best_res(k):
+            return out[k][2] if k in out else float(residual[k])
+
+        fail = [k for k in ks if not (np.isfinite(best_res(k))
+                                      and best_res(k) <= tol_eff)]
+        if not fail:
+            return
+        lam_best = np.array([complex(out[k][0]) if k in out else complex(lam[k])
+                             for k in fail])
+        v_best = np.stack([out[k][1] if k in out else v[k] for k in fail])
+        for i in range(0, len(fail), CH):
+            chunk = fail[i:i + CH]
+            idx = list(range(i, i + len(chunk)))
+            idx = idx + [idx[-1]] * (CH - len(idx))     # pad to fixed shape
+            lam_j = to_device_complex(lam_best[idx], cfg.dtype)
+            V_j = to_device_complex(v_best[idx], cfg.dtype)
+            lam_s, V_s, res = refine_eigenpairs(A64, lam_j, V_j, steps=5,
+                                                psi_rel=1e-10)
+            lam_re, lam_im = np.asarray(lam_s.re), np.asarray(lam_s.im)
+            v_re, v_im = np.asarray(V_s.re), np.asarray(V_s.im)
+            res_h = np.asarray(res)
+            for j, k in enumerate(chunk):
+                if np.isfinite(res_h[j]) and res_h[j] < best_res(k):
+                    out[k] = (complex(lam_re[j] + 1j * lam_im[j]),
+                              (v_re[j] + 1j * v_im[j]).astype(np.complex128),
+                              float(res_h[j]))
 
     def _refine_linear(self, x: np.ndarray):
         """Mixed-precision iterative refinement of a linear solution (O(N²) f64

@@ -51,6 +51,65 @@ class TestEigenpairNewton:
         self._check(A, rtol=1e-10)
 
 
+class TestPsiContinuation:
+    """The ψ regularization perturbs the Newton Jacobian: a FIXED ψ is an
+    inexact-Newton stall on pseudospectrally ill-conditioned pairs of
+    non-normal operands (measured, N=4096 Ginibre c64-floor starts: 3/16
+    stalled at 6e-5..8e-5 with fixed psi_rel=3e-6; psi_rel=1e-10 converged
+    all three to ≤1.2e-13; the exact ψ=0 f64 bordered solve converges
+    quadratically from the stuck state). refine_eigenpairs therefore decays
+    ψ per round toward 1e-4·resid, and _bordered_newton ADVANCES through
+    finite-but-worse steps (in-place rejection at a fixed factorization is
+    an absorbing state: the rejected step recomputes identically forever —
+    the measured stragglers' first step rises 6.06e-5 → 6.93e-5, then falls
+    to 4e-11 if allowed to proceed). The at-scale reproducer lives in
+    benchmarks/spectral_large_probe.py (eig N=4096 general row); these
+    CPU-budget tests pin the mechanism's contract."""
+
+    def test_nonnormal_floor_start_reaches_f64_defaults(self):
+        """Worst eigenvector-condition pairs of a non-normal operand, started
+        at the engine's c64 acceptance floor, must reach f64 residuals with
+        DEFAULT arguments (no caller-side ψ tuning)."""
+        rng = np.random.default_rng(7)
+        n, k = 256, 8
+        A = (rng.standard_normal((n, n))
+             + 1j * rng.standard_normal((n, n))) / np.sqrt(2 * n)
+        w, V = np.linalg.eig(A)
+        kappa = (np.linalg.norm(V, axis=0)
+                 * np.linalg.norm(np.linalg.inv(V), axis=1))
+        pick = np.argsort(-kappa)[:k]
+        v0 = V[:, pick].T / np.linalg.norm(V[:, pick].T, axis=1, keepdims=True)
+        noise = rng.standard_normal((k, n)) + 1j * rng.standard_normal((k, n))
+        noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+        v0 = v0 + 3e-4 * noise
+        v0 /= np.linalg.norm(v0, axis=1, keepdims=True)
+        lam0 = w[pick] + 3e-5 * (rng.standard_normal(k)
+                                 + 1j * rng.standard_normal(k))
+        lam_s, V_s, res = refine_eigenpairs(
+            _split64(A), jnp.asarray(lam0.astype(np.complex64)),
+            jnp.asarray(v0.astype(np.complex64)), steps=5)
+        assert np.all(np.asarray(res) <= 1e-11), np.asarray(res)
+
+    def test_tiny_psi_matches_default_on_normal_operand(self):
+        """ψI commutes with A, so on a NORMAL operand the continuation must
+        be inert: tiny-ψ and default-ψ runs both land at f64 residuals."""
+        rng = np.random.default_rng(8)
+        n, k = 96, 5
+        B = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        A = (B + B.conj().T) / 2
+        w, V = np.linalg.eigh(A)
+        pick = rng.choice(n, size=k, replace=False)
+        v0 = (V[:, pick].T + 1e-4 * rng.standard_normal((k, n))).astype(complex)
+        v0 /= np.linalg.norm(v0, axis=1, keepdims=True)
+        lam0 = w[pick].astype(complex) + 1e-5
+        for psi_rel in (3e-6, 1e-10):
+            _, _, res = refine_eigenpairs(
+                _split64(A), jnp.asarray(lam0.astype(np.complex64)),
+                jnp.asarray(v0.astype(np.complex64)), steps=5,
+                psi_rel=psi_rel)
+            assert np.all(np.asarray(res) <= 1e-11 * np.abs(w).max())
+
+
 class TestSvdNewton:
     def test_triplets_reach_f64(self):
         rng = np.random.default_rng(0)
