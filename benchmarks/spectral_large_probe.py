@@ -137,9 +137,20 @@ def main():
     for n in sizes:
         for kind in ("general", "hermitian"):
             A = _device_operand(n, kind)
-            _row(lambda A=A: maus_tpu.eig(
+            kn = None
+            if n >= 12288:
+                # the device cond probe's own QR+IR program is within
+                # ~0.4 GB of HBM at 16384² (measured: 16.16 GB vs 15.75,
+                # after the c64-matvec fallback cut it from 46 GB) — pass
+                # the generator family's known structure instead, exactly
+                # as the 16k linear probe does (solve16k_probe.py)
+                from maus_tpu.core.types import ProblemKnowledge
+                kn = ProblemKnowledge(shape=(n, n), cond_estimate=1e4,
+                                      is_hermitian=(kind == "hermitian"))
+            _row(lambda A=A, kn=kn: maus_tpu.eig(
                 A, tol=args.tol, max_iterations=args.iters,
-                num_candidates=2 * args.cands, target_solutions=args.cands),
+                num_candidates=2 * args.cands, target_solutions=args.cands,
+                knowledge=kn),
                 f"eig N={n} {kind}", args.tol)
             del A
 

@@ -1104,8 +1104,16 @@ def eig(A, tol: float = 1e-8, max_iterations: int = 200,
         checkpoint_path: Optional[str] = None,
         resume_from: Optional[str] = None,
         checkpoint_every: Optional[int] = None,
-        target_solutions: Optional[int] = None) -> SolutionReport:
+        target_solutions: Optional[int] = None,
+        knowledge: Optional[ProblemKnowledge] = None) -> SolutionReport:
     """Eigenpairs of A.
+
+    ``knowledge``: optional precomputed :class:`ProblemKnowledge` — skips the
+    device diagnosis entirely (constructor parity; the reference's scenario-1
+    swap mutates its knowledge dict the same way, AMS:645-652). Use when the
+    operand's structure/conditioning is already known — e.g. the 16384²
+    probes, where the cond probe's own QR+IR program is within ~0.4 GB of
+    HBM (see diagnose.estimate_cond_device's large-N gate).
 
     ``mesh``: optional ``jax.sharding.Mesh`` with a ``model`` axis of size > 1
     — the FULL population meta-heuristic (Ψ ladder, α adaptation, strategy
@@ -1125,7 +1133,7 @@ def eig(A, tol: float = 1e-8, max_iterations: int = 200,
     s = MausSolver(A, ProblemType.EIGENVALUE,
                    initial_num_candidates=num_candidates,
                    global_convergence_tol=tol, config=config, seed=seed,
-                   target_solutions=target_solutions)
+                   target_solutions=target_solutions, knowledge=knowledge)
     return s.evolve(max_iterations, checkpoint_path=checkpoint_path,
                     resume_from=resume_from, checkpoint_every=checkpoint_every)
 
@@ -1136,8 +1144,12 @@ def svd(A, tol: float = 1e-6, max_iterations: int = 300,
         checkpoint_path: Optional[str] = None,
         resume_from: Optional[str] = None,
         checkpoint_every: Optional[int] = None,
-        target_solutions: Optional[int] = None) -> SolutionReport:
+        target_solutions: Optional[int] = None,
+        knowledge: Optional[ProblemKnowledge] = None) -> SolutionReport:
     """Singular triplets of A.
+
+    ``knowledge``: optional precomputed :class:`ProblemKnowledge` (see
+    :func:`eig`).
 
     ``mesh``: optional ``jax.sharding.Mesh`` with a ``model`` axis of size > 1
     — the FULL population meta-heuristic then runs with A column-sharded (the
@@ -1155,7 +1167,7 @@ def svd(A, tol: float = 1e-6, max_iterations: int = 300,
     s = MausSolver(A, ProblemType.SVD,
                    initial_num_candidates=num_candidates,
                    global_convergence_tol=tol, config=config, seed=seed,
-                   target_solutions=target_solutions)
+                   target_solutions=target_solutions, knowledge=knowledge)
     return s.evolve(max_iterations, checkpoint_path=checkpoint_path,
                     resume_from=resume_from, checkpoint_every=checkpoint_every)
 

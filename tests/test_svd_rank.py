@@ -58,3 +58,75 @@ class TestDynamicRank:
         assert rep.target_solutions == 2
         assert rep.num_distinct >= 2
         assert rep.converged
+
+
+class TestLowRankAcceptanceScale:
+    """Acceptance-scale on low-rank spectra (round-5 chip finding): the
+    eig/SVD convergence bar is max(tol, floor)·scale, and a scale of
+    ‖A‖_F/√min(M,N) UNDERSTATES the residual units when the spectrum is
+    low-rank — measured at 4096×2048 c64 (rank-16 head, σ₁=1, fro-scale
+    0.038): the σ∈[0.33, 0.8] triplets sat at 3.7-5.8e-7 (under tol, over
+    the mis-scaled bar) for 90 iterations and the report missed the THREE
+    LARGEST σ on chip. step_svd/step_eigen now lift the scale by
+    max σ = max |uᴴAv| (a provable lower bound on ‖A‖₂ for normalized
+    candidates), which recovers the true spectral scale from below.
+
+    The defect only bites once the c64 residual floor crosses the
+    mis-scaled bar (N ≳ 4096 at rank 16) — too heavy for the default CPU
+    suite, so the full reproduction is env-gated; the driver-run
+    benchmarks/spectral_large_probe.py SVD row pins it at scale every
+    round. The cheap tests below pin the scale rule's ingredients.
+    """
+
+    def test_max_sigma_lifts_scale_monotonically(self):
+        """max|σ| of normalized candidates never exceeds ‖A‖₂ (the lift is
+        sound) and reaches σ₁ once any candidate aligns (the lift is tight)."""
+        rng = np.random.default_rng(5)
+        m, n, r = 48, 32, 4
+        U, _ = np.linalg.qr(rng.standard_normal((m, m))
+                            + 1j * rng.standard_normal((m, m)))
+        V, _ = np.linalg.qr(rng.standard_normal((n, n))
+                            + 1j * rng.standard_normal((n, n)))
+        s = np.concatenate([[1.0, 0.5, 0.25, 0.125], np.full(n - r, 1e-9)])
+        A = (U[:, :n] * s) @ V.conj().T
+        for _ in range(20):
+            u = rng.standard_normal(m) + 1j * rng.standard_normal(m)
+            v = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+            u /= np.linalg.norm(u)
+            v /= np.linalg.norm(v)
+            assert abs(np.vdot(u, A @ v)) <= 1.0 + 1e-12
+        # aligned candidate ⇒ the bound is attained
+        assert abs(np.vdot(U[:, 0], A @ V[:, 0])) > 1.0 - 1e-10
+
+    def test_lowrank_head_fully_found_c64(self):
+        """End-to-end at a CPU-suite-budget size: every head triplet of a
+        low-rank gapped spectrum is found and at tol under forced c64.
+        (At this size the old scale passed too — the at-scale failure is
+        pinned by the driver probe; this guards gross regressions.)"""
+        import jax.numpy as jnp
+
+        from maus_tpu.core.types import SolverConfig
+
+        rng = np.random.default_rng(3)
+        m, n, top = 384, 256, 8
+
+        def haar(d):
+            g = rng.standard_normal((d, d)) + 1j * rng.standard_normal((d, d))
+            q, rr = np.linalg.qr(g)
+            dg = np.diagonal(rr)
+            return q * (dg / np.abs(dg))[None, :]
+
+        s = np.concatenate([0.8 ** np.arange(top),
+                            np.logspace(-2.0, -4.0, n - top)])
+        A = (haar(m)[:, :n] * s) @ haar(n).conj().T
+        eps32 = float(np.finfo(np.float32).eps)
+        cfg = SolverConfig(problem_type=ProblemType.SVD, num_candidates=2 * top,
+                           tol=1e-6, dtype=jnp.complex64,
+                           convergence_floor=float(max(50.0, np.sqrt(n))
+                                                   * eps32))
+        slv = maus_tpu.MausSolver(A, ProblemType.SVD, config=cfg,
+                                  target_solutions=top)
+        rep = slv.evolve(max_iterations=80)
+        sig = [float(sol[0]) for sol in rep.solutions]
+        for e in 0.8 ** np.arange(top):
+            assert min(abs(e - x) for x in sig) < 1e-3, (e, sorted(sig))
