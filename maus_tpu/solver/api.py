@@ -268,6 +268,26 @@ def _host_refactor_program(A, psi, hpd: bool):
     return _host_refactor_hpd(A, psi) if hpd else _host_refactor_qr(A, psi)
 
 
+# Hoist the eig path's one-time Hessenberg reduction out of the evolve-loop
+# program at and past this operand size (same threshold as the linear auto
+# host-refactor policy — the known-good in-loop size is 8192²).
+_HESS_HOIST_MIN_N = 12288
+
+
+@jax.jit
+def _host_hessenberg_program(A):
+    """One-time shared Hessenberg reduction A = Q H Qᴴ as its OWN compiled
+    program — the eig analogue of the linear path's hoisted QR. Traced inside
+    the evolve-loop program, the blocked reduction of a 16384² c64 operand
+    faults the TPU worker (probed 2026-08-19, two reproductions:
+    benchmarks/results/r5/spectral16k_try5.log); as a standalone top-level
+    program it is the same class of large one-time factorization that the
+    16384² QR already survives."""
+    from ..ops.hessenberg import reduce_hessenberg_auto
+    with jax.default_matmul_precision("highest"):
+        return reduce_hessenberg_auto(A)
+
+
 def _fac_all_finite(fac) -> bool:
     """True iff every array leaf of a factorization pytree is finite.
 
@@ -456,6 +476,7 @@ class MausSolver:
                 self.b = to_device_complex(self.b_host, config.dtype)
         self._key = jax.random.PRNGKey(seed)
         self._fac_cache = None
+        self._hess_hoist = None   # standalone-program Hessenberg (large-N eig)
         # float32/complex64 user input: the c64 device copy already carries
         # every bit — refinement planes can be derived on device, no transfer
         self._input_c64_exact = input_c64_exact
@@ -517,6 +538,7 @@ class MausSolver:
                         f"matrix ({self.knowledge.shape[-1]},)")
                 self.b = to_device_complex(self.b_host, self.config.dtype)
         self._fac_cache = None
+        self._hess_hoist = None
 
     def evolve(self, max_iterations: int = 100,
                collect_metrics: bool = False,
@@ -654,9 +676,38 @@ class MausSolver:
         return resolve_refactor_carry(
             self.A, carry, hpd=bool(self.knowledge.is_positive_definite))
 
+    def _hoisted_hessenberg(self):
+        """Pre-built shared Hessenberg form for LARGE-N general eig, or None.
+
+        At N ≥ 12288 on TPU the blocked reduction is built as its own
+        standalone program (``_host_hessenberg_program``) and passed into the
+        evolve loop as data (``hess0=``): fused into the loop program the
+        16384² reduction faults the TPU worker (probed twice, 2026-08-19,
+        benchmarks/results/r5/spectral16k_try5.log). Built lazily once and
+        cached; invalidated by ``update_problem``."""
+        cfg, kn = self.config, self.knowledge
+        if not (cfg.problem_type == ProblemType.EIGENVALUE
+                and evolve_mod._use_hessenberg(cfg, kn)
+                and kn.shape[-1] >= _HESS_HOIST_MIN_N):
+            return None
+        if self._hess_hoist is None:
+            from ..ops.refine import fac_to_planes
+            cache = _host_hessenberg_program(self.A)
+            # pass the cache to the loop program in PLANE form and free the
+            # complex originals: a complex64 jit argument materializes twice
+            # on this backend (argument + plane temps live across the IR
+            # while-loop — probed at 16384², see ops/refine.FacPlanes)
+            planes = fac_to_planes(cache)
+            for leaf in jax.tree.leaves(cache):
+                if hasattr(leaf, "delete"):
+                    leaf.delete()
+            self._hess_hoist = planes
+        return self._hess_hoist
+
     def _while_hosted(self, max_iterations: int, carry0):
         """evolve_while + host-refactor resolution loop."""
         cfg, kn = self.config, self.knowledge
+        hess0 = self._hoisted_hessenberg()
         if carry0 is None and cfg.host_refactor:
             # build the initial carry (the one-time large QR) in its OWN
             # program: inlined into the while-loop program its peak stacks on
@@ -666,7 +717,7 @@ class MausSolver:
         while True:
             carry, metrics = evolve_mod.evolve_while(
                 cfg, kn, self.A, self.b, self._key, max_iterations,
-                self.target_solutions, carry0=carry0)
+                self.target_solutions, carry0=carry0, hess0=hess0)
             nxt = self._resolve_refactor(carry)
             if nxt is None:
                 return carry, metrics
@@ -693,6 +744,7 @@ class MausSolver:
         scan."""
         import jax as _jax
         cfg, kn = self.config, self.knowledge
+        hess0 = self._hoisted_hessenberg()
         if carry0 is None and cfg.host_refactor:
             # see _while_hosted: keep the one-time QR out of the loop program
             carry0 = evolve_mod.init_carry(cfg, kn, self.A, self._key)
@@ -704,7 +756,8 @@ class MausSolver:
             start_iter = 0 if carry0 is None else int(carry0.iteration)
             carry, m = evolve_mod.evolve_scan(
                 cfg, kn, self.A, self.b, self._key, num_iterations,
-                self.target_solutions, carry0=carry0, iteration_bound=bound)
+                self.target_solutions, carry0=carry0, iteration_bound=bound,
+                hess0=hess0)
             nxt = self._resolve_refactor(carry)
             if nxt is None:
                 # final chunk: keep exactly the rows this entry was

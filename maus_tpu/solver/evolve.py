@@ -31,6 +31,7 @@ from ..core.types import (CandidateStatus, Population, ProblemKnowledge,
                           initial_strategy)
 from ..ops.batched_solve import (LUFactors, shared_factor_hpd, shared_factor_qr,
                                  solve_chol)
+from ..ops.refine import _combine_fac
 from ..ops.regularize import psi_magnitude
 from . import candidate as cand
 from . import hermitian as herm
@@ -419,8 +420,11 @@ def evolve_while(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
     :func:`make_iteration`)."""
     if hess0 is not None:
         # caller pre-built the (possibly distributed) Hessenberg form — e.g.
-        # eig(mesh=) builds it once and reuses it for the finisher
-        eigh_cache, hess_cache = None, hess0
+        # eig(mesh=) builds it once and reuses it for the finisher;
+        # api._hoisted_hessenberg passes it in PLANE form (ops/refine.FacPlanes
+        # — complex jit arguments materialize twice on this backend) and the
+        # combine folds at trace time
+        eigh_cache, hess_cache = None, _combine_fac(hess0)
     else:
         eigh_cache, hess_cache = _setup_caches(cfg, knowledge, A, mesh)
     step = make_iteration(cfg, knowledge, A, b, eigh_cache, target_solutions,
@@ -465,8 +469,11 @@ def evolve_scan(cfg: SolverConfig, knowledge: ProblemKnowledge, A: jax.Array,
     would recompile per handoff — 20-120 s each on this backend)."""
     if hess0 is not None:
         # caller pre-built the (possibly distributed) Hessenberg form — e.g.
-        # eig(mesh=) builds it once and reuses it for the finisher
-        eigh_cache, hess_cache = None, hess0
+        # eig(mesh=) builds it once and reuses it for the finisher;
+        # api._hoisted_hessenberg passes it in PLANE form (ops/refine.FacPlanes
+        # — complex jit arguments materialize twice on this backend) and the
+        # combine folds at trace time
+        eigh_cache, hess_cache = None, _combine_fac(hess0)
     else:
         eigh_cache, hess_cache = _setup_caches(cfg, knowledge, A, mesh)
     step = make_iteration(cfg, knowledge, A, b, eigh_cache, target_solutions,

@@ -210,3 +210,54 @@ def test_nan_cholesky_carry_never_seeds_refinement():
     # refinement's cache, if populated, holds the fallback QR — finite
     if s._fac_cache is not None:
         assert api_mod._fac_all_finite(s._fac_cache)
+
+
+@pytest.mark.parametrize("collect_metrics", [False, True])
+def test_hoisted_hessenberg_parity(monkeypatch, collect_metrics):
+    """Large-N eig hoists the shared Hessenberg reduction into a standalone
+    program (api._host_hessenberg_program) and feeds it to the evolve loop as
+    data — traced inside the loop program, the 16384² blocked reduction
+    faults the TPU worker (benchmarks/results/r5/spectral16k_try5.log). The
+    hoisted run must find the same eigenpairs as the fused-construction run
+    on the same seeds, and the cache must actually be built and reused."""
+    rng = np.random.default_rng(7)
+    n = 48
+    A = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+
+    def run():
+        s = api_mod.MausSolver(A, ProblemType.EIGENVALUE, seed=3)
+        rep = s.evolve(max_iterations=60, collect_metrics=collect_metrics)
+        return s, rep
+
+    s0, base = run()
+    assert s0._hess_hoist is None           # default: fused construction
+    monkeypatch.setattr(api_mod, "_HESS_HOIST_MIN_N", 1)
+    s1, hoisted = run()
+    assert s1._hess_hoist is not None       # built once, as its own program
+    # same distinct eigenvalues at the same residual quality
+    assert hoisted.num_distinct == base.num_distinct
+    lam_b = np.sort_complex(np.asarray([sol[0] for sol in base.solutions]))
+    lam_h = np.sort_complex(np.asarray([sol[0] for sol in hoisted.solutions]))
+    np.testing.assert_allclose(lam_h, lam_b, rtol=1e-6, atol=1e-8)
+    ev = np.sort_complex(np.linalg.eigvals(A))
+    for lam in lam_h:
+        assert np.min(np.abs(ev - lam)) < 1e-6 * np.linalg.norm(A)
+
+
+def test_hoist_cache_invalidated_on_swap(monkeypatch):
+    """update_problem must drop the hoisted Hessenberg cache — it belongs to
+    the OLD operand (scenario-1 swap semantics, AMS:645-652)."""
+    monkeypatch.setattr(api_mod, "_HESS_HOIST_MIN_N", 1)
+    rng = np.random.default_rng(11)
+    n = 32
+    A = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    s = api_mod.MausSolver(A, ProblemType.EIGENVALUE, seed=5)
+    s.evolve(max_iterations=25)
+    assert s._hess_hoist is not None
+    A2 = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    s.update_problem(matrix=A2)
+    assert s._hess_hoist is None
+    rep2 = s.evolve(max_iterations=60)
+    ev2 = np.sort_complex(np.linalg.eigvals(A2))
+    for lam, _v in rep2.solutions:
+        assert np.min(np.abs(ev2 - lam)) < 1e-6 * np.linalg.norm(A2)
