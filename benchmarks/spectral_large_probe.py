@@ -114,6 +114,9 @@ def main():
     ap.add_argument("--sizes", default="4096,8192")
     ap.add_argument("--cands", type=int, default=16)
     ap.add_argument("--svd-shape", default="4096x2048")
+    ap.add_argument("--kinds", default="general,hermitian",
+                    help="eig operand kinds; pass 'none' to skip eig rows")
+    ap.add_argument("--no-svd", action="store_true")
     ap.add_argument("--tol", type=float, default=1e-8)
     ap.add_argument("--iters", type=int, default=100)
     args = ap.parse_args()
@@ -134,8 +137,9 @@ def main():
     # for 8 eigenpair targets, AMS:654-657): on a dense spectrum two shifts
     # can land nearest the same eigenpair, and spare candidates absorb the
     # collision instead of costing a respawn round-trip
+    kinds = [k for k in args.kinds.split(",") if k and k != "none"]
     for n in sizes:
-        for kind in ("general", "hermitian"):
+        for kind in kinds:
             A = _device_operand(n, kind)
             kn = None
             if n >= 12288:
@@ -154,6 +158,8 @@ def main():
                 f"eig N={n} {kind}", args.tol)
             del A
 
+    if args.no_svd:
+        return 0
     m, n = (int(x) for x in args.svd_shape.split("x"))
     B = _svd_operand(m, n, top=args.cands)
     _row(lambda: maus_tpu.svd(B, tol=max(args.tol, 1e-6),
